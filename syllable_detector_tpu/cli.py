@@ -1,0 +1,159 @@
+"""Offline detection CLI — the fidelity oracle.
+
+Re-implements the reference CLI contract
+(reference: SyllableDetectorCLI/main.swift:19-131): load one network config,
+run each audio file's tracks through per-track detectors, and write a
+comma-separated detection event per line to stdout:
+
+    0,1593298,36.1292063492063,0.918557
+
+Columns: track/channel number (from 0), sample number, timestamp in seconds,
+then one column per network output (main.swift:31-40). When multiple audio
+files are given, each file's path is printed before its events
+(main.swift:122-124). Errors go to stderr and processing continues with the
+next file (main.swift:57, 74, 81).
+
+Usage:  python -m syllable_detector_tpu.cli -n NET.txt -a FILE.wav [-a ...]
+                                            [-d SECONDS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from syllable_detector_tpu.config.model_format import ConfigError, load_config
+from syllable_detector_tpu.runtime.track_detector import TrackDetector
+from syllable_detector_tpu.utils.wav import read_wav
+
+__all__ = ["main", "run_file"]
+
+# samples per simulated decode buffer; the reference receives ~8k-sample
+# CMSampleBuffers from AVFoundation (SURVEY: main.swift:126-130) — output is
+# chunk-size invariant, so a larger batch is used for device efficiency
+CHUNK = 65536
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="syllable-detector",
+        description="Syllable detection over audio files (TPU-native).",
+        epilog=(
+            "The command line will write a comma-separated list of detection "
+            "events (when the network has at least one output above "
+            "threshold) to standard out. Columns: 1. track/channel number "
+            "(starting with 0); 2. sample number of the detection; 3. "
+            "timestamp of the detection; 4+. the neural network outputs."
+        ),
+    )
+    p.add_argument("-n", "--net", required=True, help="Path to trained network file.")
+    p.add_argument(
+        "-a",
+        "--audio",
+        action="append",
+        default=[],
+        help="Path to the audio file to process (repeatable).",
+    )
+    p.add_argument(
+        "-d",
+        "--debounce",
+        type=float,
+        default=None,
+        help="Number of seconds to debounce triggers.",
+    )
+    p.add_argument(
+        "--method",
+        choices=("matmul", "rfft"),
+        default="matmul",
+        help="Spectral backend (default: GEMM-native band DFT).",
+    )
+    return p
+
+
+def run_file(
+    audio_path: str,
+    config,
+    debounce: float | None,
+    emit=print,
+    err=None,
+    method: str = "matmul",
+) -> bool:
+    err = err if err is not None else (lambda s: print(s, file=sys.stderr))
+    try:
+        samples, rate = read_wav(audio_path)
+    except (OSError, ValueError) as e:
+        err(f"Unable to read {audio_path}: {e}")
+        return False
+
+    n, channels = samples.shape
+    if channels < 1 or n == 0:
+        err(f"No audio tracks found in {audio_path}.")
+        return False
+
+    if rate != config.sampling_rate:
+        # the reference's AVAssetReader resamples to the net rate via its
+        # output settings (SyllableDetector.swift:19-23); warn and proceed
+        # treating samples as net-rate, matching a mismatched-header WAV
+        err(
+            f"Warning: {audio_path} sample rate {rate} != network rate "
+            f"{config.sampling_rate}; processing at the network rate."
+        )
+
+    detectors = [
+        TrackDetector(config, channel=i, emit=emit, method=method)
+        for i in range(channels)
+    ]
+    if debounce is not None:
+        for d in detectors:
+            d.debounce_time = debounce
+
+    # synchronous read loop over fixed-size buffers (main.swift:126-130)
+    for start in range(0, n, CHUNK):
+        chunk = samples[start : start + CHUNK]
+        for i, det in enumerate(detectors):
+            det.process(np.ascontiguousarray(chunk[:, i]))
+    return True
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Cache XLA compilations across CLI invocations (big win on TPU, where
+    a cold compile dwarfs the detection math)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "syllable_detector_tpu", "xla"
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization; never fail the CLI for it
+        pass
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    _enable_persistent_compile_cache()
+
+    try:
+        config = load_config(args.net)
+    except ConfigError as e:
+        print(f"Unable to load the network configuration: {e}", file=sys.stderr)
+        return 1
+
+    multiple = len(args.audio) > 1
+    for audio_path in args.audio:
+        if multiple:
+            print(audio_path)
+        run_file(audio_path, config, args.debounce, method=args.method)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""Minimal WAV reader/writer (the framework's AVFoundation-decode equivalent).
+
+The reference decodes audio through AVAssetReader into float32 non-interleaved
+PCM (reference: Common/SyllableDetector.swift:19-23); here WAV files are
+parsed directly. Supports PCM 8/16/24/32-bit and IEEE float32/64, plus
+WAVE_FORMAT_EXTENSIBLE wrappers; integers normalize to [-1, 1) with the
+CoreAudio convention (int16 / 32768 etc.). No external dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Union
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav"]
+
+_PCM = 1
+_IEEE_FLOAT = 3
+_EXTENSIBLE = 0xFFFE
+
+
+def read_wav(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (samples [n, channels] float32 in [-1, 1], rate)."""
+    with open(path, "rb") as fh:
+        header = fh.read(12)
+        if len(header) < 12:
+            raise ValueError(f"{path}: truncated WAV header")
+        riff, size, wave_id = struct.unpack("<4sI4s", header)
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            header = fh.read(8)
+            if len(header) < 8:
+                break
+            chunk_id, chunk_size = struct.unpack("<4sI", header)
+            payload = fh.read(chunk_size)
+            if chunk_size % 2:
+                fh.read(1)  # chunks are word-aligned
+            if chunk_id == b"fmt ":
+                fmt = payload
+            elif chunk_id == b"data":
+                data = payload
+        if fmt is None or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+
+    if len(fmt) < 16:
+        raise ValueError(f"{path}: truncated fmt chunk")
+    (audio_format, channels, rate, _byte_rate, block_align, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if channels < 1 or block_align < 1:
+        raise ValueError(f"{path}: invalid fmt chunk")
+    if audio_format == _EXTENSIBLE:
+        # subformat GUID's first two bytes carry the real format code
+        if len(fmt) < 26:
+            raise ValueError(f"{path}: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
+
+    n_frames = len(data) // block_align
+    data = data[: n_frames * block_align]
+
+    if audio_format == _PCM:
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            as32 = (
+                raw[:, 0].astype(np.uint32)
+                | (raw[:, 1].astype(np.uint32) << 8)
+                | (raw[:, 2].astype(np.uint32) << 16)
+            )
+            signed = as32.astype(np.int32)
+            signed = np.where(signed >= 1 << 23, signed - (1 << 24), signed)
+            x = signed.astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    elif audio_format == _IEEE_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"{path}: unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported WAV format code {audio_format}")
+
+    return x.reshape(n_frames, channels), int(rate)
+
+
+def write_wav(
+    path: Union[str, "os.PathLike"],
+    samples: np.ndarray,
+    rate: int,
+    dtype: str = "int16",
+) -> None:
+    """Write [n] or [n, channels] samples; dtype 'int16' or 'float32'."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+
+    if dtype == "int16":
+        fmt_code, bits = _PCM, 16
+        clipped = np.clip(samples.astype(np.float64) * 32768.0, -32768, 32767)
+        payload = clipped.astype("<i2").tobytes()
+    elif dtype == "float32":
+        fmt_code, bits = _IEEE_FLOAT, 32
+        payload = samples.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported dtype {dtype}")
+
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    fmt_chunk = struct.pack("<HHIIHH", fmt_code, channels, rate, byte_rate, block_align, bits)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)

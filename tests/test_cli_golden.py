@@ -1,0 +1,115 @@
+"""CLI fidelity oracle: CSV output must match the independent NumPy pipeline
+line for line, including Swift-style float formatting and debounce."""
+
+import numpy as np
+import pytest
+
+import reference_impl as ref
+from syllable_detector_tpu.cli import main as cli_main, run_file
+from syllable_detector_tpu.runtime.track_detector import TrackDetector
+from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
+from syllable_detector_tpu.utils.wav import read_wav, write_wav
+from test_detector import make_audio
+
+
+def assert_csv_close(got, want, rtol=1e-4, atol=1e-5):
+    """Detection lines must agree exactly on channel/sample/time and within
+    float tolerance on the network outputs (the BASELINE.json contract)."""
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        gp, wp = g.split(","), w.split(",")
+        assert gp[:3] == wp[:3], (g, w)
+        np.testing.assert_allclose(
+            [float(v) for v in gp[3:]],
+            [float(v) for v in wp[3:]],
+            rtol=rtol,
+            atol=atol,
+        )
+
+
+@pytest.fixture(scope="module")
+def audio(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    x = make_audio(rng, seconds=1.2)
+    path = tmp_path_factory.mktemp("wav") / "test.wav"
+    write_wav(path, x, 44100, dtype="float32")
+    return str(path), x
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    p = tmp_path / "f32.wav"
+    write_wav(p, x, 44100, dtype="float32")
+    y, rate = read_wav(p)
+    assert rate == 44100 and y.shape == (1000, 1)
+    np.testing.assert_array_equal(y[:, 0], x)
+
+    p16 = tmp_path / "i16.wav"
+    write_wav(p16, x, 22050, dtype="int16")
+    y16, rate16 = read_wav(p16)
+    assert rate16 == 22050
+    np.testing.assert_allclose(
+        y16[:, 0], np.clip(x, -1.0, 32767.0 / 32768.0), atol=1.0 / 32768
+    )
+
+
+def test_fmt_matches_swift_style():
+    assert fmt_double(36.1292063492063) == "36.1292063492063"
+    assert fmt_double(1.0) == "1.0"
+    assert fmt_float32(np.float32(0.918557)) == "0.918557"
+    assert fmt_float32(np.float32(1.0)) == "1.0"
+
+
+def test_track_detector_matches_oracle(sample_config, audio):
+    path, x = audio
+    lines = []
+    td = TrackDetector(sample_config, channel=0, emit=lines.append)
+    for start in range(0, len(x), 8192):  # AVFoundation-sized buffers
+        td.process(x[start : start + 8192])
+
+    want = ref.cli_lines(sample_config, x)
+    assert len(want) > 0, "fixture audio must produce detections"
+    assert_csv_close(lines, want)
+
+
+def test_debounce(sample_config, audio):
+    path, x = audio
+    lines = []
+    td = TrackDetector(sample_config, channel=0, emit=lines.append)
+    td.debounce_time = 0.25
+    td.process(x)
+    want = ref.cli_lines(
+        sample_config, x, debounce_frames=int(0.25 * 44100)
+    )
+    assert_csv_close(lines, want)
+    assert len(lines) < len(ref.cli_lines(sample_config, x))
+
+
+def test_cli_end_to_end(sample_config, audio, capsys):
+    path, x = audio
+    rc = cli_main(["-n", "/root/reference/sample.txt", "-a", path])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert_csv_close(out, ref.cli_lines(sample_config, x))
+
+
+def test_cli_multifile_header(sample_config, audio, capsys, tmp_path):
+    path, x = audio
+    rc = cli_main(["-n", "/root/reference/sample.txt", "-a", path, "-a", path])
+    out = capsys.readouterr().out.strip().splitlines()
+    # path printed before each file's events (main.swift:122-124)
+    assert out[0] == path
+    assert out.count(path) == 2
+
+
+def test_cli_bad_audio(capsys, tmp_path):
+    missing = str(tmp_path / "nope.wav")
+    rc = cli_main(["-n", "/root/reference/sample.txt", "-a", missing])
+    assert rc == 0  # reference continues past unreadable files
+    assert "Unable to read" in capsys.readouterr().err
+
+
+def test_cli_bad_net(capsys, tmp_path):
+    rc = cli_main(["-n", str(tmp_path / "nope.txt"), "-a", "x.wav"])
+    assert rc == 1
+    assert "Unable to load the network configuration" in capsys.readouterr().err

@@ -1,0 +1,119 @@
+"""Detector pipeline: offline vs NumPy oracle, streaming equivalence,
+chunk-size invariance, net forward pass."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reference_impl as ref
+from syllable_detector_tpu.models.detector import (
+    Detector,
+    detector_spec_from_config,
+    offline_outputs,
+    streaming_init,
+    streaming_step,
+)
+from syllable_detector_tpu.models.neural_net import apply_net, net_from_config
+
+
+def make_audio(rng, seconds=1.0, rate=44100):
+    """Noise + a chirp sweeping the detector band; triggers the sample net."""
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / rate
+    x = 0.5 * np.sin(phase) + 0.02 * rng.standard_normal(n)
+    # amplitude bursts so outputs move around
+    env = 0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0)
+    return (x * env).astype(np.float32)
+
+
+def test_net_apply_matches_oracle(sample_config, rng):
+    spec, params = net_from_config(sample_config)
+    x = (rng.random((5, 290)) * 1e-4).astype(np.float32)
+    got = np.asarray(apply_net(spec, params, jnp.asarray(x)))
+    want = np.stack([ref.net_apply(sample_config, xi) for xi in x])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_offline_outputs_vs_oracle(sample_config, rng):
+    x = make_audio(rng, seconds=0.5)
+    spec, params = detector_spec_from_config(sample_config)
+    got = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+    want = ref.detect_offline(sample_config, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_offline_rfft_matches_matmul(sample_config, rng):
+    x = make_audio(rng, seconds=0.25)
+    spec, params = detector_spec_from_config(sample_config)
+    a = np.asarray(offline_outputs(spec, params, jnp.asarray(x), method="matmul"))
+    b = np.asarray(offline_outputs(spec, params, jnp.asarray(x), method="rfft"))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-4)
+
+
+def test_streaming_step_equals_offline(sample_config, rng):
+    x = make_audio(rng, seconds=0.6)
+    spec, params = detector_spec_from_config(sample_config)
+    hop = spec.hop
+    r = spec.residual
+
+    h_hops = 16
+    usable = (len(x) - r) // (h_hops * hop)
+    stream = x[: r + usable * h_hops * hop]
+
+    carry = streaming_init(spec, prefix=jnp.asarray(stream[:r]))
+    outs = []
+    for k in range(usable):
+        chunk = stream[r + k * h_hops * hop : r + (k + 1) * h_hops * hop]
+        carry, o = streaming_step(spec, params, carry, jnp.asarray(chunk))
+        outs.append(np.asarray(o))
+    got = np.concatenate(outs)[spec.history :]  # drop warm-up rows
+
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(stream)))
+    np.testing.assert_allclose(got[: len(want)], want, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("chunk_size", [173, 1024, 8000, 10**9])
+def test_host_detector_chunk_invariance(sample_config, rng, chunk_size):
+    x = make_audio(rng, seconds=0.5)
+    spec, params = detector_spec_from_config(sample_config)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+
+    det = Detector(sample_config)
+    outs = []
+    for start in range(0, len(x), chunk_size):
+        det.append_audio_data(x[start : start + chunk_size])
+        o = det.drain()
+        if len(o):
+            outs.append(o)
+    got = np.concatenate(outs) if outs else np.zeros((0, 1), np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_detector_last_outputs_and_seen(sample_config, rng):
+    x = make_audio(rng, seconds=0.3)
+    det = Detector(sample_config)
+    det.append_audio_data(x)
+    outs = det.drain()
+    assert len(outs) > 0
+    np.testing.assert_array_equal(det.last_outputs, outs[-1])
+    det2 = Detector(sample_config)
+    det2.append_audio_data(x)
+    seen = det2.seen_syllable()
+    assert seen == bool(np.any(outs[:, 0] >= np.float32(det2.spec.thresholds[0])))
+
+
+def test_spec_validation(sample_config):
+    import dataclasses
+
+    bad = dataclasses.replace(sample_config, time_range=9)
+    with pytest.raises(ValueError, match="inputs"):
+        detector_spec_from_config(bad)
+    bad2 = dataclasses.replace(sample_config, thresholds=[0.5, 0.5])
+    with pytest.raises(ValueError, match="outputs"):
+        detector_spec_from_config(bad2)
+    bad3 = dataclasses.replace(sample_config, freq_range=(30000.0, 40000.0))
+    with pytest.raises(ValueError, match="frequency range"):
+        detector_spec_from_config(bad3)
