@@ -26,6 +26,7 @@ from syllable_detector_tpu.ops.resample import (
     LinearResamplerState,
     linear_resample_init,
     linear_resample_chunk,
+    linear_resample_chunk_exact,
     linear_resample,
     polyphase_resample,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "LinearResamplerState",
     "linear_resample_init",
     "linear_resample_chunk",
+    "linear_resample_chunk_exact",
     "linear_resample",
     "polyphase_resample",
 ]
