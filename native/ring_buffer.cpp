@@ -1,0 +1,135 @@
+// Lock-free single-producer/single-consumer byte ring buffer with
+// virtual-memory mirroring.
+//
+// TPU-native runtime equivalent of the reference's TPCircularBuffer
+// (reference: Common/TPCircularBuffer/TPCircularBuffer.c:43-136,
+// TPCircularBuffer.h:53-189): the reference maps the buffer twice in
+// contiguous virtual address space with mach vm_remap so reads and writes
+// never wrap; this implementation does the same on Linux with
+// memfd_create + two MAP_FIXED mmaps of one shared page range. The fill
+// count is a C++11 atomic with acquire/release ordering, mirroring the
+// reference's OSAtomic barriers (TPCircularBuffer.h:118, 159). Thread-safe
+// for exactly one producer thread and one consumer thread, like the
+// reference's contract (TPCircularBuffer.h:14).
+//
+// Exposed as a small C ABI for ctypes binding from Python.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+
+#include <sys/mman.h>
+#include <unistd.h>
+
+#ifndef MFD_CLOEXEC
+#define MFD_CLOEXEC 0x0001U
+#endif
+
+extern "C" {
+
+struct sdring {
+    char* buffer;
+    int32_t length;
+    int32_t head;  // producer-owned offset
+    int32_t tail;  // consumer-owned offset
+    std::atomic<int32_t> fill;
+};
+
+// Create a ring with at least `min_capacity` bytes (rounded up to a page
+// multiple). Returns nullptr on failure. Retries the mapping dance like the
+// reference's 3-try loop (TPCircularBuffer.c:45-115).
+sdring* sdring_create(int32_t min_capacity) {
+    if (min_capacity <= 0) return nullptr;
+    const long page = sysconf(_SC_PAGESIZE);
+    const size_t cap = ((static_cast<size_t>(min_capacity) + page - 1) / page) * page;
+
+    for (int attempt = 0; attempt < 3; ++attempt) {
+        int fd = memfd_create("sdring", MFD_CLOEXEC);
+        if (fd < 0) return nullptr;
+        if (ftruncate(fd, static_cast<off_t>(cap)) != 0) {
+            close(fd);
+            continue;
+        }
+        // reserve 2*cap of contiguous address space
+        void* base = mmap(nullptr, cap * 2, PROT_NONE,
+                          MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+        if (base == MAP_FAILED) {
+            close(fd);
+            continue;
+        }
+        void* lo = mmap(base, cap, PROT_READ | PROT_WRITE,
+                        MAP_SHARED | MAP_FIXED, fd, 0);
+        void* hi = mmap(static_cast<char*>(base) + cap, cap,
+                        PROT_READ | PROT_WRITE, MAP_SHARED | MAP_FIXED, fd, 0);
+        close(fd);  // mappings keep the memory alive
+        if (lo == MAP_FAILED || hi == MAP_FAILED) {
+            munmap(base, cap * 2);
+            continue;
+        }
+        sdring* ring = new sdring();
+        ring->buffer = static_cast<char*>(base);
+        ring->length = static_cast<int32_t>(cap);
+        ring->head = 0;
+        ring->tail = 0;
+        ring->fill.store(0, std::memory_order_relaxed);
+        return ring;
+    }
+    return nullptr;
+}
+
+void sdring_destroy(sdring* ring) {
+    if (!ring) return;
+    munmap(ring->buffer, static_cast<size_t>(ring->length) * 2);
+    delete ring;
+}
+
+int32_t sdring_capacity(const sdring* ring) { return ring->length; }
+
+int32_t sdring_fill(const sdring* ring) {
+    return ring->fill.load(std::memory_order_acquire);
+}
+
+// Producer side: pointer to writable space (never wraps, thanks to the
+// mirror) and the number of bytes available (TPCircularBuffer.h:127-141).
+void* sdring_head(sdring* ring, int32_t* available) {
+    int32_t fill = ring->fill.load(std::memory_order_acquire);
+    if (available) *available = ring->length - fill;
+    return ring->buffer + ring->head;
+}
+
+void sdring_produce(sdring* ring, int32_t amount) {
+    ring->head = (ring->head + amount) % ring->length;
+    ring->fill.fetch_add(amount, std::memory_order_release);
+}
+
+// Copy `len` bytes in; returns 1 on success, 0 if there is not enough space
+// (TPCircularBuffer.h:166-177).
+int32_t sdring_produce_bytes(sdring* ring, const void* src, int32_t len) {
+    int32_t space = 0;
+    void* head = sdring_head(ring, &space);
+    if (space < len) return 0;
+    std::memcpy(head, src, static_cast<size_t>(len));
+    sdring_produce(ring, len);
+    return 1;
+}
+
+// Consumer side: pointer to readable bytes (contiguous via the mirror) and
+// how many are available (TPCircularBuffer.h:81-96).
+void* sdring_tail(sdring* ring, int32_t* available) {
+    int32_t fill = ring->fill.load(std::memory_order_acquire);
+    if (available) *available = fill;
+    return ring->buffer + ring->tail;
+}
+
+void sdring_consume(sdring* ring, int32_t amount) {
+    ring->tail = (ring->tail + amount) % ring->length;
+    ring->fill.fetch_sub(amount, std::memory_order_release);
+}
+
+// Consumer-side reset (single-consumer contract; TPCircularBuffer.h:103-109).
+void sdring_clear(sdring* ring) {
+    int32_t fill = ring->fill.load(std::memory_order_acquire);
+    if (fill > 0) sdring_consume(ring, fill);
+}
+
+}  // extern "C"

@@ -1,0 +1,135 @@
+"""Live multi-channel monitor — the headless equivalent of the reference GUI.
+
+The reference's processor window pairs input channel i with output channel i,
+loads one network per channel, and refreshes input-RMS / max-output level
+columns at 10 Hz (reference: SyllableDetector/ViewControllerProcessor.swift:
+57, 110-154, 278-284). This CLI drives the same Processor pipeline headlessly
+over a simulated device (WAV-backed or synthetic), printing the channel table
+periodically and TTL events at the end.
+
+Usage:
+  python -m syllable_detector_tpu.monitor -n NET.txt -a IN.wav [--channels N]
+                                          [--output audio|arduino]
+                                          [--duration SECONDS] [--realtime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from syllable_detector_tpu.config.model_format import ConfigError, load_config
+from syllable_detector_tpu.runtime.arduino import ArduinoIO, SimulatedArduinoTransport
+from syllable_detector_tpu.runtime.audio_io import (
+    SimulatedAudioInput,
+    SimulatedAudioOutput,
+)
+from syllable_detector_tpu.runtime.processor import (
+    ArduinoTTLOutput,
+    AudioTTLOutput,
+    Processor,
+    ProcessorEntry,
+)
+from syllable_detector_tpu.utils.wav import read_wav
+
+__all__ = ["main"]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="syllable-detector-monitor")
+    p.add_argument("-n", "--net", required=True, help="Network file (per channel).")
+    p.add_argument("-a", "--audio", help="WAV to stream (loops per channel).")
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument("--output", choices=("audio", "arduino"), default="audio")
+    p.add_argument("--duration", type=float, default=2.0, help="Seconds to run.")
+    p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
+    p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
+    args = p.parse_args(argv)
+
+    try:
+        config = load_config(args.net)
+    except ConfigError as e:
+        print(f"Unable to load the network configuration: {e}", file=sys.stderr)
+        return 1
+
+    rate = config.sampling_rate
+    if args.audio:
+        try:
+            wav, wav_rate = read_wav(args.audio)
+        except (OSError, ValueError) as e:
+            print(f"Unable to read {args.audio}: {e}", file=sys.stderr)
+            return 1
+        mono = np.ascontiguousarray(wav[:, 0])
+
+        def source(ch, start, n):
+            idx = (start + np.arange(n)) % len(mono)
+            return mono[idx]
+
+    else:
+        rng = np.random.default_rng(0)
+
+        def source(ch, start, n):
+            t = (start + np.arange(n)) / rate
+            x = 0.4 * np.sin(2 * np.pi * (2500.0 + 700 * ch) * t)
+            return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+    total = int(args.duration * rate)
+    interface = SimulatedAudioInput(
+        source,
+        channels=args.channels,
+        sample_rate=rate,
+        realtime=args.realtime,
+        total_samples=total,
+    )
+
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=config)
+        for i in range(args.channels)
+    ]
+
+    if args.output == "audio":
+        out_interface = SimulatedAudioOutput(channels=args.channels, sample_rate=rate)
+        output = AudioTTLOutput(out_interface)
+    else:
+        arduino = ArduinoIO(SimulatedArduinoTransport(), startup_time=0.0)
+        arduino.open()
+        output = ArduinoTTLOutput(arduino)
+
+    proc = Processor(interface, entries, output)
+    proc.set_up()
+
+    print(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
+    t_end = time.monotonic() + (args.duration if args.realtime else 60.0)
+    try:
+        while time.monotonic() < t_end:
+            if interface.wait_until_done(timeout=args.refresh):
+                break
+            cols = []
+            for i in range(args.channels):
+                rms = proc.get_input_for_channel(i)
+                out = proc.get_output_for_channel(i)
+                cols.append(
+                    f"{i:>4} {rms if rms is not None else 0:>10.4f} "
+                    f"{out if out is not None else 0:>10.4f}"
+                )
+            print("\n".join(cols))
+    except KeyboardInterrupt:
+        pass
+    proc.drain_pending()
+    proc.tear_down()
+
+    detections = [lane.detections for lane in proc._lanes]
+    print(f"detections per channel: {detections}")
+    if args.output == "audio":
+        print(f"TTL events: {len(output.interface.events)}")
+    else:
+        events = output.arduino.transport.events
+        print(f"Arduino events: {len(events)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

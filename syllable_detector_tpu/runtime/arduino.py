@@ -1,0 +1,357 @@
+"""Arduino serial TTL backend: protocol client + simulated firmware.
+
+Re-implements the reference's ArduinoIO (reference:
+SyllableDetector/ArduinoIO.swift:196-656), a client of the MATLAB-ArduinoIO
+serial protocol spoken by Arduino/Arduino.ino. Protocol bytes (2-3 ASCII
+bytes per command; Arduino.ino:90-200):
+
+  * query sketch:   "99"                      -> println(sketch id)
+  * set pin mode:   [48, 97+pin, 48+mode]     (mode 0=input, 1=output)
+  * digital read:   [49, 97+pin]              -> println(0|1)
+  * digital write:  [50, 97+pin, 48+value]
+  * analog read:    [51, 97+pin]              -> println(0..1023)
+  * analog write:   [52, 97+pin, value_byte]
+  * digital pulse:  [53, 97+pin]              (1 ms high pulse)
+
+State machine mirrors the reference: closed -> waitingToOpen (2 s startup
+window during which commands queue, ArduinoIO.swift:12, 298-331) -> opened
+after the sketch handshake, or error. Request timeout 0.5 s
+(ArduinoIO.swift:13, 602-635). Close drives configured pins low first
+(ArduinoIO.swift:370-390).
+
+Real serial hardware is platform-specific; the transport is pluggable. The
+bundled :class:`SimulatedArduinoTransport` implements the firmware state
+machine so the full client path is testable, and a pyserial transport slot
+is provided for real devices.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from enum import Enum
+from typing import Callable, Optional
+
+__all__ = [
+    "ArduinoError",
+    "ArduinoPin",
+    "ArduinoState",
+    "ArduinoIO",
+    "SimulatedArduinoTransport",
+]
+
+STARTUP_TIME = 2.0  # ArduinoIO.swift:12
+TIMEOUT_DURATION = 0.5  # ArduinoIO.swift:13
+
+
+class ArduinoError(Exception):
+    pass
+
+
+class ArduinoPin(Enum):
+    UNASSIGNED = -1
+    INPUT = 0
+    OUTPUT = 1
+
+
+class ArduinoState(Enum):
+    CLOSED = "closed"
+    OPENED = "opened"
+    WAITING_TO_OPEN = "waitingToOpen"
+    ERROR = "error"
+    UNINITIALIZED = "uninitialized"
+
+
+class Transport:
+    """Byte transport to the device (serial port abstraction)."""
+
+    def write(self, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read_line(self, timeout: float) -> Optional[bytes]:
+        """Read one println-delimited response, or None on timeout."""
+        raise NotImplementedError
+
+    def open(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class SimulatedArduinoTransport(Transport):
+    """In-process implementation of the Arduino.ino state machine
+    (Arduino.ino:43-324) for tests and the simulated live pipeline."""
+
+    def __init__(self, sketch_id: int = 0, startup_delay: float = 0.0):
+        self.pins: dict[int, str] = {}
+        self.digital: dict[int, int] = {}
+        self.analog_out: dict[int, int] = {}
+        self.analog_in: dict[int, int] = {}  # test-settable AI values
+        self.events: list[tuple[float, str, int, int]] = []  # (t, kind, pin, value)
+        self._sketch_id = sketch_id
+        self._startup_delay = startup_delay
+        self._opened_at: Optional[float] = None
+        self._responses: list[bytes] = []
+        self._state = -1
+        self._pin = 0
+        self._lock = threading.Lock()
+
+    # -- firmware state machine (Arduino.ino:85-324) ------------------------
+
+    def write(self, data: bytes) -> None:
+        with self._lock:
+            for val in data:
+                self._step(val)
+
+    def _emit(self, value: int) -> None:
+        self._responses.append(f"{value}\r\n".encode())
+
+    def _record(self, kind: str, pin: int, value: int) -> None:
+        self.events.append((time.monotonic(), kind, pin, value))
+
+    def _step(self, val: int) -> None:
+        s = self._state
+        if s == -1:
+            if 47 < val < 90:
+                s = 10 * (val - 48)
+            if (50 < s < 90) or (s > 90 and s not in (340, 400)):
+                s = -1
+            self._state = s
+            return
+        if s == 0:  # pin mode: await pin
+            if 98 < val < 167:
+                self._pin = val - 97
+                self._state = 1
+            else:
+                self._state = -1
+            return
+        if s == 1:  # pin mode: await value
+            if 47 < val < 50:
+                mode = "input" if val == 48 else "output"
+                self.pins[self._pin] = mode
+                self._record("mode", self._pin, val - 48)
+            self._state = -1
+            return
+        if s == 10:  # digital read
+            if 98 < val < 167:
+                pin = val - 97
+                self._emit(self.digital.get(pin, 0))
+            self._state = -1
+            return
+        if s == 20:  # digital write: await pin
+            if 98 < val < 167:
+                self._pin = val - 97
+                self._state = 21
+            else:
+                self._state = -1
+            return
+        if s == 21:  # digital write: await value
+            if 47 < val < 50:
+                self.digital[self._pin] = val - 48
+                self._record("digital", self._pin, val - 48)
+            self._state = -1
+            return
+        if s == 30:  # analog read
+            if 96 < val < 113:
+                pin = val - 97
+                self._emit(self.analog_in.get(pin, 0))
+            self._state = -1
+            return
+        if s == 40:  # analog write: await pin
+            if 98 < val < 167:
+                self._pin = val - 97
+                self._state = 41
+            else:
+                self._state = -1
+            return
+        if s == 41:  # analog write: value is the raw byte
+            self.analog_out[self._pin] = val
+            self._record("analog", self._pin, val)
+            self._state = -1
+            return
+        if s == 50:  # digital pulse (1 ms high)
+            if 98 < val < 167:
+                pin = val - 97
+                self.digital[pin] = 1
+                self._record("pulse", pin, 1)
+                self.digital[pin] = 0
+            self._state = -1
+            return
+        if s == 90:  # query sketch: second '9'
+            if val == 57:
+                self._emit(self._sketch_id)
+            self._state = -1
+            return
+        self._state = -1
+
+    def read_line(self, timeout: float) -> Optional[bytes]:
+        deadline = time.monotonic() + timeout
+        while True:
+            with self._lock:
+                if self._responses:
+                    return self._responses.pop(0)
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(0.001)
+
+    def open(self) -> None:
+        self._opened_at = time.monotonic()
+
+
+class ArduinoIO:
+    """Client state machine (ArduinoIO.swift:196-656)."""
+
+    def __init__(self, transport: Transport, startup_time: float = STARTUP_TIME):
+        self.transport = transport
+        self.state = ArduinoState.UNINITIALIZED
+        self.pins = {p: ArduinoPin.UNASSIGNED for p in range(2, 70)}
+        self.sketch: Optional[int] = None
+        self._startup_time = startup_time
+        self._queue: list[Callable[[], None]] = []
+        self._lock = threading.RLock()
+        self._open_timer: Optional[threading.Timer] = None
+        self.on_error: Optional[Callable[[Exception, bool], None]] = None
+
+    # -- lifecycle (ArduinoIO.swift:298-353) --------------------------------
+
+    def open(self) -> None:
+        with self._lock:
+            if self.state != ArduinoState.UNINITIALIZED:
+                raise ArduinoError("Port already opened")
+            self.transport.open()
+            self.state = ArduinoState.WAITING_TO_OPEN
+            if self._startup_time > 0:
+                self._open_timer = threading.Timer(self._startup_time, self._complete_open)
+                self._open_timer.daemon = True
+                self._open_timer.start()
+            else:
+                self._complete_open()
+
+    def _complete_open(self) -> None:
+        with self._lock:
+            if self.state != ArduinoState.WAITING_TO_OPEN:
+                return
+            # sketch handshake: "99" -> id (ArduinoIO.swift:329-330, 557-581)
+            self.transport.write(b"99")
+            line = self.transport.read_line(TIMEOUT_DURATION)
+            if line is None:
+                self.state = ArduinoState.ERROR
+                if self.on_error:
+                    self.on_error(ArduinoError("handshake timeout"), True)
+                return
+            try:
+                self.sketch = int(line.strip())
+            except ValueError:
+                self.sketch = None
+            if self.sketch is None:
+                self.state = ArduinoState.ERROR
+                if self.on_error:
+                    self.on_error(ArduinoError("unknown sketch"), True)
+                return
+            self.state = ArduinoState.OPENED
+            queued, self._queue = self._queue, []
+        for fn in queued:
+            fn()
+
+    def close(self) -> None:
+        with self._lock:
+            if self._open_timer is not None:
+                self._open_timer.cancel()
+            if self.state == ArduinoState.OPENED:
+                # drive all configured output pins low (ArduinoIO.swift:370-390)
+                for pin, mode in self.pins.items():
+                    if mode == ArduinoPin.OUTPUT:
+                        try:
+                            self._send_digital(pin, False)
+                        except ArduinoError:
+                            pass
+            self.transport.close()
+            self.state = ArduinoState.CLOSED
+
+    def _can_interact(self) -> bool:
+        return self.state in (ArduinoState.OPENED, ArduinoState.WAITING_TO_OPEN)
+
+    def _run_or_queue(self, fn: Callable[[], None]) -> None:
+        with self._lock:
+            if self.state == ArduinoState.WAITING_TO_OPEN:
+                self._queue.append(fn)
+                return
+        fn()
+
+    @staticmethod
+    def _valid_pin(pin: int) -> bool:
+        return 2 <= pin <= 69  # ArduinoIO.swift:404
+
+    # -- pin operations (ArduinoIO.swift:407-556) ---------------------------
+
+    def set_pin_mode(self, pin: int, mode: ArduinoPin) -> None:
+        if not self._can_interact():
+            raise ArduinoError("Port not open")
+        if not self._valid_pin(pin):
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if mode == ArduinoPin.UNASSIGNED:
+            raise ArduinoError("Invalid mode")
+        self._run_or_queue(
+            lambda: self.transport.write(bytes([48, 97 + pin, 48 + mode.value]))
+        )
+        self.pins[pin] = mode
+
+    def _send_digital(self, pin: int, value: bool) -> None:
+        self.transport.write(bytes([50, 97 + pin, 48 + (1 if value else 0)]))
+
+    def write_digital(self, pin: int, value: bool) -> None:
+        if not self._can_interact():
+            raise ArduinoError("Port not open")
+        if not self._valid_pin(pin):
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if self.pins[pin] != ArduinoPin.OUTPUT:
+            raise ArduinoError("Invalid mode")
+        self._run_or_queue(lambda: self._send_digital(pin, value))
+
+    def read_digital(self, pin: int) -> Optional[bool]:
+        if self.state != ArduinoState.OPENED:
+            raise ArduinoError("Port not open")
+        if not self._valid_pin(pin):
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if self.pins[pin] != ArduinoPin.INPUT:
+            raise ArduinoError("Invalid mode")
+        self.transport.write(bytes([49, 97 + pin]))
+        line = self.transport.read_line(TIMEOUT_DURATION)
+        if line is None:
+            return None
+        return bool(int(line.strip()))
+
+    def write_analog(self, pin: int, value: int) -> None:
+        if not self._can_interact():
+            raise ArduinoError("Port not open")
+        if not ((2 <= pin <= 13) or (44 <= pin <= 46)):  # ArduinoIO.swift:492
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if self.pins[pin] != ArduinoPin.OUTPUT:
+            raise ArduinoError("Invalid mode")
+        self._run_or_queue(
+            lambda: self.transport.write(bytes([52, 97 + pin, value & 0xFF]))
+        )
+
+    def read_analog(self, pin: int) -> Optional[int]:
+        if self.state != ArduinoState.OPENED:
+            raise ArduinoError("Port not open")
+        if not (0 <= pin <= 15):  # ArduinoIO.swift:514
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if pin >= 2 and self.pins[pin] != ArduinoPin.INPUT:
+            raise ArduinoError("Invalid mode")
+        self.transport.write(bytes([51, 97 + pin]))
+        line = self.transport.read_line(TIMEOUT_DURATION)
+        if line is None:
+            return None
+        return int(line.strip())
+
+    def pulse_digital(self, pin: int) -> None:
+        """1 ms hardware pulse (Arduino.ino s=50 opcode)."""
+        if not self._can_interact():
+            raise ArduinoError("Port not open")
+        if not self._valid_pin(pin):
+            raise ArduinoError(f"Invalid pin ({pin})")
+        if self.pins[pin] != ArduinoPin.OUTPUT:
+            raise ArduinoError("Invalid mode")
+        self._run_or_queue(lambda: self.transport.write(bytes([53, 97 + pin])))

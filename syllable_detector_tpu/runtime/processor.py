@@ -1,0 +1,293 @@
+"""Live multi-channel pipeline orchestration.
+
+Re-implements the reference's Processor hierarchy (reference:
+SyllableDetector/Processor.swift:13-295): one detector per configured entry,
+fan-out from the audio input callback, lock-free ring handoff from the
+capture thread to a serial processing worker (the reference's GCD queue,
+Processor.swift:82, 128), per-channel input-RMS and max-output stats
+(:69-76, 111-113, 138), and a pluggable output backend fired once per
+callback-drain with "seen syllable" (:151, 187-226, 228-294):
+
+  * ProcessorAudio -> :class:`AudioTTLOutput` — 1 ms high pulse on the paired
+    output channel (Processor.swift:192, 217-225)
+  * ProcessorArduino -> :class:`ArduinoTTLOutput` — digital write on pin
+    7 + channel with a 20-hop hold refreshed on retrigger
+    (Processor.swift:233, 266-293)
+
+The capture thread only produces into the native SPSC ring; all detector
+math runs on the worker, exactly the reference's produce/consume split over
+TPCircularBuffer.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from syllable_detector_tpu.config.model_format import SyllableDetectorConfig
+from syllable_detector_tpu.models.detector import Detector
+from syllable_detector_tpu.ops.resample import (
+    LinearResamplerState,
+    linear_resample_chunk_exact,
+    linear_resample_init,
+)
+from syllable_detector_tpu.runtime.arduino import ArduinoIO, ArduinoPin
+from syllable_detector_tpu.runtime.audio_io import (
+    AudioInputInterface,
+    AudioOutputInterface,
+)
+from syllable_detector_tpu.runtime.ring_buffer import RingBuffer
+from syllable_detector_tpu.utils.stats import StatMax, SummaryStat
+
+__all__ = [
+    "ProcessorEntry",
+    "Processor",
+    "AudioTTLOutput",
+    "ArduinoTTLOutput",
+    "CallbackOutput",
+]
+
+
+@dataclass
+class ProcessorEntry:
+    """One input-channel -> detector -> output-channel lane
+    (Processor.swift:13-24)."""
+
+    input_channel: int
+    output_channel: int
+    config: Optional[SyllableDetectorConfig] = None
+    network: str = ""
+    resample_from: Optional[float] = None  # device rate if != net rate
+
+
+class OutputBackend:
+    def set_up(self, entries: list[ProcessorEntry]) -> None:
+        pass
+
+    def tear_down(self) -> None:
+        pass
+
+    def prepare_output(self, index: int, entry: ProcessorEntry, seen: bool) -> None:
+        raise NotImplementedError
+
+
+class AudioTTLOutput(OutputBackend):
+    """1 ms high pulse on the entry's output channel
+    (Processor.swift:187-226)."""
+
+    HIGH_DURATION = 0.001  # Processor.swift:192
+
+    def __init__(self, interface: AudioOutputInterface):
+        self.interface = interface
+
+    def set_up(self, entries: list[ProcessorEntry]) -> None:
+        self.interface.initialize_audio()
+
+    def tear_down(self) -> None:
+        self.interface.tear_down_audio()
+
+    def prepare_output(self, index: int, entry: ProcessorEntry, seen: bool) -> None:
+        if seen:
+            self.interface.create_high_output(entry.output_channel, self.HIGH_DURATION)
+
+
+class ArduinoTTLOutput(OutputBackend):
+    """Pin 7+channel digital write with a 20-drain hold counter
+    (Processor.swift:228-294)."""
+
+    HIGH_STEPS = 20  # Processor.swift:233
+
+    def __init__(self, arduino: ArduinoIO):
+        self.arduino = arduino
+        self._high_count: list[int] = []
+
+    def set_up(self, entries: list[ProcessorEntry]) -> None:
+        self._high_count = [0] * len(entries)
+        for e in entries:
+            self.arduino.set_pin_mode(7 + e.output_channel, ArduinoPin.OUTPUT)
+
+    def prepare_output(self, index: int, entry: ProcessorEntry, seen: bool) -> None:
+        if seen:
+            if self._high_count[index] == 0:
+                self.arduino.write_digital(7 + entry.output_channel, True)
+            self._high_count[index] = self.HIGH_STEPS
+        elif self._high_count[index] > 0:
+            self._high_count[index] -= 1
+            if self._high_count[index] == 0:
+                self.arduino.write_digital(7 + entry.output_channel, False)
+
+
+class CallbackOutput(OutputBackend):
+    """Invoke a Python callable per drain; base for file/log sinks."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def prepare_output(self, index: int, entry: ProcessorEntry, seen: bool) -> None:
+        self.fn(index, entry, seen)
+
+
+@dataclass
+class _Lane:
+    entry: ProcessorEntry
+    detector: Detector
+    ring: RingBuffer
+    resampler: Optional[LinearResamplerState]
+    stat_input: SummaryStat
+    stat_output: SummaryStat
+    detections: int = 0
+
+
+class Processor:
+    """ProcessorBase equivalent (Processor.swift:34-185)."""
+
+    def __init__(
+        self,
+        interface_input: AudioInputInterface,
+        entries: list[ProcessorEntry],
+        output: OutputBackend,
+        ring_seconds: float = 10.0,
+    ):
+        self.entries = [e for e in entries if e.config is not None]
+        self.output = output
+        self.interface_input = interface_input
+
+        self._lanes: list[_Lane] = []
+        for e in self.entries:
+            rate = e.config.sampling_rate
+            ring = RingBuffer(int(ring_seconds * rate))
+            resampler = None
+            if e.resample_from is not None and abs(e.resample_from - rate) > 1.0:
+                # resampler only when rates differ by > 1 Hz
+                # (ViewControllerProcessor.swift:247-250)
+                resampler = linear_resample_init(e.resample_from, rate)
+            self._lanes.append(
+                _Lane(
+                    entry=e,
+                    detector=Detector(e.config),
+                    ring=ring,
+                    resampler=resampler,
+                    stat_input=SummaryStat(StatMax()),
+                    stat_output=SummaryStat(StatMax()),
+                )
+            )
+
+        # channel -> lane index map (Processor.swift:62-66)
+        max_ch = max((e.input_channel for e in self.entries), default=-1)
+        self._channels = [-1] * (1 + max_ch)
+        for i, e in enumerate(self.entries):
+            self._channels[e.input_channel] = i
+
+        self._work: "queue.Queue[int]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+        interface_input.delegate = self.receive_audio
+
+    # -- lifecycle (Processor.swift:94-100) ---------------------------------
+
+    def set_up(self) -> None:
+        self.output.set_up(self.entries)
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._process_loop, daemon=True)
+        self._worker.start()
+        self.interface_input.initialize_audio()
+
+    def tear_down(self) -> None:
+        self.interface_input.tear_down_audio()
+        self._stop.set()
+        self._work.put(-1)
+        if self._worker is not None:
+            self._worker.join(timeout=10)
+            self._worker = None
+        self.output.tear_down()
+
+    # -- capture-thread path (Processor.swift:102-149) ----------------------
+
+    def receive_audio(self, interface, channel: int, data: np.ndarray) -> None:
+        if channel >= len(self._channels):
+            return
+        index = self._channels[channel]
+        if index < 0:
+            return
+        lane = self._lanes[index]
+
+        # mean-square level stat (Processor.swift:111-113)
+        data = np.asarray(data, np.float32)
+        lane.stat_input.write_value(float(np.mean(data * data)))
+
+        if lane.resampler is not None:
+            data, lane.resampler = linear_resample_chunk_exact(data, lane.resampler)
+
+        if not lane.ring.produce(data):
+            # overflow is a hard error in the reference
+            # (CircularShortTimeFourierTransform.swift:199); drop instead
+            return
+
+        self._work.put(index)
+
+    # -- worker (the serial "ProcessorQueue", Processor.swift:128-148) ------
+
+    def _process_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                index = self._work.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if index < 0:
+                continue
+            lane = self._lanes[index]
+
+            samples = lane.ring.peek()
+            if len(samples):
+                lane.ring.consume(len(samples))
+                lane.detector.append_audio_data(samples)
+
+            outs = lane.detector.drain()
+            seen = False
+            if len(outs):
+                lane.stat_output.write_value(float(np.max(outs[:, 0])))
+                thr = np.float32(lane.detector.spec.thresholds[0])
+                n_hits = int(np.sum(outs[:, 0] >= thr))
+                if n_hits:
+                    seen = True
+                    lane.detections += n_hits
+            try:
+                self.output.prepare_output(index, lane.entry, seen)
+            except Exception:
+                pass  # output backend errors are logged, not fatal
+                # (Processor.swift:272-276 logs and continues)
+
+    def drain_pending(self, timeout: float = 10.0) -> None:
+        """Block until the work queue is empty (for finite simulations)."""
+        import time as _t
+
+        deadline = _t.monotonic() + timeout
+        while not self._work.empty() and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+
+    # -- stats for UIs (Processor.swift:158-184) ----------------------------
+
+    def get_input_for_channel(self, channel: int) -> Optional[float]:
+        index = self._index_for(channel)
+        if index is None:
+            return None
+        v = self._lanes[index].stat_input.read_stat_and_reset()
+        return math.sqrt(v) if v is not None else None
+
+    def get_output_for_channel(self, channel: int) -> Optional[float]:
+        index = self._index_for(channel)
+        if index is None:
+            return None
+        return self._lanes[index].stat_output.read_stat_and_reset()
+
+    def _index_for(self, channel: int) -> Optional[int]:
+        if channel >= len(self._channels):
+            return None
+        i = self._channels[channel]
+        return i if i >= 0 else None

@@ -1,0 +1,232 @@
+"""Python binding for the native SPSC ring buffer.
+
+Wraps native/ring_buffer.cpp (the TPCircularBuffer equivalent; reference:
+Common/TPCircularBuffer/TPCircularBuffer.h:53-189) via ctypes, with a typed
+float32 convenience layer on top — the reference stores raw float samples and
+spectral frame slices in its rings (SyllableDetector.swift:62-67,
+CircularShortTimeFourierTransform.swift:124-128).
+
+The shared library is built on demand with the system compiler; if no
+compiler is available a pure-Python fallback with the same API (lock-based,
+correct but slower) keeps the framework usable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["RingBuffer", "native_available"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsdring.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_library():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "ring_buffer.cpp")
+            if not os.path.exists(src):
+                return None
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
+                     "-o", _LIB_PATH, src],
+                    check=True,
+                    capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.sdring_create.restype = ctypes.c_void_p
+        lib.sdring_create.argtypes = [ctypes.c_int32]
+        lib.sdring_destroy.argtypes = [ctypes.c_void_p]
+        lib.sdring_capacity.restype = ctypes.c_int32
+        lib.sdring_capacity.argtypes = [ctypes.c_void_p]
+        lib.sdring_fill.restype = ctypes.c_int32
+        lib.sdring_fill.argtypes = [ctypes.c_void_p]
+        lib.sdring_head.restype = ctypes.c_void_p
+        lib.sdring_head.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.sdring_produce.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.sdring_produce_bytes.restype = ctypes.c_int32
+        lib.sdring_produce_bytes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.sdring_tail.restype = ctypes.c_void_p
+        lib.sdring_tail.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.sdring_consume.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.sdring_clear.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+class _NativeRing:
+    def __init__(self, capacity_bytes: int):
+        lib = _load_library()
+        self._lib = lib
+        self._ptr = lib.sdring_create(int(capacity_bytes))
+        if not self._ptr:
+            raise MemoryError("Unable to allocate circular buffer.")
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.sdring_capacity(self._ptr)
+
+    @property
+    def fill(self) -> int:
+        return self._lib.sdring_fill(self._ptr)
+
+    def produce_bytes(self, data: bytes | memoryview | np.ndarray) -> bool:
+        buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+        buf = np.ascontiguousarray(buf).view(np.uint8).reshape(-1)
+        ok = self._lib.sdring_produce_bytes(
+            self._ptr, buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes
+        )
+        return bool(ok)
+
+    def peek(self, max_bytes: int | None = None) -> np.ndarray:
+        avail = ctypes.c_int32(0)
+        tail = self._lib.sdring_tail(self._ptr, ctypes.byref(avail))
+        n = avail.value if max_bytes is None else min(avail.value, max_bytes)
+        if n <= 0 or not tail:
+            return np.zeros(0, np.uint8)
+        raw = (ctypes.c_uint8 * n).from_address(tail)
+        return np.frombuffer(raw, np.uint8).copy()
+
+    def consume(self, n_bytes: int) -> None:
+        self._lib.sdring_consume(self._ptr, int(n_bytes))
+
+    def clear(self) -> None:
+        self._lib.sdring_clear(self._ptr)
+
+    def __del__(self):
+        ptr, self._ptr = getattr(self, "_ptr", None), None
+        if ptr and self._lib:
+            self._lib.sdring_destroy(ptr)
+
+
+class _PythonRing:
+    """Lock-based fallback with identical semantics."""
+
+    def __init__(self, capacity_bytes: int):
+        page = 4096
+        cap = ((int(capacity_bytes) + page - 1) // page) * page
+        self._buf = bytearray(cap)
+        self._cap = cap
+        self._head = 0
+        self._tail = 0
+        self._fill = 0
+        self._lock = threading.Lock()
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    @property
+    def fill(self) -> int:
+        with self._lock:
+            return self._fill
+
+    def produce_bytes(self, data) -> bool:
+        buf = np.asarray(data).view(np.uint8).reshape(-1).tobytes() if isinstance(
+            data, np.ndarray
+        ) else bytes(data)
+        n = len(buf)
+        with self._lock:
+            if self._cap - self._fill < n:
+                return False
+            end = self._head + n
+            if end <= self._cap:
+                self._buf[self._head : end] = buf
+            else:
+                k = self._cap - self._head
+                self._buf[self._head :] = buf[:k]
+                self._buf[: end - self._cap] = buf[k:]
+            self._head = end % self._cap
+            self._fill += n
+            return True
+
+    def peek(self, max_bytes: int | None = None) -> np.ndarray:
+        with self._lock:
+            n = self._fill if max_bytes is None else min(self._fill, max_bytes)
+            if n <= 0:
+                return np.zeros(0, np.uint8)
+            end = self._tail + n
+            if end <= self._cap:
+                out = bytes(self._buf[self._tail : end])
+            else:
+                out = bytes(self._buf[self._tail :]) + bytes(
+                    self._buf[: end - self._cap]
+                )
+            return np.frombuffer(out, np.uint8).copy()
+
+    def consume(self, n_bytes: int) -> None:
+        with self._lock:
+            self._tail = (self._tail + n_bytes) % self._cap
+            self._fill -= n_bytes
+
+    def clear(self) -> None:
+        with self._lock:
+            self._tail = self._head
+            self._fill = 0
+
+
+class RingBuffer:
+    """Typed float32 SPSC ring.
+
+    produce/consume work in float32 samples; backed by the native
+    VM-mirrored ring when available.
+    """
+
+    ITEM = 4  # float32 bytes
+
+    def __init__(self, capacity_samples: int, force_python: bool = False):
+        nbytes = int(capacity_samples) * self.ITEM
+        if not force_python and native_available():
+            self._ring = _NativeRing(nbytes)
+            self.native = True
+        else:
+            self._ring = _PythonRing(nbytes)
+            self.native = False
+
+    @property
+    def capacity(self) -> int:
+        return self._ring.capacity // self.ITEM
+
+    @property
+    def fill(self) -> int:
+        return self._ring.fill // self.ITEM
+
+    def produce(self, samples: np.ndarray) -> bool:
+        samples = np.ascontiguousarray(samples, np.float32)
+        return self._ring.produce_bytes(samples.view(np.uint8).reshape(-1))
+
+    def peek(self, max_samples: int | None = None) -> np.ndarray:
+        raw = self._ring.peek(None if max_samples is None else max_samples * self.ITEM)
+        n = (len(raw) // self.ITEM) * self.ITEM
+        return raw[:n].view(np.float32)
+
+    def consume(self, n_samples: int) -> None:
+        self._ring.consume(int(n_samples) * self.ITEM)
+
+    def clear(self) -> None:
+        self._ring.clear()

@@ -1,0 +1,103 @@
+"""Native + fallback ring buffer tests: wrap-around, SPSC threading, mirror."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.runtime.ring_buffer import RingBuffer, native_available
+
+
+@pytest.fixture(params=["native", "python"])
+def ring_kind(request):
+    if request.param == "native" and not native_available():
+        pytest.skip("native ring unavailable (no compiler)")
+    return request.param == "python"
+
+
+def test_native_builds():
+    assert native_available(), "native ring buffer must build in this image"
+
+
+def test_basic_produce_consume(ring_kind):
+    r = RingBuffer(1024, force_python=ring_kind)
+    x = np.arange(100, dtype=np.float32)
+    assert r.produce(x)
+    assert r.fill == 100
+    got = r.peek()
+    np.testing.assert_array_equal(got, x)
+    r.consume(40)
+    np.testing.assert_array_equal(r.peek(), x[40:])
+    assert r.fill == 60
+
+
+def test_reject_overflow(ring_kind):
+    r = RingBuffer(64, force_python=ring_kind)
+    cap = r.capacity
+    assert r.produce(np.zeros(cap, np.float32))
+    assert not r.produce(np.ones(1, np.float32))
+    r.consume(1)
+    assert r.produce(np.ones(1, np.float32))
+
+
+def test_wraparound_many_times(ring_kind):
+    r = RingBuffer(256, force_python=ring_kind)
+    cap = r.capacity
+    written = 0
+    read = 0
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(1, cap // 2))
+        chunk = np.arange(written, written + n, dtype=np.float32)
+        if r.produce(chunk):
+            written += n
+        m = int(rng.integers(0, r.fill + 1))
+        if m:
+            got = r.peek(m)
+            np.testing.assert_array_equal(got, np.arange(read, read + m, dtype=np.float32))
+            r.consume(m)
+            read += m
+    assert written - read == r.fill
+
+
+def test_clear(ring_kind):
+    r = RingBuffer(128, force_python=ring_kind)
+    r.produce(np.zeros(50, np.float32))
+    r.clear()
+    assert r.fill == 0
+    assert r.produce(np.zeros(r.capacity, np.float32))
+
+
+def test_spsc_threads(ring_kind):
+    """One producer, one consumer, 1e6 samples, data must arrive in order."""
+    r = RingBuffer(4096, force_python=ring_kind)
+    total = 1_000_000
+    errors = []
+
+    def producer():
+        sent = 0
+        while sent < total:
+            n = min(1000, total - sent)
+            chunk = np.arange(sent, sent + n, dtype=np.float32)
+            if r.produce(chunk):
+                sent += n
+
+    def consumer():
+        seen = 0
+        while seen < total:
+            avail = r.fill
+            if avail:
+                got = r.peek(avail)
+                expect = np.arange(seen, seen + len(got), dtype=np.float32)
+                if not np.array_equal(got, expect):
+                    errors.append((seen, got[:5], expect[:5]))
+                    return
+                r.consume(len(got))
+                seen += len(got)
+
+    t1 = threading.Thread(target=producer)
+    t2 = threading.Thread(target=consumer)
+    t1.start(); t2.start()
+    t1.join(timeout=60); t2.join(timeout=60)
+    assert not errors, errors
+    assert r.fill == 0

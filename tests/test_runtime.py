@@ -1,0 +1,251 @@
+"""Runtime tests: Arduino protocol client vs simulated firmware, audio IO,
+and the live Processor pipeline end to end."""
+
+import time
+
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.runtime.arduino import (
+    ArduinoError,
+    ArduinoIO,
+    ArduinoPin,
+    ArduinoState,
+    SimulatedArduinoTransport,
+)
+from syllable_detector_tpu.runtime.audio_io import (
+    AudioDevice,
+    SimulatedAudioInput,
+    SimulatedAudioOutput,
+    add_device_change_listener,
+    list_devices,
+    register_device,
+)
+from syllable_detector_tpu.runtime.processor import (
+    ArduinoTTLOutput,
+    AudioTTLOutput,
+    CallbackOutput,
+    Processor,
+    ProcessorEntry,
+)
+from test_detector import make_audio
+
+
+# ---------------------------------------------------------------------------
+# Arduino
+# ---------------------------------------------------------------------------
+
+
+def make_arduino(**kw):
+    t = SimulatedArduinoTransport(**kw)
+    a = ArduinoIO(t, startup_time=0.0)
+    return a, t
+
+
+def test_arduino_handshake_and_state():
+    a, t = make_arduino()
+    assert a.state == ArduinoState.UNINITIALIZED
+    a.open()
+    assert a.state == ArduinoState.OPENED
+    assert a.sketch == 0  # adio.pde / io
+
+
+def test_arduino_pin_mode_and_digital_write():
+    a, t = make_arduino()
+    a.open()
+    a.set_pin_mode(7, ArduinoPin.OUTPUT)
+    assert t.pins[7] == "output"
+    a.write_digital(7, True)
+    assert t.digital[7] == 1
+    a.write_digital(7, False)
+    assert t.digital[7] == 0
+    # [48, 97+pin, 48+mode] / [50, 97+pin, 48+val] wire format recorded
+    kinds = [e[1] for e in t.events]
+    assert kinds == ["mode", "digital", "digital"]
+
+
+def test_arduino_guards():
+    a, t = make_arduino()
+    a.open()
+    with pytest.raises(ArduinoError, match="Invalid pin"):
+        a.set_pin_mode(1, ArduinoPin.OUTPUT)
+    with pytest.raises(ArduinoError, match="Invalid pin"):
+        a.set_pin_mode(70, ArduinoPin.OUTPUT)
+    with pytest.raises(ArduinoError, match="Invalid mode"):
+        a.write_digital(7, True)  # not configured as output
+    with pytest.raises(ArduinoError, match="Invalid mode"):
+        a.set_pin_mode(7, ArduinoPin.UNASSIGNED)
+
+
+def test_arduino_reads():
+    a, t = make_arduino()
+    a.open()
+    a.set_pin_mode(8, ArduinoPin.INPUT)
+    t.digital[8] = 1
+    assert a.read_digital(8) is True
+    # analog pins < 2 skip the digital-mode guard (ArduinoIO.swift:519)
+    t.analog_in[1] = 731
+    assert a.read_analog(1) == 731
+    # pins >= 2 must be configured as digital inputs first
+    with pytest.raises(ArduinoError, match="Invalid mode"):
+        a.read_analog(3)
+    a.set_pin_mode(3, ArduinoPin.INPUT)
+    t.analog_in[3] = 512
+    assert a.read_analog(3) == 512
+
+
+def test_arduino_analog_write_and_pulse():
+    a, t = make_arduino()
+    a.open()
+    a.set_pin_mode(9, ArduinoPin.OUTPUT)
+    a.write_analog(9, 200)
+    assert t.analog_out[9] == 200
+    a.pulse_digital(9)
+    assert ("pulse", 9, 1) in [(e[1], e[2], e[3]) for e in t.events]
+
+
+def test_arduino_startup_queueing():
+    """Commands during the 2s startup window queue, then flush on open
+    (ArduinoIO.swift:298-331)."""
+    t = SimulatedArduinoTransport()
+    a = ArduinoIO(t, startup_time=0.1)
+    a.open()
+    assert a.state == ArduinoState.WAITING_TO_OPEN
+    a.set_pin_mode(7, ArduinoPin.OUTPUT)
+    a.write_digital(7, True)
+    assert 7 not in t.digital  # not sent yet
+    deadline = time.monotonic() + 2
+    while a.state == ArduinoState.WAITING_TO_OPEN and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert a.state == ArduinoState.OPENED
+    assert t.digital[7] == 1
+
+
+def test_arduino_close_drives_pins_low():
+    a, t = make_arduino()
+    a.open()
+    a.set_pin_mode(7, ArduinoPin.OUTPUT)
+    a.write_digital(7, True)
+    a.close()
+    assert a.state == ArduinoState.CLOSED
+    assert t.digital[7] == 0
+
+
+# ---------------------------------------------------------------------------
+# audio IO
+# ---------------------------------------------------------------------------
+
+
+def test_device_registry_and_listener():
+    seen = []
+    add_device_change_listener(lambda: seen.append(1))
+    register_device(
+        AudioDevice(device_id=1, device_uid="sim:1", device_name="Simulated")
+    )
+    assert any(d.device_uid == "sim:1" for d in list_devices())
+    assert seen
+
+
+def test_simulated_input_delivers_in_order():
+    got = {0: [], 1: []}
+
+    def source(ch, start, n):
+        return np.arange(start, start + n, dtype=np.float32) + 1000 * ch
+
+    dev = SimulatedAudioInput(source, channels=2, total_samples=256, frame_size=32)
+    dev.delegate = lambda itf, ch, data: got[ch].append(data)
+    dev.initialize_audio()
+    assert dev.wait_until_done(timeout=10)
+    dev.tear_down_audio()
+    for ch in (0, 1):
+        all_samples = np.concatenate(got[ch])
+        np.testing.assert_array_equal(
+            all_samples, np.arange(256, dtype=np.float32) + 1000 * ch
+        )
+
+
+def test_simulated_output_render():
+    out = SimulatedAudioOutput(channels=2, sample_rate=1000.0)
+    out.initialize_audio()
+    out.events.append((0.1, 0, 0.05))  # inject deterministic event
+    out.events.append((0.2, 1, 0.01))
+    wave = out.render(0.5)
+    assert wave.shape == (500, 2)
+    assert wave[100:150, 0].min() == 1.0 and wave[99, 0] == 0.0
+    assert wave[200:210, 1].min() == 1.0
+
+
+# ---------------------------------------------------------------------------
+# processor end-to-end
+# ---------------------------------------------------------------------------
+
+
+def run_processor(sample_config, output, channels=2, seconds=0.6):
+    rng = np.random.default_rng(3)
+    audio = make_audio(rng, seconds=seconds)
+
+    def source(ch, start, n):
+        if ch == 0:
+            return audio[start : start + n]
+        return 0.001 * np.ones(n, np.float32)  # silent channel: no detections
+
+    total = len(audio)
+    interface = SimulatedAudioInput(
+        source, channels=channels, total_samples=total, frame_size=512
+    )
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=sample_config)
+        for i in range(channels)
+    ]
+    proc = Processor(interface, entries, output)
+    proc.set_up()
+    assert interface.wait_until_done(timeout=60)
+    proc.drain_pending(timeout=30)
+    time.sleep(0.3)
+    proc.tear_down()
+    return proc
+
+
+def test_processor_audio_ttl(sample_config):
+    out_interface = SimulatedAudioOutput(channels=2)
+    proc = run_processor(sample_config, AudioTTLOutput(out_interface))
+    # channel 0 (chirp) must detect, channel 1 (near-silence) must not
+    assert proc._lanes[0].detections > 0
+    assert proc._lanes[1].detections == 0
+    chans = {ch for _, ch, _ in out_interface.events}
+    assert chans == {0}
+    # all TTL pulses are 1 ms (Processor.swift:192)
+    assert all(d == 0.001 for _, _, d in out_interface.events)
+
+
+def test_processor_arduino_ttl(sample_config):
+    from syllable_detector_tpu.runtime.arduino import (
+        ArduinoIO,
+        SimulatedArduinoTransport,
+    )
+
+    t = SimulatedArduinoTransport()
+    a = ArduinoIO(t, startup_time=0.0)
+    a.open()
+    proc = run_processor(sample_config, ArduinoTTLOutput(a))
+    assert proc._lanes[0].detections > 0
+    # pin 7+0 configured and driven high at least once (Processor.swift:260, 271)
+    assert t.pins[7] == "output"
+    highs = [e for e in t.events if e[1] == "digital" and e[2] == 7 and e[3] == 1]
+    assert highs
+    # silent channel's pin 8 never driven high
+    assert not [e for e in t.events if e[1] == "digital" and e[2] == 8 and e[3] == 1]
+
+
+def test_processor_stats(sample_config):
+    seen_flags = []
+    proc = run_processor(
+        sample_config,
+        CallbackOutput(lambda i, e, seen: seen_flags.append((i, seen))),
+        channels=1,
+    )
+    rms = proc.get_input_for_channel(0)
+    assert rms is not None and rms > 0.01
+    out = proc.get_output_for_channel(0)
+    assert out is not None and out > 0.4
+    assert any(seen for i, seen in seen_flags)
