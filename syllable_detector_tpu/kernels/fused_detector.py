@@ -1,0 +1,336 @@
+"""Fused STFT + feature + MLP detection kernel (Pallas, TPU).
+
+One kernel evaluates the entire per-hop pipeline the reference spreads over
+vDSP calls and ring buffers (reference: Common/SyllableDetector.swift:129-217,
+Common/CircularShortTimeFourierTransform.swift:280-337,
+Common/NeuralNet.swift:294-377): windowed band-limited DFT, spectrogram
+scaling, sliding feature window, input processing, MLP layers, and output
+mapping — with every intermediate kept in VMEM. The algebra that makes it a
+pure GEMM pipeline:
+
+  * window multiply + zero-pad + FFT + band slice fold into two matmuls
+    against a precomputed [window, bins] matrix pair (see ops/stft.py);
+  * the first layer's matmul over the stacked feature vector
+    ``concat(mag[e..e+T-1]) @ W1`` decomposes into a T-tap convolution over
+    the frame axis: ``sum_t mag[e+t] @ W1[t*B:(t+1)*B]`` — the [E, T*B]
+    feature matrix is never materialized;
+  * l2normalize needs only ``||feat||`` = sqrt of a sliding sum of per-frame
+    row sums of squares;
+  * mapminmax / mapstd are affine, so they fold into W1/b1 exactly
+    (W1' = W1 * gains, b1' = b1 + W1 @ (y_offset - x_offsets * gains)); the
+    output chain's reverse mapping is an affine applied after the last
+    transfer.
+
+Grid: one program per tile of ``tile`` evaluations; each program DMAs its
+frame slab (tile + timeRange - 1 rows, the sliding-window halo) from HBM to
+VMEM, runs the full pipeline on the MXU/VPU, and writes only the [tile, out]
+block. Configs outside the supported pattern (processing chains other than
+optional l2normalize + affines) fall back to the unfused XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from syllable_detector_tpu.models.detector import WINDOW, DetectorSpec
+from syllable_detector_tpu.ops.stft import band_dft_matrices, frame_signal, num_frames
+
+__all__ = ["fusable", "fused_offline_outputs", "fold_constants"]
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedMeta(NamedTuple):
+    """Static (hashable) kernel configuration."""
+
+    n_mids: int
+    b: int
+    b_pad: int
+    h_pad: int
+    o_pad: int
+    has_l2: bool
+
+
+def fusable(spec: DetectorSpec) -> bool:
+    """Whether the config fits the fused kernel's algebra."""
+    for name in spec.net.input_processing:
+        if name not in ("l2normalize", "mapminmax", "mapstd", "passthrough"):
+            return False
+    # l2normalize must come first if present (it does in MATLAB exports,
+    # convert_to_text.m:118-182) so the affines fold into W1
+    names = [n for n in spec.net.input_processing if n != "passthrough"]
+    if "l2normalize" in names[1:]:
+        return False
+    for name in spec.net.output_processing:
+        if name not in ("mapminmax", "mapstd", "passthrough"):
+            return False
+    for t in spec.net.transfers:
+        if t not in ("TanSig", "LogSig", "PureLin", "SatLin"):
+            return False
+    return spec.scaling in ("linear", "log", "db")
+
+
+def fold_constants(spec: DetectorSpec, params: dict):
+    """Precompute the kernel's constant operands (lane-padded float32).
+
+    Returns (operands tuple, FusedMeta): operands are
+    (cr, ci, w1g, c1, mid_w0, mid_b0, ..., out_a, out_c).
+    """
+    assert fusable(spec)
+    b = spec.n_bins
+    t_range = spec.time_range
+    window = spec.window_length
+
+    b_pad = _round_up(b, LANE)
+    c_re, c_im = band_dft_matrices(spec.fourier_length, window, WINDOW, spec.bins)
+    cr = np.zeros((window, b_pad), np.float32)
+    ci = np.zeros((window, b_pad), np.float32)
+    cr[:, :b] = c_re
+    ci[:, :b] = c_im
+
+    # fold the affine input chain into per-feature scale/shift
+    d = t_range * b
+    feat_scale = np.ones(d, np.float64)
+    feat_shift = np.zeros(d, np.float64)
+    has_l2 = False
+    for name, p in zip(spec.net.input_processing, params["process_inputs"]):
+        if name == "l2normalize":
+            has_l2 = True
+        elif name in ("mapminmax", "mapstd"):
+            g = np.asarray(p["gains"], np.float64)
+            xo = np.asarray(p["x_offsets"], np.float64)
+            yo = float(p["y_offset"])
+            # applied after the accumulated (scale, shift):
+            # ((x*s + h) - xo) * g + yo
+            feat_shift = (feat_shift - xo) * g + yo
+            feat_scale = feat_scale * g
+
+    w1 = np.asarray(params["layers"][0]["w"], np.float64)  # [H, D]
+    b1 = np.asarray(params["layers"][0]["b"], np.float64)  # [H]
+    h1 = w1.shape[0]
+    # W1 @ (x*scale + shift) + b1 = (W1*scale) @ x + (b1 + W1 @ shift)
+    w1_scaled = w1 * feat_scale[None, :]
+    b1_eff = b1 + w1 @ feat_shift
+
+    h_pad = _round_up(h1, LANE)
+    w1g = np.zeros((t_range, b_pad, h_pad), np.float32)
+    for t in range(t_range):
+        w1g[t, :b, :h1] = w1_scaled[:, t * b : (t + 1) * b].T
+    c1 = np.zeros((1, h_pad), np.float32)
+    c1[0, :h1] = b1_eff
+
+    mids = []
+    prev = h_pad
+    for layer in params["layers"][1:]:
+        w = np.asarray(layer["w"], np.float32)  # [O, I]
+        bb = np.asarray(layer["b"], np.float32)
+        o_pad = _round_up(w.shape[0], LANE)
+        wp = np.zeros((prev, o_pad), np.float32)
+        wp[: w.shape[1], : w.shape[0]] = w.T
+        bp = np.zeros((1, o_pad), np.float32)
+        bp[0, : w.shape[0]] = bb
+        mids.append((wp, bp))
+        prev = o_pad
+
+    # output chain reverse as one affine y*a + c
+    n_out = spec.net.outputs
+    a = np.ones(n_out, np.float64)
+    cshift = np.zeros(n_out, np.float64)
+    for name, p in zip(spec.net.output_processing, params["process_outputs"]):
+        if name in ("mapminmax", "mapstd"):
+            g = np.asarray(p["gains"], np.float64)
+            xo = np.asarray(p["x_offsets"], np.float64)
+            yo = float(p["y_offset"])
+            a = a / g
+            cshift = (cshift - yo) / g + xo
+    o_pad = prev
+    out_a = np.zeros((1, o_pad), np.float32)
+    out_c = np.zeros((1, o_pad), np.float32)
+    out_a[0, :n_out] = a
+    out_c[0, :n_out] = cshift
+
+    operands = [jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(w1g), jnp.asarray(c1)]
+    for wp, bp in mids:
+        operands += [jnp.asarray(wp), jnp.asarray(bp)]
+    operands += [jnp.asarray(out_a), jnp.asarray(out_c)]
+    meta = FusedMeta(
+        n_mids=len(mids), b=b, b_pad=b_pad, h_pad=h_pad, o_pad=o_pad, has_l2=has_l2
+    )
+    return tuple(operands), meta
+
+
+def _transfer(x, name):
+    if name == "TanSig":
+        return jnp.tanh(x)
+    if name == "LogSig":
+        return 1.0 / (1.0 + jnp.exp(-x))
+    if name == "SatLin":
+        return jnp.clip(x, 0.0, 1.0)
+    return x
+
+
+def _make_kernel(spec: DetectorSpec, meta: FusedMeta, tile: int):
+    t_range = spec.time_range
+    halo = t_range - 1
+    scaling = spec.scaling
+    transfers = spec.net.transfers
+    n_mids = meta.n_mids
+
+    # DMA slabs must be (8, 128)-tiling aligned in HBM: round the slab rows
+    # up to a multiple of 8 (the frames array is padded to match)
+    rows = _round_up(tile + halo, 8)
+
+    def kernel(frames_hbm, cr, ci, w1g, c1, *rest):
+        mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
+        out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
+
+        i = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            frames_hbm.at[pl.ds(i * tile, rows)],
+            fvmem.at[pl.ds(0, rows)],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+        f = fvmem[pl.ds(0, tile + halo), :]
+        re = jnp.dot(f, cr[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(f, ci[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        sq = re * re + im * im
+        mag = jnp.sqrt(sq)
+
+        # spectrogram scaling (SyllableDetector.swift:183-212); padded bins
+        # masked to 0 so log/db don't poison the matmul
+        if scaling == "linear":
+            scaled = mag
+        else:
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+            if scaling == "db":
+                s = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
+            else:
+                s = jnp.log(mag)
+            scaled = jnp.where(lane_ids < meta.b, s, 0.0)
+
+        if meta.has_l2:
+            rowsq = jnp.sum(scaled * scaled, axis=1, keepdims=True)  # [rows, 1]
+
+        acc = jnp.zeros((tile, meta.h_pad), jnp.float32)
+        norm = jnp.zeros((tile, 1), jnp.float32)
+        for t in range(t_range):
+            acc = acc + jnp.dot(
+                scaled[t : t + tile, :],
+                w1g[t],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if meta.has_l2:
+                norm = norm + rowsq[t : t + tile, :]
+
+        if meta.has_l2:
+            acc = acc / jnp.sqrt(norm)
+        h = _transfer(acc + c1[:], transfers[0])
+
+        for (w, bb), name in zip(mids, transfers[1:]):
+            h = _transfer(
+                jnp.dot(h, w[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + bb[:], name
+            )
+
+        out_ref[:, :] = h * out_a[:] + out_c[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "meta", "tile", "n_evals", "interpret")
+)
+def _fused_call(spec, meta, frames_padded, operands, n_evals, tile, interpret):
+    halo = spec.time_range - 1
+    grid = (frames_padded.shape[0] - halo) // tile
+    window = frames_padded.shape[1]
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands
+    ]
+
+    kernel = _make_kernel(spec, meta, tile)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((grid * tile, meta.o_pad), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, meta.o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * grid * tile * window * meta.b_pad * 2
+            + 2 * grid * tile * spec.time_range * meta.b_pad * meta.h_pad,
+            bytes_accessed=grid * tile * window * 4,
+            transcendentals=grid * tile * meta.h_pad,
+        ),
+    )(frames_padded, *operands)
+    return out[:n_evals, : spec.net.outputs]
+
+
+_fold_cache: dict = {}
+
+
+def fused_offline_outputs(
+    spec: DetectorSpec,
+    params: dict,
+    x: jax.Array,
+    tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
+
+    Falls back to the unfused XLA path for unsupported configs.
+    """
+    if not fusable(spec):
+        from syllable_detector_tpu.models.detector import offline_outputs
+
+        return offline_outputs(spec, params, x)
+
+    key = (spec, id(params))
+    if key not in _fold_cache:
+        _fold_cache[key] = fold_constants(spec, params)
+    operands, meta = _fold_cache[key]
+
+    n = x.shape[0]
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    n_evals = f - spec.time_range + 1
+    if n_evals <= 0:
+        return jnp.zeros((0, spec.net.outputs), jnp.float32)
+
+    halo = spec.time_range - 1
+    grid = max(1, -(-n_evals // tile))
+    # last program DMAs rows [ (grid-1)*tile, (grid-1)*tile + round8(tile+halo) )
+    rows_needed = (grid - 1) * tile + _round_up(tile + halo, 8)
+
+    frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
+    pad_rows = rows_needed - f
+    if pad_rows > 0:
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((pad_rows, frames.shape[1]), frames.dtype)]
+        )
+
+    return _fused_call(spec, meta, frames, operands, n_evals, tile, interpret)

@@ -1,0 +1,358 @@
+"""Train syllable-detector MLPs on TPU.
+
+Replaces the reference's MATLAB pipeline: compute the same spectrogram
+features the detector consumes at inference time (hop-strided hamming band
+DFT magnitudes, stacked over timeRange frames — exactly
+Common/SyllableDetector.swift:153-217), fit the MATLAB-style mapminmax input
+mapping (convert_to_text.m:118-182), then train the tansig/purelin MLP with
+optax against [0, 1] syllable labels. The trained net exports through
+config.save_config to the same text format MATLAB's exporter writes
+(convert_to_text.m:59-214), so the reference Swift app can load nets trained
+here.
+
+Data parallelism: shard the (features, labels) batch across a mesh axis and
+``psum`` gradients — the standard dp recipe; an optional channel axis trains
+independent per-channel nets side by side (stacked parameter pytrees), the
+ensemble analogue of the reference's one-net-per-channel deployment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from syllable_detector_tpu.config.model_format import (
+    LayerSpec,
+    ProcessingSpec,
+    SyllableDetectorConfig,
+)
+from syllable_detector_tpu.models.detector import WINDOW
+from syllable_detector_tpu.models.neural_net import NetSpec, apply_net
+from syllable_detector_tpu.ops.processing import specs_to_chain
+from syllable_detector_tpu.ops.stft import (
+    frame_signal,
+    frequency_index_range,
+    num_frames,
+    spectral_frames,
+    stack_features,
+)
+
+__all__ = [
+    "TrainSettings",
+    "features_and_labels",
+    "fit_mapminmax",
+    "init_layer_params",
+    "train",
+    "train_step",
+    "make_data_parallel_step",
+    "export_trained_config",
+]
+
+
+@dataclass
+class TrainSettings:
+    """Spectrogram + net hyperparameters (the convert_to_text.m preamble:
+    samplerate/FFT_SIZE/freq_range/time_window, convert_to_text.m:23-66)."""
+
+    sampling_rate: float = 44100.0
+    fourier_length: int = 256
+    window_length: int = 256
+    window_overlap: int = 124
+    freq_range: tuple[float, float] = (2000.0, 7000.0)
+    time_range: int = 10
+    scaling: str = "linear"
+    hidden: tuple[int, ...] = (4,)
+    learning_rate: float = 1e-3
+    epochs: int = 200
+    batch_size: int = 4096
+    threshold_quantile: float = 0.99  # threshold picked off the negatives
+    seed: int = 0
+
+    @property
+    def bins(self) -> tuple[int, int]:
+        b = frequency_index_range(
+            self.fourier_length, self.freq_range[0], self.freq_range[1],
+            self.sampling_rate,
+        )
+        if b is None:
+            raise ValueError("The frequency range is invalid.")
+        return b
+
+    @property
+    def n_features(self) -> int:
+        lo, hi = self.bins
+        return (hi - lo) * self.time_range
+
+
+def features_and_labels(
+    settings: TrainSettings,
+    audio: np.ndarray,
+    intervals: list[tuple[float, float]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Audio + labeled syllable intervals (seconds) -> (features [E, D],
+    labels [E] in {0, 1}).
+
+    An evaluation is positive when its decision sample (the reference's
+    sample accounting, TrackDetector.swift:38-42) falls inside an interval.
+    """
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    f = num_frames(len(audio), settings.window_length, settings.window_overlap)
+    frames = frame_signal(
+        jnp.asarray(audio), f, settings.window_length, settings.window_overlap
+    )
+    band = spectral_frames(
+        frames,
+        settings.fourier_length,
+        window_type=WINDOW,
+        bins=settings.bins,
+        kind="magnitude",
+    )
+    feats = np.asarray(stack_features(band, settings.time_range))
+
+    hop = settings.window_length - settings.window_overlap
+    gap = -settings.window_overlap if settings.window_overlap < 0 else 0
+    first = settings.window_length + hop * (settings.time_range - 1) + gap
+    decision_samples = first + hop * np.arange(len(feats))
+    t = decision_samples / settings.sampling_rate
+    labels = np.zeros(len(feats), np.float32)
+    for lo, hi in intervals:
+        labels[(t >= lo) & (t <= hi)] = 1.0
+    return feats, labels
+
+
+def fit_mapminmax(features: np.ndarray) -> ProcessingSpec:
+    """MATLAB mapminmax fit: per-feature map of [xmin, xmax] -> [-1, 1]
+    (gains = 2/(xmax - xmin), xOffsets = xmin, yMin = -1;
+    NeuralNet.swift:111-131). Zero-range features get gain 1."""
+    xmin = features.min(axis=0).astype(np.float64)
+    xmax = features.max(axis=0).astype(np.float64)
+    rng = xmax - xmin
+    gains = np.where(rng > 0, 2.0 / np.where(rng > 0, rng, 1.0), 1.0)
+    return ProcessingSpec(
+        name="mapminmax",
+        x_offsets=xmin.astype(np.float32),
+        gains=gains.astype(np.float32),
+        y_offset=-1.0,
+    )
+
+
+def init_layer_params(
+    key, sizes: list[int], scale: float = 0.5
+) -> list[dict]:
+    """Small-uniform init (MATLAB nnet-style ranges)."""
+    params = []
+    for i in range(len(sizes) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        fan_in = sizes[i]
+        bound = scale / np.sqrt(fan_in)
+        w = jax.random.uniform(
+            k1, (sizes[i + 1], sizes[i]), jnp.float32, -bound, bound
+        )
+        b = jax.random.uniform(k2, (sizes[i + 1],), jnp.float32, -scale, scale)
+        params.append({"w": w, "b": b})
+    return params
+
+
+def _build_net_spec(settings: TrainSettings) -> NetSpec:
+    sizes = [settings.n_features, *settings.hidden, 1]
+    transfers = tuple(["TanSig"] * len(settings.hidden) + ["PureLin"])
+    return NetSpec(
+        layer_sizes=tuple((sizes[i], sizes[i + 1]) for i in range(len(sizes) - 1)),
+        transfers=transfers,
+        input_processing=("l2normalize", "mapminmax"),
+        output_processing=("mapminmax",),
+    )
+
+
+def _loss_fn(net_spec: NetSpec, params, feats, labels):
+    preds = apply_net(net_spec, params, feats)[..., 0]
+    return jnp.mean((preds - labels) ** 2)
+
+
+@partial(jax.jit, static_argnames=("net_spec", "lr"))
+def train_step(net_spec: NetSpec, params, opt_state, feats, labels, lr=1e-3):
+    """One SGD/adam step on the layer weights (processing params frozen)."""
+    opt = optax.adam(lr)
+
+    def loss(layer_params):
+        p = dict(params, layers=layer_params)
+        return _loss_fn(net_spec, p, feats, labels)
+
+    value, grads = jax.value_and_grad(loss)(params["layers"])
+    updates, opt_state = opt.update(grads, opt_state, params["layers"])
+    layers = optax.apply_updates(params["layers"], updates)
+    return dict(params, layers=layers), opt_state, value
+
+
+def make_data_parallel_step(mesh: Mesh, net_spec: NetSpec, lr: float, axis: str = "data"):
+    """Data-parallel train step: batch sharded over ``axis``, gradients
+    psum-averaged across devices — replicated params, dp over the mesh."""
+    opt = optax.adam(lr)
+
+    def local_step(params, opt_state, feats, labels):
+        def loss(layer_params):
+            p = dict(params, layers=layer_params)
+            return _loss_fn(net_spec, p, feats, labels)
+
+        value, grads = jax.value_and_grad(loss)(params["layers"])
+        grads = jax.lax.pmean(grads, axis)
+        value = jax.lax.pmean(value, axis)
+        updates, opt_state = opt.update(grads, opt_state, params["layers"])
+        layers = optax.apply_updates(params["layers"], updates)
+        return dict(params, layers=layers), opt_state, value
+
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=(P(), P(), P()),
+        )
+    )
+
+
+def train(
+    settings: TrainSettings,
+    features: np.ndarray,
+    labels: np.ndarray,
+    mesh: Mesh | None = None,
+    verbose: bool = False,
+):
+    """Full training loop -> (net_spec, params, threshold).
+
+    The output mapminmax (gain 2, yMin -1) maps net outputs from [-1, 1] to
+    [0, 1] probabilities, like MATLAB's exported nets (sample.txt:17-20);
+    training therefore fits apply_net's post-chain output directly to the
+    0/1 labels. The detection threshold is picked as the
+    ``threshold_quantile`` of the negatives' scores.
+    """
+    net_spec = _build_net_spec(settings)
+    mm_in = fit_mapminmax(features)
+    mm_out = ProcessingSpec(
+        name="mapminmax",
+        x_offsets=np.zeros(1, np.float32),
+        gains=np.full(1, 2.0, np.float32),
+        y_offset=-1.0,
+    )
+    _, in_params = specs_to_chain([ProcessingSpec("l2normalize"), mm_in])
+    _, out_params = specs_to_chain([mm_out])
+
+    key = jax.random.PRNGKey(settings.seed)
+    sizes = [settings.n_features, *settings.hidden, 1]
+    params = {
+        "layers": init_layer_params(key, sizes),
+        "process_inputs": in_params,
+        "process_outputs": out_params,
+    }
+
+    opt = optax.adam(settings.learning_rate)
+    opt_state = opt.init(params["layers"])
+
+    feats = jnp.asarray(features, jnp.float32)
+    labs = jnp.asarray(labels, jnp.float32)
+    n = len(feats)
+    bs = min(settings.batch_size, n)
+
+    dp_step = None
+    if mesh is not None:
+        dp_step = make_data_parallel_step(mesh, net_spec, settings.learning_rate)
+        n_dev = mesh.devices.size
+        bs = (bs // n_dev) * n_dev or n_dev
+
+    rng = np.random.default_rng(settings.seed)
+    for epoch in range(settings.epochs):
+        order = rng.permutation(n)
+        losses = []
+        for start in range(0, n - bs + 1, bs):
+            idx = order[start : start + bs]
+            fb, lb = feats[idx], labs[idx]
+            if dp_step is not None:
+                params, opt_state, value = dp_step(params, opt_state, fb, lb)
+            else:
+                params, opt_state, value = train_step(
+                    net_spec, params, opt_state, fb, lb, settings.learning_rate
+                )
+            losses.append(float(value))
+        if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
+            print(f"epoch {epoch}: loss {np.mean(losses):.5f}")
+
+    preds = np.asarray(apply_net(net_spec, params, feats)[..., 0])
+    threshold = _pick_threshold(preds, labels)
+    return net_spec, params, threshold
+
+
+def _pick_threshold(preds: np.ndarray, labels: np.ndarray) -> float:
+    """Maximize Youden's J (recall - false-alarm rate) over a score grid —
+    robust to label noise at syllable boundaries."""
+    pos = preds[labels > 0.5]
+    neg = preds[labels < 0.5]
+    if not len(pos) or not len(neg):
+        return 0.5
+    candidates = np.unique(np.quantile(preds, np.linspace(0.01, 0.99, 197)))
+    best_t, best_j = 0.5, -np.inf
+    for t in candidates:
+        j = (pos >= t).mean() - (neg >= t).mean()
+        if j > best_j:
+            best_j, best_t = j, float(t)
+    return min(max(best_t, 1e-3), 0.999)
+
+
+def export_trained_config(
+    settings: TrainSettings, net_spec: NetSpec, params, threshold: float
+) -> SyllableDetectorConfig:
+    """Package trained parameters into a SyllableDetectorConfig (the
+    convert_to_text.m equivalent; save with config.save_config)."""
+    layers = []
+    for (inputs, outputs), transfer, lp in zip(
+        net_spec.layer_sizes, net_spec.transfers, params["layers"]
+    ):
+        layers.append(
+            LayerSpec(
+                inputs=inputs,
+                outputs=outputs,
+                weights=np.asarray(lp["w"], np.float32),
+                biases=np.asarray(lp["b"], np.float32),
+                transfer=transfer,
+            )
+        )
+    process_inputs = []
+    for name, p in zip(net_spec.input_processing, params["process_inputs"]):
+        if name == "l2normalize":
+            process_inputs.append(ProcessingSpec("l2normalize"))
+        else:
+            process_inputs.append(
+                ProcessingSpec(
+                    name,
+                    x_offsets=np.asarray(p["x_offsets"], np.float32),
+                    gains=np.asarray(p["gains"], np.float32),
+                    y_offset=float(p["y_offset"]),
+                )
+            )
+    process_outputs = [
+        ProcessingSpec(
+            "mapminmax",
+            x_offsets=np.asarray(p["x_offsets"], np.float32),
+            gains=np.asarray(p["gains"], np.float32),
+            y_offset=float(p["y_offset"]),
+        )
+        for name, p in zip(net_spec.output_processing, params["process_outputs"])
+    ]
+    return SyllableDetectorConfig(
+        sampling_rate=settings.sampling_rate,
+        fourier_length=settings.fourier_length,
+        window_length=settings.window_length,
+        window_overlap=settings.window_overlap,
+        freq_range=settings.freq_range,
+        time_range=settings.time_range,
+        thresholds=[threshold],
+        scaling=settings.scaling,
+        layers=layers,
+        process_inputs=process_inputs,
+        process_outputs=process_outputs,
+    )

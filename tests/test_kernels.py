@@ -1,0 +1,91 @@
+"""Fused Pallas kernel vs the unfused XLA pipeline (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.kernels.fused_detector import (
+    fold_constants,
+    fusable,
+    fused_offline_outputs,
+)
+from syllable_detector_tpu.models.detector import (
+    detector_spec_from_config,
+    offline_outputs,
+)
+from test_detector import make_audio
+
+
+@pytest.fixture(scope="module")
+def audio():
+    return make_audio(np.random.default_rng(11), seconds=1.5)
+
+
+def test_fusable(sample_config):
+    spec, params = detector_spec_from_config(sample_config)
+    assert fusable(spec)
+
+
+def test_fold_constants_shapes(sample_config):
+    spec, params = detector_spec_from_config(sample_config)
+    operands, meta = fold_constants(spec, params)
+    cr, ci, w1g, c1 = operands[:4]
+    assert cr.shape == (256, 128) and ci.shape == (256, 128)
+    assert w1g.shape == (10, 128, 128)
+    assert meta.n_mids == 1 and meta.b == 29 and meta.has_l2
+
+
+def test_fused_matches_unfused(sample_config, audio):
+    spec, params = detector_spec_from_config(sample_config)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(audio)))
+    got = np.asarray(
+        fused_offline_outputs(spec, params, jnp.asarray(audio), interpret=True)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("scaling", ["db", "log"])
+def test_fused_scalings(sample_config, audio, scaling):
+    cfg = dataclasses.replace(sample_config, scaling=scaling)
+    spec, params = detector_spec_from_config(cfg)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(audio)))
+    got = np.asarray(
+        fused_offline_outputs(spec, params, jnp.asarray(audio), interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+def test_fused_small_input(sample_config):
+    """Fewer evals than one tile: padding path."""
+    spec, params = detector_spec_from_config(sample_config)
+    x = make_audio(np.random.default_rng(0), seconds=0.1)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+    got = np.asarray(
+        fused_offline_outputs(spec, params, jnp.asarray(x), interpret=True)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_fused_too_short_returns_empty(sample_config):
+    spec, params = detector_spec_from_config(sample_config)
+    got = fused_offline_outputs(spec, params, jnp.zeros(300, jnp.float32))
+    assert got.shape == (0, 1)
+
+
+def test_unfusable_falls_back(sample_config):
+    from syllable_detector_tpu.config.model_format import ProcessingSpec
+
+    cfg = dataclasses.replace(
+        sample_config,
+        process_inputs=[ProcessingSpec("normalize")],
+    )
+    spec, params = detector_spec_from_config(cfg)
+    assert not fusable(spec)
+    x = make_audio(np.random.default_rng(0), seconds=0.2)
+    got = np.asarray(fused_offline_outputs(spec, params, jnp.asarray(x)))
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

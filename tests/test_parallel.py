@@ -1,0 +1,88 @@
+"""Mesh sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.models.detector import (
+    detector_spec_from_config,
+    offline_outputs,
+    streaming_init,
+)
+from syllable_detector_tpu.models.neural_net import stack_params
+from syllable_detector_tpu.parallel.mesh import (
+    batch_offline_outputs,
+    make_mesh,
+    sharded_detection_counts,
+    sharded_offline_outputs,
+    sharded_streaming_step,
+)
+from test_detector import make_audio
+
+
+@pytest.fixture(scope="module")
+def setup(sample_config):
+    spec, params = detector_spec_from_config(sample_config)
+    c = 8
+    rng = np.random.default_rng(5)
+    xs = np.stack([make_audio(rng, seconds=0.3) for _ in range(c)])
+    stacked = stack_params([params] * c)
+    return spec, params, stacked, jnp.asarray(xs)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_batch_matches_single(setup):
+    spec, params, stacked, xs = setup
+    batched = np.asarray(batch_offline_outputs(spec, stacked, xs))
+    single0 = np.asarray(offline_outputs(spec, params, xs[0]))
+    np.testing.assert_allclose(batched[0], single0, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_matches_batched(setup):
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(8)
+    sharded = np.asarray(sharded_offline_outputs(mesh, spec, stacked, xs))
+    batched = np.asarray(batch_offline_outputs(spec, stacked, xs))
+    np.testing.assert_allclose(sharded, batched, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_detection_counts(setup):
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(8)
+    counts = np.asarray(sharded_detection_counts(mesh, spec, stacked, xs))
+    outs = np.asarray(batch_offline_outputs(spec, stacked, xs))
+    want = np.sum(outs >= np.asarray(spec.thresholds, np.float32), axis=(0, 1))
+    np.testing.assert_array_equal(counts, want)
+    assert counts[0] > 0  # the chirp fixture detects
+
+
+def test_sharded_streaming_step(setup):
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(8)
+    c = xs.shape[0]
+    hop = spec.hop
+    h_hops = 8
+    r = spec.residual
+
+    carry0 = streaming_init(spec)
+    carries = jax.tree.map(lambda a: jnp.stack([a] * c), carry0)
+    # prime residuals with each stream's prefix
+    carries["residual"] = xs[:, :r]
+
+    chunks = xs[:, r : r + h_hops * hop]
+    new_carries, outs = sharded_streaming_step(mesh, spec, stacked, carries, chunks)
+    assert outs.shape == (c, h_hops, spec.net.outputs)
+
+    # channel 0 must agree with the unsharded streaming step
+    from syllable_detector_tpu.models.detector import streaming_step
+
+    carry_ref = streaming_init(spec, prefix=xs[0, :r])
+    _, outs_ref = streaming_step(spec, params, carry_ref, chunks[0])
+    np.testing.assert_allclose(
+        np.asarray(outs[0]), np.asarray(outs_ref), rtol=1e-5, atol=1e-6
+    )

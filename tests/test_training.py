@@ -1,0 +1,107 @@
+"""Training pipeline: learn a detector on synthetic labeled audio, export to
+the text format, and detect with the CLI path (closing the MATLAB loop)."""
+
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.config.model_format import dumps_config, loads_config
+from syllable_detector_tpu.models.detector import Detector
+from syllable_detector_tpu.parallel.mesh import make_mesh
+from syllable_detector_tpu.training.trainer import (
+    TrainSettings,
+    export_trained_config,
+    features_and_labels,
+    fit_mapminmax,
+    train,
+)
+
+
+def make_labeled_audio(seconds=4.0, rate=44100, seed=0):
+    """Syllable = loud band-limited chirp bursts; silence/noise elsewhere."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    x = 0.01 * rng.standard_normal(n)
+    intervals = []
+    pos = 0.3
+    while pos + 0.25 < seconds:
+        lo, hi = pos, pos + 0.15
+        m = (t >= lo) & (t < hi)
+        tt = t[m] - lo
+        f0 = 3000.0 + 1500.0 * np.sin(2 * np.pi * 8 * tt)
+        x[m] += 0.6 * np.sin(2 * np.pi * np.cumsum(f0) / rate)
+        intervals.append((lo + 0.04, hi - 0.01))  # interior, past window fill
+        pos += 0.55
+    return x.astype(np.float32), intervals
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return TrainSettings(epochs=300, batch_size=256, hidden=(4,), learning_rate=3e-3, seed=1)
+
+
+@pytest.fixture(scope="module")
+def dataset(settings):
+    audio, intervals = make_labeled_audio()
+    feats, labels = features_and_labels(settings, audio, intervals)
+    return audio, intervals, feats, labels
+
+
+def test_features_and_labels(settings, dataset):
+    audio, intervals, feats, labels = dataset
+    assert feats.shape[1] == settings.n_features == 290
+    assert 0 < labels.sum() < len(labels)
+
+
+def test_fit_mapminmax(dataset):
+    _, _, feats, _ = dataset
+    mm = fit_mapminmax(feats)
+    y = (feats - mm.x_offsets) * mm.gains + mm.y_offset
+    assert y.min() == pytest.approx(-1.0, abs=1e-4)
+    assert y.max() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_train_and_roundtrip(settings, dataset):
+    audio, intervals, feats, labels = dataset
+    net_spec, params, threshold = train(settings, feats, labels)
+
+    cfg = export_trained_config(settings, net_spec, params, threshold)
+    text = dumps_config(cfg)
+    cfg2 = loads_config(text)  # byte-format round trip
+
+    det = Detector(cfg2)
+    det.append_audio_data(audio)
+    outs = det.drain()
+
+    hop = settings.window_length - settings.window_overlap
+    first = settings.window_length + hop * (settings.time_range - 1)
+    t = (first + hop * np.arange(len(outs))) / settings.sampling_rate
+    inside = np.zeros(len(outs), bool)
+    near = np.zeros(len(outs), bool)  # guard band: syllable edges count as
+    for lo, hi in intervals:  # neither hits nor false alarms
+        inside |= (t >= lo) & (t <= hi)
+        near |= (t >= lo - 0.1) & (t <= hi + 0.1)
+
+    score_in = outs[inside, 0].mean()
+    score_out = outs[~near, 0].mean()
+    assert score_in > score_out + 0.3, (score_in, score_out)
+
+    detections = outs[:, 0] >= np.float32(cfg2.thresholds[0])
+    # recall: most in-syllable evals detected; precision: few false alarms
+    # well away from any syllable
+    recall = detections[inside].mean()
+    false_rate = detections[~near].mean()
+    assert recall > 0.6, recall
+    assert false_rate < 0.05, false_rate
+
+
+def test_data_parallel_training_matches(settings, dataset):
+    """dp over the 8-device mesh must converge like single-device."""
+    audio, intervals, feats, labels = dataset
+    mesh = make_mesh(8, axis="data")
+    s = TrainSettings(epochs=60, batch_size=256, hidden=(4,), learning_rate=3e-3, seed=1)
+    net_spec, params, threshold = train(s, feats, labels, mesh=mesh)
+    from syllable_detector_tpu.models.neural_net import apply_net
+
+    preds = np.asarray(apply_net(net_spec, params, feats)[..., 0])
+    assert preds[labels > 0.5].mean() > preds[labels < 0.5].mean() + 0.2
