@@ -180,7 +180,29 @@ def _transfer(x, name):
     return x
 
 
-def _make_kernel(spec: DetectorSpec, meta: FusedMeta, tile: int):
+def _raw_geometry(spec: DetectorSpec, tile: int):
+    """Slab geometry for raw-sample input: the per-tile sample slab viewed as
+    [rows2d, hop]; frames are rebuilt in VMEM from static slices."""
+    from syllable_detector_tpu.ops.stft import normalize_overlap
+
+    gap, _ = normalize_overlap(spec.window_overlap)
+    hop = spec.hop
+    window = spec.window_length
+    halo = spec.time_range - 1
+    rows_frames = tile + halo
+    n_parts = -(-(gap + window) // hop)
+    rows2d = _round_up(rows_frames + n_parts - 1, 8)
+    parts = []  # (frame col lo, frame col hi, slab col lo)
+    for j in range(n_parts):
+        lo = max(0, j * hop - gap)
+        hi = min(window, (j + 1) * hop - gap)
+        parts.append((lo, hi, gap + lo - j * hop))
+    return gap, hop, rows_frames, n_parts, rows2d, tuple(parts)
+
+
+def _make_kernel(
+    spec: DetectorSpec, meta: FusedMeta, tile: int, input_mode: str = "frames"
+):
     t_range = spec.time_range
     halo = t_range - 1
     scaling = spec.scaling
@@ -188,23 +210,43 @@ def _make_kernel(spec: DetectorSpec, meta: FusedMeta, tile: int):
     n_mids = meta.n_mids
 
     # DMA slabs must be (8, 128)-tiling aligned in HBM: round the slab rows
-    # up to a multiple of 8 (the frames array is padded to match)
+    # up to a multiple of 8 (the input array is padded to match)
     rows = _round_up(tile + halo, 8)
+    if input_mode == "raw":
+        _, hop, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
 
     def kernel(frames_hbm, cr, ci, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
         out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
         i = pl.program_id(0)
-        copy = pltpu.make_async_copy(
-            frames_hbm.at[pl.ds(i * tile, rows)],
-            fvmem.at[pl.ds(0, rows)],
-            sem,
-        )
-        copy.start()
-        copy.wait()
-
-        f = fvmem[pl.ds(0, tile + halo), :]
+        if input_mode == "raw":
+            copy = pltpu.make_async_copy(
+                frames_hbm.at[pl.ds(i * tile, rows2d)],
+                fvmem.at[pl.ds(0, rows2d)],
+                sem,
+            )
+            copy.start()
+            copy.wait()
+            # rebuild overlapping frames from the hop-strided slab: frame k
+            # column block j comes from slab row k+j (pure VMEM slices —
+            # the HBM frames matrix is never materialized)
+            f = jnp.concatenate(
+                [
+                    fvmem[j : j + tile + halo, clo : clo + (hi - lo)]
+                    for j, (lo, hi, clo) in enumerate(parts)
+                ],
+                axis=1,
+            )
+        else:
+            copy = pltpu.make_async_copy(
+                frames_hbm.at[pl.ds(i * tile, rows)],
+                fvmem.at[pl.ds(0, rows)],
+                sem,
+            )
+            copy.start()
+            copy.wait()
+            f = fvmem[pl.ds(0, tile + halo), :]
         re = jnp.dot(f, cr[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         im = jnp.dot(f, ci[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         sq = re * re + im * im
@@ -252,18 +294,25 @@ def _make_kernel(spec: DetectorSpec, meta: FusedMeta, tile: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "meta", "tile", "n_evals", "interpret")
+    jax.jit,
+    static_argnames=("spec", "meta", "grid", "tile", "n_evals", "interpret", "input_mode"),
 )
-def _fused_call(spec, meta, frames_padded, operands, n_evals, tile, interpret):
+def _fused_call(
+    spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode
+):
     halo = spec.time_range - 1
-    grid = (frames_padded.shape[0] - halo) // tile
-    window = frames_padded.shape[1]
+    window = spec.window_length
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands
     ]
 
-    kernel = _make_kernel(spec, meta, tile)
+    kernel = _make_kernel(spec, meta, tile, input_mode)
+    if input_mode == "raw":
+        _, hop, _, _, rows2d, _ = _raw_geometry(spec, tile)
+        scratch = pltpu.VMEM((rows2d, hop), jnp.float32)
+    else:
+        scratch = pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -274,7 +323,7 @@ def _fused_call(spec, meta, frames_padded, operands, n_evals, tile, interpret):
             (tile, meta.o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32),
+            scratch,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -287,7 +336,7 @@ def _fused_call(spec, meta, frames_padded, operands, n_evals, tile, interpret):
             bytes_accessed=grid * tile * window * 4,
             transcendentals=grid * tile * meta.h_pad,
         ),
-    )(frames_padded, *operands)
+    )(data, *operands)
     return out[:n_evals, : spec.net.outputs]
 
 
@@ -300,10 +349,14 @@ def fused_offline_outputs(
     x: jax.Array,
     tile: int = 256,
     interpret: bool = False,
+    input_mode: str = "raw",
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
-    Falls back to the unfused XLA path for unsupported configs.
+    ``input_mode='raw'`` (default) ships raw samples to the kernel and
+    rebuilds the overlapping windows in VMEM — no HBM frames matrix at all;
+    ``'frames'`` pre-gathers hop-strided windows with XLA. Falls back to the
+    unfused XLA path for unsupported configs.
     """
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
@@ -323,14 +376,27 @@ def fused_offline_outputs(
 
     halo = spec.time_range - 1
     grid = max(1, -(-n_evals // tile))
-    # last program DMAs rows [ (grid-1)*tile, (grid-1)*tile + round8(tile+halo) )
-    rows_needed = (grid - 1) * tile + _round_up(tile + halo, 8)
 
-    frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
-    pad_rows = rows_needed - f
-    if pad_rows > 0:
-        frames = jnp.concatenate(
-            [frames, jnp.zeros((pad_rows, frames.shape[1]), frames.dtype)]
-        )
+    if input_mode == "raw":
+        # hop-strided 2-D view of the raw samples; frames rebuilt in VMEM
+        _, hop, _, _, rows2d, _ = _raw_geometry(spec, tile)
+        total_rows = (grid - 1) * tile + rows2d
+        total = total_rows * hop
+        x = jnp.asarray(x, jnp.float32)
+        if total > n:
+            x = jnp.concatenate([x, jnp.zeros(total - n, jnp.float32)])
+        data = x[:total].reshape(total_rows, hop)
+    else:
+        # pre-gathered frames in HBM
+        rows_needed = (grid - 1) * tile + _round_up(tile + halo, 8)
+        frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
+        pad_rows = rows_needed - f
+        if pad_rows > 0:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad_rows, frames.shape[1]), frames.dtype)]
+            )
+        data = frames
 
-    return _fused_call(spec, meta, frames, operands, n_evals, tile, interpret)
+    return _fused_call(
+        spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode
+    )

@@ -90,16 +90,33 @@ def frame_start_indices(
 def frame_signal(
     x: jax.Array, n_frames: int, window_length: int, window_overlap: int
 ) -> jax.Array:
-    """Gather hop-strided windows: [n] -> [n_frames, window_length].
+    """Extract hop-strided overlapping windows: [n] -> [n_frames, window].
 
     ``n_frames`` must be static (precomputed with :func:`num_frames`) so the
     output shape is known at trace time.
+
+    Implementation note: built from static slices of a ``[rows, hop]``
+    reshape, NOT a gather — on TPU a gather that must materialize (e.g. to
+    feed a matmul) lowers to a pathologically slow loop (~1000x slower than
+    the equivalent slices), while slice+concat compiles to plain copies.
+    Frame k's column block j is row k+j of the hop-strided slab.
     """
-    starts = jnp.asarray(
-        frame_start_indices(n_frames, window_length, window_overlap), dtype=jnp.int32
-    )
-    idx = starts[:, None] + jnp.arange(window_length, dtype=jnp.int32)[None, :]
-    return jnp.take(x, idx, axis=0)
+    gap, _ = normalize_overlap(window_overlap)
+    hop = hop_length(window_length, window_overlap)
+    n_parts = -(-(gap + window_length) // hop)
+    rows2d = n_frames + n_parts - 1
+    total = rows2d * hop
+    n = x.shape[0]
+    if total > n:
+        x = jnp.concatenate([x, jnp.zeros(total - n, x.dtype)])
+    slab = x[:total].reshape(rows2d, hop)
+    parts = []
+    for j in range(n_parts):
+        lo = max(0, j * hop - gap)  # frame column range covered by row k+j
+        hi = min(window_length, (j + 1) * hop - gap)
+        clo = gap + lo - j * hop
+        parts.append(slab[j : j + n_frames, clo : clo + (hi - lo)])
+    return jnp.concatenate(parts, axis=1)
 
 
 def band_dft_matrices(
@@ -192,11 +209,11 @@ def stack_features(band: jax.Array, time_range: int) -> jax.Array:
     n_evals = n_frames - time_range + 1
     if n_evals <= 0:
         return jnp.zeros((0, time_range * n_bins), band.dtype)
-    idx = (
-        jnp.arange(n_evals, dtype=jnp.int32)[:, None]
-        + jnp.arange(time_range, dtype=jnp.int32)[None, :]
+    # static shifted slices, not a gather (see frame_signal's note): column
+    # block t of eval e is frame e+t
+    return jnp.concatenate(
+        [band[t : t + n_evals, :] for t in range(time_range)], axis=1
     )
-    return jnp.take(band, idx, axis=0).reshape(n_evals, time_range * n_bins)
 
 
 def frequency_index_range(

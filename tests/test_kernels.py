@@ -89,3 +89,45 @@ def test_unfusable_falls_back(sample_config):
     got = np.asarray(fused_offline_outputs(spec, params, jnp.asarray(x)))
     want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_raw_matches_frames_mode(sample_config, audio):
+    spec, params = detector_spec_from_config(sample_config)
+    a = np.asarray(
+        fused_offline_outputs(
+            spec, params, jnp.asarray(audio), interpret=True, input_mode="raw"
+        )
+    )
+    b = np.asarray(
+        fused_offline_outputs(
+            spec, params, jnp.asarray(audio), interpret=True, input_mode="frames"
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_raw_mode_gap_config():
+    """Gap (negative overlap) geometry through the raw-slab rebuild."""
+    from syllable_detector_tpu.config.model_format import loads_config
+
+    text = (
+        "samplingRate = 8000\nfourierLength = 64\nwindowLength = 64\n"
+        "windowOverlap = -16\nfreqRange = 100, 3000\ntimeRange = 3\n"
+        "thresholds = 0.5\nscaling = linear\nprocessInputsCount = 1\n"
+        "processInputs0.function = l2normalize\nprocessOutputsCount = 0\n"
+        "layers = 1\nlayer0.inputs = 72\nlayer0.outputs = 1\n"
+        "layer0.weights = " + ", ".join(["0.1"] * 72) + "\n"
+        "layer0.biases = 0\nlayer0.transferFunction = TanSig\n"
+    )
+    cfg = loads_config(text)
+    spec, params = detector_spec_from_config(cfg)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(20000).astype(np.float32)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+    got = np.asarray(
+        fused_offline_outputs(
+            spec, params, jnp.asarray(x), interpret=True, input_mode="raw", tile=64
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
