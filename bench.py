@@ -55,12 +55,21 @@ def make_audio(n, rate=44100.0, seed=0):
     return (x * (0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0))).astype(np.float32)
 
 
-def time_fn(fn, iters=5):
-    fn()  # warm-up / compile
-    fn()
+def time_chained(step, x, iters=20):
+    """Time a jitted step with a data dependency chained through each call.
+
+    The axon runtime elides executions whose outputs are never consumed, so
+    naive loop-and-block-on-last timing reports fantasy numbers; feeding a
+    scalar of call k into call k+1 forces every execution.
+    """
+    carry = jnp.float32(0)
+    out, carry = step(x, carry)
+    jax.block_until_ready(carry)  # compile + warm-up
+    out, carry = step(x, carry)
+    jax.block_until_ready(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
+        out, carry = step(x, carry)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -73,8 +82,9 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
 
     on_tpu = dev.platform != "cpu"
-    # windows per call: big enough to amortize dispatch, small enough for CI
-    n_evals = 1 << 19 if on_tpu else 1 << 13
+    # windows per call: big enough to amortize dispatch, small enough that a
+    # cold compile over the tunnel stays in the driver's budget
+    n_evals = 1 << 17 if on_tpu else 1 << 13
     hop = spec.hop
     n_samples = (n_evals + spec.time_range - 1 - 1) * hop + spec.window_length + hop
     log(f"generating {n_samples} samples (~{n_samples/44100:.0f}s of audio), "
@@ -84,24 +94,75 @@ def main():
 
     tile = 512 if on_tpu else 256
 
-    def fused():
-        return fused_offline_outputs(spec, params, x, tile=tile)
+    iters = 20 if on_tpu else 2
 
-    dt_fused = time_fn(fused, iters=5 if on_tpu else 2)
-    wps_fused = n_evals / dt_fused
-    log(f"fused:   {dt_fused*1e3:8.2f} ms/call -> {wps_fused:,.0f} windows/s")
+    wps_fused = 0.0
+    try:
+        @jax.jit
+        def fused_step(x, carry):
+            out = fused_offline_outputs(
+                spec, params, x + carry * 0.0, tile=tile, input_mode="raw"
+            )
+            return out, out[-1, 0]
+
+        dt_fused = time_chained(fused_step, x, iters=iters)
+        wps_fused = n_evals / dt_fused
+        log(f"fused:   {dt_fused*1e3:8.2f} ms/call -> {wps_fused:,.0f} windows/s")
+    except Exception as e:  # pragma: no cover - fall back to unfused number
+        log(f"fused kernel failed: {type(e).__name__}: {str(e)[:200]}")
 
     try:
-        def unfused():
-            return offline_outputs(spec, params, x)
+        @jax.jit
+        def unfused_step(x, carry):
+            out = offline_outputs(spec, params, x + carry * 0.0)
+            return out, out[-1, 0]
 
-        dt_unfused = time_fn(unfused, iters=3 if on_tpu else 1)
+        dt_unfused = time_chained(unfused_step, x, iters=iters)
         wps_unfused = n_evals / dt_unfused
-        log(f"unfused: {dt_unfused*1e3:8.2f} ms/call -> {wps_unfused:,.0f} windows/s "
-            f"(fused speedup {dt_unfused/dt_fused:.2f}x)")
+        speedup = f" (fused speedup {wps_fused/wps_unfused:.2f}x)" if wps_fused else ""
+        log(f"unfused: {dt_unfused*1e3:8.2f} ms/call -> "
+            f"{wps_unfused:,.0f} windows/s{speedup}")
     except Exception as e:  # pragma: no cover
         log(f"unfused baseline failed: {e}")
         wps_unfused = 0.0
+
+    # secondary diagnostic: per-hop streaming latency, 256 channels, 1 hop per
+    # step (the real-time closed-loop path; deadline = hop/fs ~= 3 ms)
+    try:
+        from syllable_detector_tpu.models.detector import (
+            streaming_init,
+            streaming_step,
+        )
+        from syllable_detector_tpu.models.neural_net import stack_params
+
+        c = 256 if on_tpu else 8
+        stacked = jax.device_put(stack_params([params] * c), dev)
+        carry0 = streaming_init(spec)
+        carries = jax.tree.map(lambda a: jnp.stack([a] * c), carry0)
+        carries = jax.device_put(carries, dev)
+        chunk = jnp.zeros((c, hop), jnp.float32)
+
+        @jax.jit
+        def stream_step(carries, chunk):
+            return jax.vmap(lambda p, cr, ch: streaming_step(spec, p, cr, ch))(
+                stacked, carries, chunk
+            )
+
+        carries, outs = stream_step(carries, chunk)
+        jax.block_until_ready(outs)
+        lat = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            carries, outs = stream_step(carries, chunk)  # carry chains calls
+            jax.block_until_ready(outs)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        log(
+            f"streaming per-hop latency ({c} ch): p50 {np.percentile(lat_ms,50):.3f} ms, "
+            f"p99 {np.percentile(lat_ms,99):.3f} ms (deadline {hop/44100*1e3:.2f} ms)"
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"streaming latency measurement failed: {type(e).__name__}: {str(e)[:150]}")
 
     value = max(wps_fused, wps_unfused)
     print(

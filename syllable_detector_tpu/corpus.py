@@ -1,0 +1,141 @@
+"""Batched offline corpus scan: many files, one shared network, one device
+computation.
+
+The reference CLI iterates files sequentially, one detector per track
+(reference: SyllableDetectorCLI/main.swift:63-131). The TPU-native corpus
+path pads all streams to a shared bucket length, stacks them on a batch axis,
+and runs the whole corpus through one vmapped (optionally mesh-sharded)
+detection call — the "batched offline corpus scan" deployment shape.
+Per-file sample accounting and debounce reproduce TrackDetector's semantics
+(TrackDetector.swift:45-105).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syllable_detector_tpu.config.model_format import SyllableDetectorConfig
+from syllable_detector_tpu.models.detector import (
+    DetectorSpec,
+    detector_spec_from_config,
+    offline_outputs,
+)
+from syllable_detector_tpu.ops.stft import num_frames
+from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
+from syllable_detector_tpu.utils.wav import read_wav
+
+__all__ = ["batch_offline_outputs_shared", "scan_corpus", "corpus_csv_lines"]
+
+
+@partial(jax.jit, static_argnames=("spec", "method"))
+def batch_offline_outputs_shared(
+    spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
+) -> jax.Array:
+    """[C, n] streams through ONE shared network -> [C, E, outputs]."""
+    return jax.vmap(
+        lambda x: offline_outputs(spec, params, x, method=method)
+    )(xs)
+
+
+def _bucket(n: int) -> int:
+    """Round stream length up to limit distinct compiled shapes."""
+    b = 1 << 14
+    while b < n:
+        b <<= 1
+    return b
+
+
+def scan_corpus(
+    cfg: SyllableDetectorConfig,
+    streams: Sequence[np.ndarray],
+    method: str = "matmul",
+) -> list[np.ndarray]:
+    """Detect over many same-rate streams at once -> per-stream [E_i, outputs].
+
+    Streams are zero-padded to a common bucket and batched; each result is
+    trimmed back to the stream's true evaluation count. Zero padding cannot
+    create detections by itself, but an eval window straddling the end of a
+    short stream sees padded zeros exactly as the reference sees silence.
+    """
+    spec, params = detector_spec_from_config(cfg)
+    if not streams:
+        return []
+    streams = [np.asarray(s, np.float32).reshape(-1) for s in streams]
+    bucket = _bucket(max(len(s) for s in streams))
+    xs = np.zeros((len(streams), bucket), np.float32)
+    for i, s in enumerate(streams):
+        xs[i, : len(s)] = s
+    outs = np.asarray(
+        batch_offline_outputs_shared(spec, params, jnp.asarray(xs), method=method)
+    )
+    results = []
+    for i, s in enumerate(streams):
+        f = num_frames(len(s), cfg.window_length, cfg.window_overlap)
+        e = max(0, f - cfg.time_range + 1)
+        results.append(outs[i, :e])
+    return results
+
+
+def corpus_csv_lines(
+    cfg: SyllableDetectorConfig,
+    outputs: np.ndarray,
+    channel: int = 0,
+    debounce_frames: int = 0,
+) -> list[str]:
+    """CSV detection lines from batched outputs, byte-identical accounting to
+    the streaming TrackDetector (TrackDetector.swift:45-105)."""
+    next_output = cfg.first_output_sample
+    hop_inc = cfg.window_length - cfg.window_overlap
+    thr = np.asarray(cfg.thresholds, np.float64)
+    debounce_until = -1
+    lines = []
+    for row in outputs:
+        cur = next_output
+        next_output += hop_inc
+        if np.any(row.astype(np.float64) >= thr) and debounce_until < cur:
+            line = f"{channel},{cur},{fmt_double(cur / cfg.sampling_rate)}"
+            for d in row:
+                line += f",{fmt_float32(d)}"
+            lines.append(line)
+            debounce_until = cur + debounce_frames
+    return lines
+
+
+def scan_corpus_files(
+    cfg: SyllableDetectorConfig,
+    paths: Sequence[str],
+    channel: int = 0,
+    debounce_seconds: Optional[float] = None,
+    emit=print,
+    err=None,
+    method: str = "matmul",
+) -> None:
+    """File-level corpus scan with the CLI's multi-file output contract."""
+    import sys
+
+    err = err if err is not None else (lambda s: print(s, file=sys.stderr))
+    streams = []
+    good_paths = []
+    for p in paths:
+        try:
+            samples, rate = read_wav(p)
+        except (OSError, ValueError) as e:
+            err(f"Unable to read {p}: {e}")
+            continue
+        streams.append(np.ascontiguousarray(samples[:, channel]))
+        good_paths.append(p)
+    if not streams:
+        return
+    results = scan_corpus(cfg, streams, method=method)
+    debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
+    multiple = len(good_paths) > 1
+    for p, outs in zip(good_paths, results):
+        if multiple:
+            emit(p)
+        for line in corpus_csv_lines(cfg, outs, channel=0, debounce_frames=debounce):
+            emit(line)

@@ -217,7 +217,10 @@ def _make_kernel(
 
     def kernel(frames_hbm, cr, ci, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
-        out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
+        if input_mode == "raw":
+            out_a, out_c, out_ref, fvmem, fscratch, sem = rest[2 * n_mids :]
+        else:
+            out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
         i = pl.program_id(0)
         if input_mode == "raw":
@@ -228,16 +231,16 @@ def _make_kernel(
             )
             copy.start()
             copy.wait()
-            # rebuild overlapping frames from the hop-strided slab: frame k
-            # column block j comes from slab row k+j (pure VMEM slices —
-            # the HBM frames matrix is never materialized)
-            f = jnp.concatenate(
-                [
-                    fvmem[j : j + tile + halo, clo : clo + (hi - lo)]
-                    for j, (lo, hi, clo) in enumerate(parts)
-                ],
-                axis=1,
-            )
+            # rebuild overlapping frames from the hop-strided slab: frame k's
+            # column block j comes from slab row k+j. Parts are stored into a
+            # frames scratch (Mosaic cannot concat slices with mismatched
+            # sublane offsets: "result/input offset mismatch on non-concat
+            # dimension"), so each store realigns its part
+            for j, (lo, hi, clo) in enumerate(parts):
+                fscratch[0 : tile + halo, lo:hi] = fvmem[
+                    j : j + tile + halo, clo : clo + (hi - lo)
+                ]
+            f = fscratch[0 : tile + halo, :]
         else:
             copy = pltpu.make_async_copy(
                 frames_hbm.at[pl.ds(i * tile, rows)],
@@ -310,9 +313,12 @@ def _fused_call(
     kernel = _make_kernel(spec, meta, tile, input_mode)
     if input_mode == "raw":
         _, hop, _, _, rows2d, _ = _raw_geometry(spec, tile)
-        scratch = pltpu.VMEM((rows2d, hop), jnp.float32)
+        scratches = [
+            pltpu.VMEM((rows2d, hop), jnp.float32),
+            pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32),
+        ]
     else:
-        scratch = pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)
+        scratches = [pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)]
 
     out = pl.pallas_call(
         kernel,
@@ -323,7 +329,7 @@ def _fused_call(
             (tile, meta.o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            scratch,
+            *scratches,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -43,6 +43,8 @@ from syllable_detector_tpu.runtime.audio_io import (
 )
 from syllable_detector_tpu.runtime.ring_buffer import RingBuffer
 from syllable_detector_tpu.utils.stats import StatMax, SummaryStat
+from syllable_detector_tpu.utils.timing import Time
+from time import perf_counter_ns as _time_ns
 
 __all__ = [
     "ProcessorEntry",
@@ -243,12 +245,19 @@ class Processor:
                 continue
             lane = self._lanes[index]
 
+            # per-drain latency stats (the reference instruments the same
+            # boundary in its simulator, ViewControllerSimulator.swift:291-318)
+            t_start = _time_ns()
+
             samples = lane.ring.peek()
             if len(samples):
                 lane.ring.consume(len(samples))
                 lane.detector.append_audio_data(samples)
 
             outs = lane.detector.drain()
+            Time.save_with_name(
+                "process" if len(outs) else "skip", _time_ns() - t_start
+            )
             seen = False
             if len(outs):
                 lane.stat_output.write_value(float(np.max(outs[:, 0])))
