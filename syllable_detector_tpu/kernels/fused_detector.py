@@ -182,11 +182,14 @@ def _transfer(x, name):
 
 def _raw_geometry(spec: DetectorSpec, tile: int):
     """Slab geometry for raw-sample input: the per-tile sample slab viewed as
-    [rows2d, hop]; frames are rebuilt in VMEM from static slices."""
+    [rows2d, hop] (lane-padded to a 128 multiple — Mosaic requires DMA slice
+    lane dims aligned to the (8, 128) tiling); frames are rebuilt in VMEM
+    from static slices."""
     from syllable_detector_tpu.ops.stft import normalize_overlap
 
     gap, _ = normalize_overlap(spec.window_overlap)
     hop = spec.hop
+    hop_pad = _round_up(hop, LANE)
     window = spec.window_length
     halo = spec.time_range - 1
     rows_frames = tile + halo
@@ -197,7 +200,7 @@ def _raw_geometry(spec: DetectorSpec, tile: int):
         lo = max(0, j * hop - gap)
         hi = min(window, (j + 1) * hop - gap)
         parts.append((lo, hi, gap + lo - j * hop))
-    return gap, hop, rows_frames, n_parts, rows2d, tuple(parts)
+    return gap, hop, hop_pad, rows_frames, n_parts, rows2d, tuple(parts)
 
 
 def _make_kernel(
@@ -213,7 +216,7 @@ def _make_kernel(
     # up to a multiple of 8 (the input array is padded to match)
     rows = _round_up(tile + halo, 8)
     if input_mode == "raw":
-        _, hop, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
+        _, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
 
     def kernel(frames_hbm, cr, ci, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
@@ -312,9 +315,9 @@ def _fused_call(
 
     kernel = _make_kernel(spec, meta, tile, input_mode)
     if input_mode == "raw":
-        _, hop, _, _, rows2d, _ = _raw_geometry(spec, tile)
+        _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
         scratches = [
-            pltpu.VMEM((rows2d, hop), jnp.float32),
+            pltpu.VMEM((rows2d, hop_pad), jnp.float32),
             pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32),
         ]
     else:
@@ -384,14 +387,17 @@ def fused_offline_outputs(
     grid = max(1, -(-n_evals // tile))
 
     if input_mode == "raw":
-        # hop-strided 2-D view of the raw samples; frames rebuilt in VMEM
-        _, hop, _, _, rows2d, _ = _raw_geometry(spec, tile)
+        # hop-strided 2-D view of the raw samples, lane-padded for DMA
+        # alignment; frames rebuilt in VMEM
+        _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
         total_rows = (grid - 1) * tile + rows2d
         total = total_rows * hop
         x = jnp.asarray(x, jnp.float32)
         if total > n:
             x = jnp.concatenate([x, jnp.zeros(total - n, jnp.float32)])
         data = x[:total].reshape(total_rows, hop)
+        if hop_pad != hop:
+            data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
     else:
         # pre-gathered frames in HBM
         rows_needed = (grid - 1) * tile + _round_up(tile + halo, 8)

@@ -40,7 +40,13 @@ __all__ = ["main"]
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="syllable-detector-monitor")
-    p.add_argument("-n", "--net", required=True, help="Network file (per channel).")
+    p.add_argument(
+        "--list-devices",
+        action="store_true",
+        help="List registered audio devices and exit (the menu window's "
+        "device pickers, ViewControllerMenu.swift:86-149).",
+    )
+    p.add_argument("-n", "--net", help="Network file (per channel).")
     p.add_argument("-a", "--audio", help="WAV to stream (loops per channel).")
     p.add_argument("--channels", type=int, default=1)
     p.add_argument("--output", choices=("audio", "arduino"), default="audio")
@@ -48,6 +54,23 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
     args = p.parse_args(argv)
+
+    if args.list_devices:
+        from syllable_detector_tpu.runtime.audio_io import list_devices
+
+        devices = list_devices()
+        if not devices:
+            print("No audio devices registered (simulated sources only).")
+        for d in devices:
+            print(
+                f"{d.device_id}: {d.device_name} [{d.device_uid}] "
+                f"in={d.streams_input} out={d.streams_output} "
+                f"rate={d.sample_rate_input}"
+            )
+        return 0
+
+    if not args.net:
+        p.error("the following arguments are required: -n/--net")
 
     try:
         config = load_config(args.net)

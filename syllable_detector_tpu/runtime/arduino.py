@@ -199,6 +199,49 @@ class SimulatedArduinoTransport(Transport):
         self._opened_at = time.monotonic()
 
 
+class SerialTransport(Transport):
+    """Real USB-serial transport via pyserial (115200 baud like the
+    reference, ArduinoIO.swift:307). pyserial is optional; this raises a
+    clear error when it is not installed."""
+
+    def __init__(self, port: str, baudrate: int = 115200):
+        try:
+            import serial  # type: ignore
+        except ImportError as e:  # pragma: no cover - optional dependency
+            raise ArduinoError(
+                "pyserial is required for real serial hardware; install it or "
+                "use SimulatedArduinoTransport"
+            ) from e
+        self._serial_mod = serial
+        self.port = port
+        self.baudrate = baudrate
+        self._port = None
+
+    def open(self) -> None:  # pragma: no cover - needs hardware
+        self._port = self._serial_mod.Serial(self.port, self.baudrate, timeout=0)
+
+    def close(self) -> None:  # pragma: no cover - needs hardware
+        if self._port is not None:
+            self._port.close()
+            self._port = None
+
+    def write(self, data: bytes) -> None:  # pragma: no cover - needs hardware
+        self._port.write(data)
+
+    def read_line(self, timeout: float):  # pragma: no cover - needs hardware
+        deadline = time.monotonic() + timeout
+        buf = b""
+        while time.monotonic() < deadline:
+            chunk = self._port.read(64)
+            if chunk:
+                buf += chunk
+                if b"\n" in buf:
+                    return buf.split(b"\n", 1)[0] + b"\n"
+            else:
+                time.sleep(0.001)
+        return None
+
+
 class ArduinoIO:
     """Client state machine (ArduinoIO.swift:196-656)."""
 

@@ -90,3 +90,11 @@ class Time:
         with cls._lock:
             cls._timers.clear()
             cls._stats.clear()
+
+    @staticmethod
+    def profiler_trace(log_dir: str):
+        """Context manager wrapping jax.profiler.trace — device-side traces
+        to complement these host-side timers (view with TensorBoard)."""
+        import jax
+
+        return jax.profiler.trace(log_dir)

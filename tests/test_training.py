@@ -105,3 +105,41 @@ def test_data_parallel_training_matches(settings, dataset):
 
     preds = np.asarray(apply_net(net_spec, params, feats)[..., 0])
     assert preds[labels > 0.5].mean() > preds[labels < 0.5].mean() + 0.2
+
+
+def test_train_cli(tmp_path):
+    """Full loop: WAV + label CSV -> trained net file -> CLI detection."""
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.cli import main as cli_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=3.0)
+    wav = tmp_path / "train.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        "# start,end\n" + "\n".join(f"{lo},{hi}" for lo, hi in intervals)
+    )
+    net = tmp_path / "net.txt"
+    rc = train_main(
+        ["-a", str(wav), "-l", str(labels), "-o", str(net),
+         "--epochs", "150", "--quiet"]
+    )
+    assert rc == 0 and net.exists()
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["-n", str(net), "-a", str(wav)])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) > 0
+    # most detections land inside (or at the edges of) labeled syllables
+    hits = 0
+    for line in lines:
+        t = float(line.split(",")[2])
+        if any(lo - 0.1 <= t <= hi + 0.1 for lo, hi in intervals):
+            hits += 1
+    assert hits / len(lines) > 0.8, (hits, len(lines))
