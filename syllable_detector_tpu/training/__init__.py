@@ -8,6 +8,11 @@ over a mesh, and exports to the identical text format — loadable by this
 framework's CLI *and* by the reference Swift app.
 """
 
+from syllable_detector_tpu.training.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    latest_step,
+)
 from syllable_detector_tpu.training.trainer import (
     TrainSettings,
     features_and_labels,
@@ -20,6 +25,9 @@ from syllable_detector_tpu.training.trainer import (
 )
 
 __all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
     "TrainSettings",
     "features_and_labels",
     "fit_mapminmax",

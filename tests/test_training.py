@@ -143,3 +143,26 @@ def test_train_cli(tmp_path):
         if any(lo - 0.1 <= t <= hi + 0.1 for lo, hi in intervals):
             hits += 1
     assert hits / len(lines) > 0.8, (hits, len(lines))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from syllable_detector_tpu.training.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {
+        "layers": [{"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(2)}],
+        "step": jnp.int32(7),
+    }
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 7, state)
+    save_checkpoint(d, 12, state)
+    assert latest_step(d) == 12
+    restored = restore_checkpoint(d)
+    np.testing.assert_array_equal(
+        np.asarray(restored["layers"][0]["w"]), np.arange(6.0).reshape(2, 3)
+    )
+    assert restore_checkpoint(str(tmp_path / "none")) is None
