@@ -157,9 +157,29 @@ def main():
             jax.block_until_ready(outs)
             lat.append(time.perf_counter() - t0)
         lat_ms = np.asarray(lat) * 1e3
+
+        # round-trip floor: a trivial synchronous call through the same
+        # dispatch path, to separate host<->device transport latency from the
+        # detection math (a tunneled dev chip adds tens of ms that a locally
+        # attached chip does not)
+        tiny = jax.jit(lambda v: v + 1.0)
+        v = jnp.float32(0)
+        v = tiny(v)
+        jax.block_until_ready(v)
+        floor = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            v = tiny(v)
+            jax.block_until_ready(v)
+            floor.append(time.perf_counter() - t0)
+        floor_ms = float(np.percentile(np.asarray(floor) * 1e3, 50))
+
+        p50 = float(np.percentile(lat_ms, 50))
         log(
-            f"streaming per-hop latency ({c} ch): p50 {np.percentile(lat_ms,50):.3f} ms, "
-            f"p99 {np.percentile(lat_ms,99):.3f} ms (deadline {hop/44100*1e3:.2f} ms)"
+            f"streaming per-hop latency ({c} ch): p50 {p50:.3f} ms, "
+            f"p99 {np.percentile(lat_ms,99):.3f} ms; dispatch RTT floor "
+            f"{floor_ms:.3f} ms -> device-side ~{max(p50-floor_ms,0):.3f} ms "
+            f"(deadline {hop/44100*1e3:.2f} ms)"
         )
     except Exception as e:  # pragma: no cover
         log(f"streaming latency measurement failed: {type(e).__name__}: {str(e)[:150]}")

@@ -70,6 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
         default="matmul",
         help="Spectral backend (default: GEMM-native band DFT).",
     )
+    p.add_argument(
+        "--no-resample",
+        action="store_true",
+        help="Do not resample rate-mismatched files to the network rate.",
+    )
     return p
 
 
@@ -80,6 +85,7 @@ def run_file(
     emit=print,
     err=None,
     method: str = "matmul",
+    resample: bool = True,
 ) -> bool:
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
     try:
@@ -93,10 +99,31 @@ def run_file(
         err(f"No audio tracks found in {audio_path}.")
         return False
 
-    if rate != config.sampling_rate:
-        # the reference's AVAssetReader resamples to the net rate via its
-        # output settings (SyllableDetector.swift:19-23); warn and proceed
-        # treating samples as net-rate, matching a mismatched-header WAV
+    if rate != config.sampling_rate and resample:
+        # the reference's AVAssetReader resamples decoded audio to the net
+        # rate via its output settings (SyllableDetector.swift:19-23); here
+        # the polyphase kernel does the equivalent conversion
+        from syllable_detector_tpu.ops.resample import polyphase_resample
+
+        err(
+            f"Resampling {audio_path} from {rate} Hz to the network rate "
+            f"{config.sampling_rate} Hz."
+        )
+        samples = np.stack(
+            [
+                np.asarray(
+                    polyphase_resample(
+                        np.ascontiguousarray(samples[:, c]),
+                        rate,
+                        config.sampling_rate,
+                    )
+                )
+                for c in range(samples.shape[1])
+            ],
+            axis=1,
+        )
+        n = samples.shape[0]
+    elif rate != config.sampling_rate:
         err(
             f"Warning: {audio_path} sample rate {rate} != network rate "
             f"{config.sampling_rate}; processing at the network rate."
@@ -151,7 +178,13 @@ def main(argv=None) -> int:
     for audio_path in args.audio:
         if multiple:
             print(audio_path)
-        run_file(audio_path, config, args.debounce, method=args.method)
+        run_file(
+            audio_path,
+            config,
+            args.debounce,
+            method=args.method,
+            resample=not args.no_resample,
+        )
     return 0
 
 

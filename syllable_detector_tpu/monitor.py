@@ -46,7 +46,14 @@ def main(argv=None) -> int:
         help="List registered audio devices and exit (the menu window's "
         "device pickers, ViewControllerMenu.swift:86-149).",
     )
-    p.add_argument("-n", "--net", help="Network file (per channel).")
+    p.add_argument(
+        "-n",
+        "--net",
+        action="append",
+        default=[],
+        help="Network file; repeat to give each channel its own network "
+        "(cycled when fewer nets than channels).",
+    )
     p.add_argument("-a", "--audio", help="WAV to stream (loops per channel).")
     p.add_argument("--channels", type=int, default=1)
     p.add_argument("--output", choices=("audio", "arduino"), default="audio")
@@ -73,10 +80,11 @@ def main(argv=None) -> int:
         p.error("the following arguments are required: -n/--net")
 
     try:
-        config = load_config(args.net)
+        configs = [load_config(n) for n in args.net]
     except ConfigError as e:
         print(f"Unable to load the network configuration: {e}", file=sys.stderr)
         return 1
+    config = configs[0]
 
     rate = config.sampling_rate
     if args.audio:
@@ -108,8 +116,15 @@ def main(argv=None) -> int:
         total_samples=total,
     )
 
+    # one network per channel, cycling when fewer nets than channels — the
+    # processor window's per-row network loading
+    # (ViewControllerProcessor.swift:222-276)
     entries = [
-        ProcessorEntry(input_channel=i, output_channel=i, config=config)
+        ProcessorEntry(
+            input_channel=i,
+            output_channel=i,
+            config=configs[i % len(configs)],
+        )
         for i in range(args.channels)
     ]
 

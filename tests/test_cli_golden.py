@@ -113,3 +113,28 @@ def test_cli_bad_net(capsys, tmp_path):
     rc = cli_main(["-n", str(tmp_path / "nope.txt"), "-a", "x.wav"])
     assert rc == 1
     assert "Unable to load the network configuration" in capsys.readouterr().err
+
+
+def test_cli_resamples_mismatched_rate(sample_config, tmp_path, capsys):
+    """A 22.05k file is polyphase-resampled to the 44.1k network rate, like
+    the reference's AVAssetReader output settings."""
+    rng = np.random.default_rng(3)
+    n = int(1.2 * 22050)
+    t = np.arange(n) / 22050.0
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / 22050.0
+    x = (0.5 * np.sin(phase) * (0.3 + 0.7 * (np.sin(2 * np.pi * 3 * t) > 0)))
+    p = tmp_path / "lowrate.wav"
+    write_wav(p, x.astype(np.float32), 22050, dtype="float32")
+    rc = cli_main(["-n", "/root/reference/sample.txt", "-a", str(p)])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "Resampling" in captured.err
+    lines = [l for l in captured.out.splitlines() if l]
+    # resampled audio still sweeps the band -> detections fire
+    assert len(lines) > 0
+    # --no-resample keeps raw samples (chirp then only sweeps to 3.5kHz at
+    # the wrong rate; behavior differs)
+    rc = cli_main(
+        ["-n", "/root/reference/sample.txt", "-a", str(p), "--no-resample"]
+    )
+    assert "Warning" in capsys.readouterr().err

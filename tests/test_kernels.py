@@ -31,10 +31,12 @@ def test_fusable(sample_config):
 def test_fold_constants_shapes(sample_config):
     spec, params = detector_spec_from_config(sample_config)
     operands, meta = fold_constants(spec, params)
-    cr, ci, w1g, c1 = operands[:4]
-    assert cr.shape == (256, 128) and ci.shape == (256, 128)
-    assert w1g.shape == (10, 128, 128)
-    assert meta.n_mids == 1 and meta.b == 29 and meta.has_l2
+    c_packed, w1g, c1 = operands[:3]
+    # re | im packed as two 128-lane blocks; conv bank = one [bins, T*hs] GEMM
+    assert c_packed.shape == (256, 256)
+    assert w1g.shape == (128, 10 * 8)
+    assert c1.shape == (1, 8)
+    assert meta.n_mids == 1 and meta.b == 29 and meta.has_l2 and meta.hs == 8
 
 
 def test_fused_matches_unfused(sample_config, audio):
