@@ -55,23 +55,45 @@ def make_audio(n, rate=44100.0, seed=0):
     return (x * (0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0))).astype(np.float32)
 
 
-def time_chained(step, x, iters=20):
-    """Time a jitted step with a data dependency chained through each call.
+def time_scanned(make_fn, x, k_small=2, k_big=12, trials=3):
+    """Device-seconds per iteration of ``fn``, measured robustly.
 
-    The axon runtime elides executions whose outputs are never consumed, so
-    naive loop-and-block-on-last timing reports fantasy numbers; feeding a
-    scalar of call k into call k+1 forces every execution.
+    Host-side loop timing is untrustworthy here: the runtime pipelines,
+    elides, or defers executions in ways that report fantasy throughput.
+    Instead each *single* dispatch runs K data-dependent iterations inside a
+    lax.scan (every iteration's output feeds the next carry, so nothing can
+    be dropped), and the per-iteration time is the slope between two K
+    values — subtracting dispatch/transfer cost exactly.
     """
-    carry = jnp.float32(0)
-    out, carry = step(x, carry)
-    jax.block_until_ready(carry)  # compile + warm-up
-    out, carry = step(x, carry)
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, carry = step(x, carry)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+
+    def scanned(k):
+        fn = make_fn()
+
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                out = fn(x, carry)
+                return out, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        return run
+
+    run_small, run_big = scanned(k_small), scanned(k_big)
+    jax.block_until_ready(run_small(x))  # compile
+    jax.block_until_ready(run_big(x))
+
+    def best(run):
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_small, t_big = best(run_small), best(run_big)
+    return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
 def main():
@@ -94,33 +116,35 @@ def main():
 
     tile = 512 if on_tpu else 256
 
-    iters = 20 if on_tpu else 2
-
     wps_fused = 0.0
     try:
-        @jax.jit
-        def fused_step(x, carry):
-            out = fused_offline_outputs(
-                spec, params, x + carry * 0.0, tile=tile, input_mode="raw"
-            )
-            return out, out[-1, 0]
+        def make_fused():
+            def fn(x, carry):
+                out = fused_offline_outputs(
+                    spec, params, x + carry * 0.0, tile=tile, input_mode="raw"
+                )
+                return out[-1, 0] + carry
 
-        dt_fused = time_chained(fused_step, x, iters=iters)
+            return fn
+
+        dt_fused = time_scanned(make_fused, x)
         wps_fused = n_evals / dt_fused
-        log(f"fused:   {dt_fused*1e3:8.2f} ms/call -> {wps_fused:,.0f} windows/s")
+        log(f"fused:   {dt_fused*1e3:8.2f} ms/iter -> {wps_fused:,.0f} windows/s")
     except Exception as e:  # pragma: no cover - fall back to unfused number
         log(f"fused kernel failed: {type(e).__name__}: {str(e)[:200]}")
 
     try:
-        @jax.jit
-        def unfused_step(x, carry):
-            out = offline_outputs(spec, params, x + carry * 0.0)
-            return out, out[-1, 0]
+        def make_unfused():
+            def fn(x, carry):
+                out = offline_outputs(spec, params, x + carry * 0.0)
+                return out[-1, 0] + carry
 
-        dt_unfused = time_chained(unfused_step, x, iters=iters)
+            return fn
+
+        dt_unfused = time_scanned(make_unfused, x)
         wps_unfused = n_evals / dt_unfused
         speedup = f" (fused speedup {wps_fused/wps_unfused:.2f}x)" if wps_fused else ""
-        log(f"unfused: {dt_unfused*1e3:8.2f} ms/call -> "
+        log(f"unfused: {dt_unfused*1e3:8.2f} ms/iter -> "
             f"{wps_unfused:,.0f} windows/s{speedup}")
     except Exception as e:  # pragma: no cover
         log(f"unfused baseline failed: {e}")

@@ -166,10 +166,12 @@ def fold_constants(spec: DetectorSpec, params: dict):
     out_a[0, :n_out] = a
     out_c[0, :n_out] = cshift
 
-    operands = [jnp.asarray(c_packed), jnp.asarray(w1g), jnp.asarray(c1)]
+    # operands stay host-side numpy: jnp conversion must happen per trace
+    # (a cached traced constant would leak tracers across jit contexts)
+    operands = [c_packed, w1g, c1]
     for wp, bp in mids:
-        operands += [jnp.asarray(wp), jnp.asarray(bp)]
-    operands += [jnp.asarray(out_a), jnp.asarray(out_c)]
+        operands += [wp, bp]
+    operands += [out_a, out_c]
     meta = FusedMeta(
         n_mids=len(mids), b=b, b_pad=b_pad, hs=hs, o_pad=o_pad, has_l2=has_l2
     )
@@ -224,8 +226,9 @@ def _make_kernel(
     if input_mode == "raw":
         _, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
 
-    prec = jax.lax.Precision.HIGH  # bf16x3 passes: fp32-grade accuracy at
-    # half the cost of HIGHEST (verified ~1e-6 output error)
+    # full fp32 matmul passes: Mosaic supports only DEFAULT (bf16) and
+    # HIGHEST; bf16's ~1e-2 relative error is outside the fidelity contract
+    prec = jax.lax.Precision.HIGHEST
 
     def kernel(frames_hbm, c_packed, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
@@ -430,3 +433,24 @@ def fused_offline_outputs(
     return _fused_call(
         spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode
     )
+
+
+def fused_batch_offline_outputs(
+    spec: DetectorSpec,
+    params: dict,
+    xs: jax.Array,
+    tile: int = 256,
+    interpret: bool = False,
+    input_mode: str = "raw",
+) -> jax.Array:
+    """[C, n] streams through one shared net -> [C, E, outputs].
+
+    vmap over the fused kernel: Pallas lifts the batch axis into a leading
+    grid dimension, so all channels run in one kernel launch — the
+    1024+-concurrent-detector-channels deployment shape.
+    """
+    return jax.vmap(
+        lambda x: fused_offline_outputs(
+            spec, params, x, tile=tile, interpret=interpret, input_mode=input_mode
+        )
+    )(xs)

@@ -143,6 +143,8 @@ class _Lane:
     stat_input: SummaryStat
     stat_output: SummaryStat
     detections: int = 0
+    overflows: int = 0  # dropped buffers (the reference fatalErrors instead,
+    # CircularShortTimeFourierTransform.swift:199)
 
 
 class Processor:
@@ -228,7 +230,8 @@ class Processor:
 
         if not lane.ring.produce(data):
             # overflow is a hard error in the reference
-            # (CircularShortTimeFourierTransform.swift:199); drop instead
+            # (CircularShortTimeFourierTransform.swift:199); count and drop
+            lane.overflows += 1
             return
 
         self._work.put(index)
