@@ -66,9 +66,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--method",
-        choices=("matmul", "rfft"),
+        choices=("matmul", "rfft", "fused"),
         default="matmul",
-        help="Spectral backend (default: GEMM-native band DFT).",
+        help="Spectral backend (default: GEMM-native band DFT; 'fused' = "
+        "Pallas kernel, --batched only).",
+    )
+    p.add_argument(
+        "--batched",
+        action="store_true",
+        help="Batched corpus mode: all files in one device computation "
+        "(optionally with --method fused for the Pallas kernel).",
     )
     p.add_argument(
         "--no-resample",
@@ -173,6 +180,17 @@ def main(argv=None) -> int:
     except ConfigError as e:
         print(f"Unable to load the network configuration: {e}", file=sys.stderr)
         return 1
+
+    if args.batched:
+        from syllable_detector_tpu.corpus import scan_corpus_files
+
+        scan_corpus_files(
+            config,
+            args.audio,
+            debounce_seconds=args.debounce,
+            method=args.method,
+        )
+        return 0
 
     multiple = len(args.audio) > 1
     for audio_path in args.audio:

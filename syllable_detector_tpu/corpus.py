@@ -36,7 +36,17 @@ __all__ = ["batch_offline_outputs_shared", "scan_corpus", "corpus_csv_lines"]
 def batch_offline_outputs_shared(
     spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
 ) -> jax.Array:
-    """[C, n] streams through ONE shared network -> [C, E, outputs]."""
+    """[C, n] streams through ONE shared network -> [C, E, outputs].
+
+    method='fused' routes through the Pallas kernel (one launch for all
+    channels); 'matmul'/'rfft' use the unfused XLA pipeline.
+    """
+    if method == "fused":
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fused_batch_offline_outputs,
+        )
+
+        return fused_batch_offline_outputs(spec, params, xs)
     return jax.vmap(
         lambda x: offline_outputs(spec, params, x, method=method)
     )(xs)

@@ -63,3 +63,27 @@ def test_scan_corpus_files(sample_config, tmp_path):
 
 def test_scan_corpus_empty(sample_config):
     assert scan_corpus(sample_config, []) == []
+
+
+def test_cli_batched_mode(sample_config, tmp_path, capsys):
+    from syllable_detector_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(9)
+    paths = []
+    audios = []
+    for i in range(2):
+        x = make_audio(rng, seconds=0.4)
+        p = tmp_path / f"b{i}.wav"
+        write_wav(p, x, 44100, dtype="float32")
+        paths.append(str(p))
+        audios.append(x)
+    rc = cli_main(
+        ["-n", "/root/reference/sample.txt", "-a", paths[0], "-a", paths[1],
+         "--batched"]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert out[0] == paths[0]
+    i1 = out.index(paths[1])
+    assert_csv_close(out[1:i1], ref.cli_lines(sample_config, audios[0]))
+    assert_csv_close(out[i1 + 1 :], ref.cli_lines(sample_config, audios[1]))
