@@ -13,6 +13,7 @@ from syllable_detector_tpu.models.detector import (
     offline_outputs,
     streaming_init,
     streaming_step,
+    streaming_scan,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "offline_outputs",
     "streaming_init",
     "streaming_step",
+    "streaming_scan",
 ]

@@ -225,6 +225,43 @@ def streaming_step(
     return new_carry, outs
 
 
+@partial(jax.jit, static_argnames=("spec", "chunk_hops", "method"))
+def streaming_scan(
+    spec: DetectorSpec,
+    params: dict,
+    x: jax.Array,
+    chunk_hops: int = 16,
+    method: str = "matmul",
+) -> jax.Array:
+    """Run a whole stream through the fixed-shape streaming step with one
+    on-device ``lax.scan`` -> [n_evals, outputs].
+
+    Numerically identical to :func:`offline_outputs` (the first
+    ``spec.residual`` samples prime the carry; warm-up rows are dropped);
+    exists to keep long streaming sessions entirely device-resident.
+    """
+    r = spec.residual
+    hop = spec.hop
+    step_len = chunk_hops * hop
+    n = x.shape[0]
+    n_chunks = max(0, (n - r) // step_len)
+    usable = r + n_chunks * step_len
+    carry = streaming_init(spec, prefix=x[:r] if r else None)
+    chunks = x[r:usable].reshape(n_chunks, step_len)
+
+    def body(c, chunk):
+        c, outs = streaming_step(spec, params, c, chunk, method=method)
+        return c, outs
+
+    _, outs = jax.lax.scan(body, carry, chunks)
+    outs = outs.reshape(n_chunks * chunk_hops, spec.net.outputs)
+    # drop warm-up rows (frames before the feature window fills), and trim to
+    # the eval count the offline path would produce on the same samples
+    f = num_frames(usable, spec.window_length, spec.window_overlap)
+    n_evals = max(0, f - spec.time_range + 1)
+    return outs[spec.history : spec.history + n_evals]
+
+
 # ---------------------------------------------------------------------------
 # host-side streaming detector (arbitrary chunk sizes, bucketed device calls)
 # ---------------------------------------------------------------------------

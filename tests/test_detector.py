@@ -117,3 +117,17 @@ def test_spec_validation(sample_config):
     bad3 = dataclasses.replace(sample_config, freq_range=(30000.0, 40000.0))
     with pytest.raises(ValueError, match="frequency range"):
         detector_spec_from_config(bad3)
+
+
+def test_streaming_scan_equals_offline(sample_config, rng):
+    from syllable_detector_tpu.models.detector import streaming_scan
+
+    x = make_audio(rng, seconds=0.7)
+    spec, params = detector_spec_from_config(sample_config)
+    got = np.asarray(streaming_scan(spec, params, jnp.asarray(x), chunk_hops=8))
+    r = spec.residual
+    hop = spec.hop
+    usable = r + ((len(x) - r) // (8 * hop)) * 8 * hop
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x[:usable])))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
