@@ -137,7 +137,17 @@ def scan_corpus_files(
         except (OSError, ValueError) as e:
             err(f"Unable to read {p}: {e}")
             continue
-        streams.append(np.ascontiguousarray(samples[:, channel]))
+        stream = np.ascontiguousarray(samples[:, channel])
+        if rate != cfg.sampling_rate:
+            # polyphase-resample to the net rate before the fused kernel,
+            # like the reference's AVAssetReader output settings
+            from syllable_detector_tpu.ops.resample import polyphase_resample
+
+            err(f"Resampling {p} from {rate} Hz to {cfg.sampling_rate} Hz.")
+            stream = np.asarray(
+                polyphase_resample(stream, rate, cfg.sampling_rate)
+            )
+        streams.append(stream)
         good_paths.append(p)
     if not streams:
         return

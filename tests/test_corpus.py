@@ -87,3 +87,19 @@ def test_cli_batched_mode(sample_config, tmp_path, capsys):
     i1 = out.index(paths[1])
     assert_csv_close(out[1:i1], ref.cli_lines(sample_config, audios[0]))
     assert_csv_close(out[i1 + 1 :], ref.cli_lines(sample_config, audios[1]))
+
+
+def test_batched_resamples_mismatched_rate(sample_config, tmp_path):
+    """BASELINE config 4: mismatched-rate files polyphase-resample into the
+    batched (fused-capable) detection path."""
+    rng = np.random.default_rng(4)
+    n = int(1.0 * 88200)
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / 88200.0
+    x = (0.5 * np.sin(phase) + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    p = tmp_path / "hi.wav"
+    write_wav(p, x, 88200, dtype="float32")
+    lines = []
+    errs = []
+    scan_corpus_files(sample_config, [str(p)], emit=lines.append, err=errs.append)
+    assert any("Resampling" in e for e in errs)
+    assert len(lines) > 0  # the band sweep survives 2x downsampling
