@@ -133,6 +133,27 @@ def main():
     except Exception as e:  # pragma: no cover - fall back to unfused number
         log(f"fused kernel failed: {type(e).__name__}: {str(e)[:200]}")
 
+    if on_tpu and wps_fused:
+        try:
+            def make_fast():
+                def fn(x, carry):
+                    out = fused_offline_outputs(
+                        spec, params, x + carry * 0.0, tile=tile,
+                        input_mode="raw", fast=True,
+                    )
+                    return out[-1, 0] + carry
+
+                return fn
+
+            dt_fast = time_scanned(make_fast, x)
+            log(
+                f"fused bf16 fast path: {dt_fast*1e3:8.2f} ms/iter -> "
+                f"{n_evals/dt_fast:,.0f} windows/s (~1e-2 rel err; "
+                f"diagnostic only, not the headline)"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"fast path failed: {type(e).__name__}: {str(e)[:150]}")
+
     try:
         def make_unfused():
             def fn(x, carry):

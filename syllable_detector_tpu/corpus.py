@@ -52,6 +52,22 @@ def batch_offline_outputs_shared(
     )(xs)
 
 
+_spec_memo: dict = {}
+
+
+def _spec_cache(cfg: SyllableDetectorConfig):
+    """Reuse (spec, params) across calls for the same config object so the
+    jit and fused fold caches stay warm (holds a strong cfg reference so the
+    id cannot be recycled)."""
+    key = id(cfg)
+    hit = _spec_memo.get(key)
+    if hit is None or hit[2] is not cfg:
+        spec, params = detector_spec_from_config(cfg)
+        _spec_memo[key] = (spec, params, cfg)
+        hit = _spec_memo[key]
+    return hit[0], hit[1]
+
+
 def _bucket(n: int) -> int:
     """Round stream length up to limit distinct compiled shapes."""
     b = 1 << 14
@@ -72,7 +88,7 @@ def scan_corpus(
     create detections by itself, but an eval window straddling the end of a
     short stream sees padded zeros exactly as the reference sees silence.
     """
-    spec, params = detector_spec_from_config(cfg)
+    spec, params = _spec_cache(cfg)
     if not streams:
         return []
     streams = [np.asarray(s, np.float32).reshape(-1) for s in streams]

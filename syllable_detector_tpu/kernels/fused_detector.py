@@ -62,6 +62,7 @@ class FusedMeta(NamedTuple):
     hs: int         # first-layer width padded to 8 lanes (per conv tap)
     o_pad: int      # final output width padded to 8 lanes
     has_l2: bool
+    fast: bool = False  # bf16 MXU passes (~1e-2 rel err) instead of fp32
 
 
 def fusable(spec: DetectorSpec) -> bool:
@@ -226,9 +227,12 @@ def _make_kernel(
     if input_mode == "raw":
         _, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
 
-    # full fp32 matmul passes: Mosaic supports only DEFAULT (bf16) and
-    # HIGHEST; bf16's ~1e-2 relative error is outside the fidelity contract
-    prec = jax.lax.Precision.HIGHEST
+    # full fp32 matmul passes by default: Mosaic supports only DEFAULT
+    # (bf16) and HIGHEST; bf16's ~1e-2 relative error is outside the
+    # fidelity contract but available as an opt-in fast path
+    prec = (
+        jax.lax.Precision.DEFAULT if meta.fast else jax.lax.Precision.HIGHEST
+    )
 
     def kernel(frames_hbm, c_packed, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
@@ -380,6 +384,7 @@ def fused_offline_outputs(
     tile: int = 256,
     interpret: bool = False,
     input_mode: str = "raw",
+    fast: bool = False,
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
@@ -393,10 +398,14 @@ def fused_offline_outputs(
 
         return offline_outputs(spec, params, x)
 
+    # the cache holds a strong reference to params so its id cannot be
+    # recycled by a different dict after garbage collection
     key = (spec, id(params))
-    if key not in _fold_cache:
-        _fold_cache[key] = fold_constants(spec, params)
-    operands, meta = _fold_cache[key]
+    if key not in _fold_cache or _fold_cache[key][2] is not params:
+        _fold_cache[key] = (*fold_constants(spec, params), params)
+    operands, meta, _ = _fold_cache[key]
+    if fast:
+        meta = meta._replace(fast=True)
 
     n = x.shape[0]
     f = num_frames(n, spec.window_length, spec.window_overlap)
