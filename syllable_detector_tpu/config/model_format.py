@@ -26,7 +26,6 @@ accelerator and at import time in CLI tools.
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass, field
 from typing import IO, Union

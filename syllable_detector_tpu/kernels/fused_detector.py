@@ -236,10 +236,7 @@ def _make_kernel(
 
     def kernel(frames_hbm, c_packed, w1g, c1, *rest):
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
-        if input_mode == "raw":
-            out_a, out_c, out_ref, fvmem, fscratch, sem = rest[2 * n_mids :]
-        else:
-            out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
+        out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
         i = pl.program_id(0)
         if input_mode == "raw":
@@ -250,16 +247,18 @@ def _make_kernel(
             )
             copy.start()
             copy.wait()
-            # rebuild overlapping frames from the hop-strided slab: frame k's
-            # column block j comes from slab row k+j. Parts are stored into a
-            # frames scratch (Mosaic cannot concat slices with mismatched
-            # sublane offsets: "result/input offset mismatch on non-concat
-            # dimension"), so each store realigns its part
+            # frames never materialize: frames = concat_j(part_j) along
+            # columns, so frames @ C = sum_j part_j @ C[rows of part j] —
+            # the band DFT decomposes into one GEMM per slab part, read
+            # directly from the (sublane-shifted) slab slices
+            big = jnp.zeros((tile + halo, 2 * meta.b_pad), jnp.float32)
             for j, (lo, hi, clo) in enumerate(parts):
-                fscratch[0 : tile + halo, lo:hi] = fvmem[
-                    j : j + tile + halo, clo : clo + (hi - lo)
-                ]
-            f = fscratch[0 : tile + halo, :]
+                big = big + jnp.dot(
+                    fvmem[j : j + tile + halo, clo : clo + (hi - lo)],
+                    c_packed[lo:hi, :],
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
         else:
             copy = pltpu.make_async_copy(
                 frames_hbm.at[pl.ds(i * tile, rows)],
@@ -269,10 +268,10 @@ def _make_kernel(
             copy.start()
             copy.wait()
             f = fvmem[pl.ds(0, tile + halo), :]
-        # one GEMM computes re and im as two 128-aligned lane blocks
-        big = jnp.dot(
-            f, c_packed[:], preferred_element_type=jnp.float32, precision=prec
-        )
+            # one GEMM computes re and im as two 128-aligned lane blocks
+            big = jnp.dot(
+                f, c_packed[:], preferred_element_type=jnp.float32, precision=prec
+            )
         b_pad = meta.b_pad
         re = big[:, :b_pad]
         im = big[:, b_pad:]
@@ -341,10 +340,7 @@ def _fused_call(
     kernel = _make_kernel(spec, meta, tile, input_mode)
     if input_mode == "raw":
         _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
-        scratches = [
-            pltpu.VMEM((rows2d, hop_pad), jnp.float32),
-            pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32),
-        ]
+        scratches = [pltpu.VMEM((rows2d, hop_pad), jnp.float32)]
     else:
         scratches = [pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)]
 

@@ -37,7 +37,6 @@ from syllable_detector_tpu.config.model_format import SyllableDetectorConfig
 from syllable_detector_tpu.models.neural_net import NetSpec, apply_net, net_from_config
 from syllable_detector_tpu.ops.scaling import apply_scaling
 from syllable_detector_tpu.ops.stft import (
-    band_dft_matrices,
     frame_signal,
     frequency_index_range,
     hop_length,

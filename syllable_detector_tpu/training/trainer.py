@@ -18,7 +18,7 @@ ensemble analogue of the reference's one-net-per-channel deployment.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

@@ -10,7 +10,7 @@ CoreAudio convention (int16 / 32768 etc.). No external dependencies.
 from __future__ import annotations
 
 import struct
-from typing import BinaryIO, Union
+from typing import Union
 
 import numpy as np
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import reference_impl as ref
-from syllable_detector_tpu.cli import main as cli_main, run_file
+from syllable_detector_tpu.cli import main as cli_main
 from syllable_detector_tpu.runtime.track_detector import TrackDetector
 from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
 from syllable_detector_tpu.utils.wav import read_wav, write_wav

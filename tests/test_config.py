@@ -6,7 +6,6 @@ import pytest
 from syllable_detector_tpu.config.model_format import (
     ConfigError,
     dumps_config,
-    load_config,
     loads_config,
 )
 

@@ -1,7 +1,6 @@
 """Batched corpus scan must equal the streaming CLI path file for file."""
 
 import numpy as np
-import pytest
 
 import reference_impl as ref
 from syllable_detector_tpu.corpus import (

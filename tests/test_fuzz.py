@@ -6,8 +6,6 @@ streaming/offline equivalence — the geometry edge cases (gaps, zero padding,
 window < fft, multi-output nets) that targeted tests can miss.
 """
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
