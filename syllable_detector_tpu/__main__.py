@@ -13,6 +13,7 @@ COMMANDS = {
     "train": ("syllable_detector_tpu.train", "train a detector from labeled audio"),
     "sim": ("syllable_detector_tpu.sim", "render a detection-signal WAV"),
     "monitor": ("syllable_detector_tpu.monitor", "live multi-channel monitor"),
+    "inspect": ("syllable_detector_tpu.inspect_net", "summarize a network file"),
 }
 
 

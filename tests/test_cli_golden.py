@@ -138,3 +138,16 @@ def test_cli_resamples_mismatched_rate(sample_config, tmp_path, capsys):
         ["-n", "/root/reference/sample.txt", "-a", str(p), "--no-resample"]
     )
     assert "Warning" in capsys.readouterr().err
+
+
+def test_inspect(capsys):
+    from syllable_detector_tpu.inspect_net import main as inspect_main
+
+    rc = inspect_main(["-n", "/root/reference/sample.txt"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "hop:                132 samples" in out
+    assert "bins [12, 41) = 29 bins" in out
+    assert "290x4 TanSig -> 4x1 PureLin" in out
+    assert "fused-kernel ready: True" in out
+    assert inspect_main(["-n", "/nonexistent.txt"]) == 1
