@@ -151,3 +151,12 @@ def test_inspect(capsys):
     assert "290x4 TanSig -> 4x1 PureLin" in out
     assert "fused-kernel ready: True" in out
     assert inspect_main(["-n", "/nonexistent.txt"]) == 1
+
+
+def test_module_dispatcher(capsys):
+    from syllable_detector_tpu.__main__ import main as dispatch
+
+    assert dispatch([]) == 2
+    assert "detect" in capsys.readouterr().out
+    assert dispatch(["inspect", "-n", "/root/reference/sample.txt"]) == 0
+    assert "fused-kernel ready" in capsys.readouterr().out
