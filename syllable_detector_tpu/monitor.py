@@ -139,6 +139,8 @@ def main(argv=None) -> int:
     proc = Processor(interface, entries, output)
     proc.set_up()
 
+    last_rms = [0.0] * args.channels
+    last_out = [0.0] * args.channels
     print(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
     t_end = time.monotonic() + (args.duration if args.realtime else 60.0)
     try:
@@ -149,10 +151,13 @@ def main(argv=None) -> int:
             for i in range(args.channels):
                 rms = proc.get_input_for_channel(i)
                 out = proc.get_output_for_channel(i)
-                cols.append(
-                    f"{i:>4} {rms if rms is not None else 0:>10.4f} "
-                    f"{out if out is not None else 0:>10.4f}"
-                )
+                # hold the last value when no new data arrived since the
+                # previous refresh (like the GUI's level columns)
+                if rms is not None:
+                    last_rms[i] = rms
+                if out is not None:
+                    last_out[i] = out
+                cols.append(f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f}")
             print("\n".join(cols))
     except KeyboardInterrupt:
         pass

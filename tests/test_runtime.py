@@ -249,3 +249,40 @@ def test_processor_stats(sample_config):
     out = proc.get_output_for_channel(0)
     assert out is not None and out > 0.4
     assert any(seen for i, seen in seen_flags)
+
+
+def test_processor_resamples_mismatched_device_rate(sample_config):
+    """A 48k device feeding a 44.1k net goes through the streaming resampler
+    (the reference attaches one when rates differ by >1 Hz,
+    ViewControllerProcessor.swift:247-250)."""
+    dev_rate = 48000.0
+    seconds = 0.6
+    n = int(seconds * dev_rate)
+    t = np.arange(n) / dev_rate
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / dev_rate
+    audio = (0.5 * np.sin(phase) * (0.3 + 0.7 * (np.sin(2 * np.pi * 3 * t) > 0))
+             ).astype(np.float32)
+
+    def source(ch, start, nn):
+        return audio[start : start + nn]
+
+    interface = SimulatedAudioInput(
+        source, channels=1, sample_rate=dev_rate, total_samples=n, frame_size=512
+    )
+    entries = [
+        ProcessorEntry(
+            input_channel=0, output_channel=0, config=sample_config,
+            resample_from=dev_rate,
+        )
+    ]
+    out_interface = SimulatedAudioOutput(channels=1)
+    proc = Processor(interface, entries, AudioTTLOutput(out_interface))
+    proc.set_up()
+    assert interface.wait_until_done(timeout=60)
+    proc.drain_pending(timeout=30)
+    time.sleep(0.3)
+    proc.tear_down()
+    # resampler attached and the band sweep still detected at 44.1k
+    assert proc._lanes[0].resampler is not None
+    assert proc._lanes[0].detections > 0
+    assert proc._lanes[0].overflows == 0
