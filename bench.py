@@ -96,6 +96,47 @@ def time_scanned(make_fn, x, k_small=2, k_big=12, trials=3):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
+def channel_sweep(spec, params, dev):
+    """Optional (--sweep): many-channel batched throughput via the vmapped
+    fused kernel — the 1024+-concurrent-detectors deployment shape. Each
+    channel count is a fresh kernel compile (minutes over a dev tunnel), so
+    this is not part of the default run."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    n_evals = 1 << 11  # per channel
+    hop = spec.hop
+    n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
+    for c in (8, 64, 256, 1024):
+        xs = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0)
+                .standard_normal((c, n))
+                .astype(np.float32)
+            ),
+            dev,
+        )
+
+        def make_fn(xs=xs):
+            def fn(x_unused, carry):
+                outs = fused_batch_offline_outputs(spec, params, xs + carry * 0.0)
+                return outs[-1, -1, 0] + carry
+
+            return fn
+
+        try:
+            dt = time_scanned(make_fn, xs)
+            total = c * n_evals
+            log(
+                f"sweep c={c:5d}: {dt*1e3:8.2f} ms/iter -> "
+                f"{total/dt:,.0f} windows/s ({total/dt/44100*132:,.0f} "
+                f"realtime channels)"
+            )
+        except Exception as e:
+            log(f"sweep c={c} failed: {type(e).__name__}: {str(e)[:120]}")
+
+
 def main():
     sample_path = SAMPLE if os.path.exists(SAMPLE) else REFERENCE_SAMPLE
     cfg = load_config(sample_path)
@@ -228,6 +269,9 @@ def main():
         )
     except Exception as e:  # pragma: no cover
         log(f"streaming latency measurement failed: {type(e).__name__}: {str(e)[:150]}")
+
+    if "--sweep" in sys.argv and on_tpu:
+        channel_sweep(spec, params, dev)
 
     value = max(wps_fused, wps_unfused)
     print(

@@ -86,3 +86,26 @@ def test_sharded_streaming_step(setup):
     np.testing.assert_allclose(
         np.asarray(outs[0]), np.asarray(outs_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_1024_channels_on_virtual_mesh(sample_config):
+    """Thousands of detector lanes per step: 1024 channels, 8 devices,
+    distinct stacked nets, one sharded streaming step (tiny shapes)."""
+    spec, params = detector_spec_from_config(sample_config)
+    c = 1024
+    mesh = make_mesh(8)
+    stacked = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (c,) + a.shape), params
+    )
+    carry0 = streaming_init(spec)
+    carries = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (c,) + a.shape), carry0
+    )
+    hop = spec.hop
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        rng.standard_normal((c, 2 * hop)).astype(np.float32) * 0.1
+    )
+    new_carries, outs = sharded_streaming_step(mesh, spec, stacked, carries, chunks)
+    assert outs.shape == (c, 2, spec.net.outputs)
+    assert bool(jnp.all(jnp.isfinite(outs)))
