@@ -71,7 +71,6 @@ class TrainSettings:
     learning_rate: float = 1e-3
     epochs: int = 200
     batch_size: int = 4096
-    threshold_quantile: float = 0.99  # threshold picked off the negatives
     seed: int = 0
 
     @property
