@@ -238,10 +238,17 @@ def _make_kernel(
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
         out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
-        i = pl.program_id(0)
+        batched = len(frames_hbm.shape) == 3  # [channels, rows, lanes]
+        if batched:
+            ch = pl.program_id(0)
+            i = pl.program_id(1)
+            src = frames_hbm.at[ch]
+        else:
+            i = pl.program_id(0)
+            src = frames_hbm
         if input_mode == "raw":
             copy = pltpu.make_async_copy(
-                frames_hbm.at[pl.ds(i * tile, rows2d)],
+                src.at[pl.ds(i * tile, rows2d)],
                 fvmem.at[pl.ds(0, rows2d)],
                 sem,
             )
@@ -261,7 +268,7 @@ def _make_kernel(
                 )
         else:
             copy = pltpu.make_async_copy(
-                frames_hbm.at[pl.ds(i * tile, rows)],
+                src.at[pl.ds(i * tile, rows)],
                 fvmem.at[pl.ds(0, rows)],
                 sem,
             )
@@ -318,7 +325,11 @@ def _make_kernel(
                 name,
             )
 
-        out_ref[:, :] = h * out_a[:] + out_c[:]
+        result = h * out_a[:] + out_c[:]
+        if batched:
+            out_ref[0, :, :] = result
+        else:
+            out_ref[:, :] = result
 
     return kernel
 
@@ -344,14 +355,29 @@ def _fused_call(
     else:
         scratches = [pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)]
 
+    batched = data.ndim == 3
+    if batched:
+        channels = data.shape[0]
+        grid_dims = (channels, grid)
+        out_shape = jax.ShapeDtypeStruct(
+            (channels, grid * tile, meta.o_pad), jnp.float32
+        )
+        out_spec = pl.BlockSpec(
+            (1, tile, meta.o_pad), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid_dims = (grid,)
+        out_shape = jax.ShapeDtypeStruct((grid * tile, meta.o_pad), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (tile, meta.o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     out = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        out_shape=jax.ShapeDtypeStruct((grid * tile, meta.o_pad), jnp.float32),
+        grid=grid_dims,
+        out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tile, meta.o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             *scratches,
             pltpu.SemaphoreType.DMA(()),
@@ -367,6 +393,8 @@ def _fused_call(
             transcendentals=grid * tile * meta.hs,
         ),
     )(data, *operands)
+    if batched:
+        return out[:, :n_evals, : spec.net.outputs]
     return out[:n_evals, : spec.net.outputs]
 
 
@@ -446,16 +474,44 @@ def fused_batch_offline_outputs(
     xs: jax.Array,
     tile: int = 256,
     interpret: bool = False,
-    input_mode: str = "raw",
+    fast: bool = False,
 ) -> jax.Array:
     """[C, n] streams through one shared net -> [C, E, outputs].
 
-    vmap over the fused kernel: Pallas lifts the batch axis into a leading
-    grid dimension, so all channels run in one kernel launch — the
-    1024+-concurrent-detector-channels deployment shape.
+    The channel axis becomes a leading grid dimension of the same kernel, so
+    all channels run in one launch — the 1024+-concurrent-detector-channels
+    deployment shape. (A plain vmap fails Mosaic's ANY-memory-space blocking
+    rule, so the batching is native.)
     """
-    return jax.vmap(
-        lambda x: fused_offline_outputs(
-            spec, params, x, tile=tile, interpret=interpret, input_mode=input_mode
-        )
-    )(xs)
+    if not fusable(spec):
+        from syllable_detector_tpu.models.detector import offline_outputs
+
+        return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+
+    key = (spec, id(params))
+    if key not in _fold_cache or _fold_cache[key][2] is not params:
+        _fold_cache[key] = (*fold_constants(spec, params), params)
+    operands, meta, _ = _fold_cache[key]
+    if fast:
+        meta = meta._replace(fast=True)
+
+    c, n = xs.shape
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    n_evals = f - spec.time_range + 1
+    if n_evals <= 0:
+        return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    grid = max(1, -(-n_evals // tile))
+    _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
+    total_rows = (grid - 1) * tile + rows2d
+    total = total_rows * hop
+    xs = jnp.asarray(xs, jnp.float32)
+    if total > n:
+        xs = jnp.concatenate([xs, jnp.zeros((c, total - n), jnp.float32)], axis=1)
+    data = xs[:, :total].reshape(c, total_rows, hop)
+    if hop_pad != hop:
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, hop_pad - hop)))
+
+    return _fused_call(
+        spec, meta, data, operands, grid, n_evals, tile, interpret, "raw"
+    )
