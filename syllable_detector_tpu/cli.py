@@ -192,6 +192,14 @@ def main(argv=None) -> int:
         )
         return 0
 
+    if args.method == "fused":
+        print(
+            "--method fused requires --batched (the fused kernel runs the "
+            "whole corpus in one launch).",
+            file=sys.stderr,
+        )
+        return 1
+
     multiple = len(args.audio) > 1
     for audio_path in args.audio:
         if multiple:

@@ -160,3 +160,11 @@ def test_module_dispatcher(capsys):
     assert "detect" in capsys.readouterr().out
     assert dispatch(["inspect", "-n", "/root/reference/sample.txt"]) == 0
     assert "fused-kernel ready" in capsys.readouterr().out
+
+
+def test_fused_method_requires_batched(capsys):
+    rc = cli_main(
+        ["-n", "/root/reference/sample.txt", "-a", "/tmp/x.wav", "--method", "fused"]
+    )
+    assert rc == 1
+    assert "requires --batched" in capsys.readouterr().err
