@@ -52,7 +52,11 @@ def batch_offline_outputs_shared(
     )(xs)
 
 
-_spec_memo: dict = {}
+from collections import OrderedDict
+
+# bounded LRU so long-lived servers don't accumulate specs for dead configs
+_spec_memo: "OrderedDict" = OrderedDict()
+_SPEC_MEMO_MAX = 16
 
 
 def _spec_cache(cfg: SyllableDetectorConfig):
@@ -64,7 +68,11 @@ def _spec_cache(cfg: SyllableDetectorConfig):
     if hit is None or hit[2] is not cfg:
         spec, params = detector_spec_from_config(cfg)
         _spec_memo[key] = (spec, params, cfg)
+        while len(_spec_memo) > _SPEC_MEMO_MAX:
+            _spec_memo.popitem(last=False)
         hit = _spec_memo[key]
+    else:
+        _spec_memo.move_to_end(key)
     return hit[0], hit[1]
 
 
@@ -135,17 +143,23 @@ def corpus_csv_lines(
 def scan_corpus_files(
     cfg: SyllableDetectorConfig,
     paths: Sequence[str],
-    channel: int = 0,
     debounce_seconds: Optional[float] = None,
     emit=print,
     err=None,
     method: str = "matmul",
 ) -> None:
-    """File-level corpus scan with the CLI's multi-file output contract."""
+    """File-level corpus scan with the CLI's multi-file output contract.
+
+    Every channel of every file becomes one lane of the batch (the reference
+    CLI runs one TrackDetector per audio track, main.swift:86-90). Within a
+    file, detection lines are emitted grouped by channel in channel order —
+    identical to sequential mode for files shorter than its chunk size.
+    """
     import sys
 
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
-    streams = []
+    streams = []  # one entry per (file, channel) lane
+    lanes = []  # (path index, channel)
     good_paths = []
     for p in paths:
         try:
@@ -153,25 +167,41 @@ def scan_corpus_files(
         except (OSError, ValueError) as e:
             err(f"Unable to read {p}: {e}")
             continue
-        stream = np.ascontiguousarray(samples[:, channel])
         if rate != cfg.sampling_rate:
             # polyphase-resample to the net rate before the fused kernel,
             # like the reference's AVAssetReader output settings
             from syllable_detector_tpu.ops.resample import polyphase_resample
 
             err(f"Resampling {p} from {rate} Hz to {cfg.sampling_rate} Hz.")
-            stream = np.asarray(
-                polyphase_resample(stream, rate, cfg.sampling_rate)
+            samples = np.stack(
+                [
+                    np.asarray(
+                        polyphase_resample(
+                            np.ascontiguousarray(samples[:, c]),
+                            rate,
+                            cfg.sampling_rate,
+                        )
+                    )
+                    for c in range(samples.shape[1])
+                ],
+                axis=1,
             )
-        streams.append(stream)
         good_paths.append(p)
+        for c in range(samples.shape[1]):
+            streams.append(np.ascontiguousarray(samples[:, c]))
+            lanes.append((len(good_paths) - 1, c))
     if not streams:
         return
     results = scan_corpus(cfg, streams, method=method)
     debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
     multiple = len(good_paths) > 1
-    for p, outs in zip(good_paths, results):
+    for i, p in enumerate(good_paths):
         if multiple:
             emit(p)
-        for line in corpus_csv_lines(cfg, outs, channel=0, debounce_frames=debounce):
-            emit(line)
+        for (pi, c), outs in zip(lanes, results):
+            if pi != i:
+                continue
+            for line in corpus_csv_lines(
+                cfg, outs, channel=c, debounce_frames=debounce
+            ):
+                emit(line)

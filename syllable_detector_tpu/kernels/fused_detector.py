@@ -398,7 +398,26 @@ def _fused_call(
     return out[:n_evals, : spec.net.outputs]
 
 
-_fold_cache: dict = {}
+from collections import OrderedDict
+
+# bounded LRU so long-lived servers don't accumulate folds for dead configs
+_fold_cache: "OrderedDict" = OrderedDict()
+_FOLD_CACHE_MAX = 16
+
+
+def _folded(spec: DetectorSpec, params: dict):
+    """Memoized fold_constants. The cache holds a strong reference to params
+    so its id cannot be recycled by a different dict after garbage
+    collection; bounded LRU keeps long-lived servers from leaking."""
+    key = (spec, id(params))
+    if key not in _fold_cache or _fold_cache[key][2] is not params:
+        _fold_cache[key] = (*fold_constants(spec, params), params)
+        while len(_fold_cache) > _FOLD_CACHE_MAX:
+            _fold_cache.popitem(last=False)
+    else:
+        _fold_cache.move_to_end(key)
+    operands, meta, _ = _fold_cache[key]
+    return operands, meta
 
 
 def fused_offline_outputs(
@@ -422,12 +441,7 @@ def fused_offline_outputs(
 
         return offline_outputs(spec, params, x)
 
-    # the cache holds a strong reference to params so its id cannot be
-    # recycled by a different dict after garbage collection
-    key = (spec, id(params))
-    if key not in _fold_cache or _fold_cache[key][2] is not params:
-        _fold_cache[key] = (*fold_constants(spec, params), params)
-    operands, meta, _ = _fold_cache[key]
+    operands, meta = _folded(spec, params)
     if fast:
         meta = meta._replace(fast=True)
 
@@ -488,10 +502,7 @@ def fused_batch_offline_outputs(
 
         return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
 
-    key = (spec, id(params))
-    if key not in _fold_cache or _fold_cache[key][2] is not params:
-        _fold_cache[key] = (*fold_constants(spec, params), params)
-    operands, meta, _ = _fold_cache[key]
+    operands, meta = _folded(spec, params)
     if fast:
         meta = meta._replace(fast=True)
 

@@ -243,8 +243,13 @@ def streaming_scan(
     hop = spec.hop
     step_len = chunk_hops * hop
     n = x.shape[0]
-    n_chunks = max(0, (n - r) // step_len)
+    # zero-pad the tail to a whole number of chunks; each eval depends only
+    # on its own sample window, so the padded evals are sliced away below and
+    # the kept rows match offline_outputs(x) exactly
+    n_chunks = max(0, -(-(n - r) // step_len)) if n > r else 0
     usable = r + n_chunks * step_len
+    if usable > n:
+        x = jnp.concatenate([x, jnp.zeros(usable - n, x.dtype)])
     carry = streaming_init(spec, prefix=x[:r] if r else None)
     chunks = x[r:usable].reshape(n_chunks, step_len)
 
@@ -255,8 +260,8 @@ def streaming_scan(
     _, outs = jax.lax.scan(body, carry, chunks)
     outs = outs.reshape(n_chunks * chunk_hops, spec.net.outputs)
     # drop warm-up rows (frames before the feature window fills), and trim to
-    # the eval count the offline path would produce on the same samples
-    f = num_frames(usable, spec.window_length, spec.window_overlap)
+    # the eval count the offline path produces on the original n samples
+    f = num_frames(n, spec.window_length, spec.window_overlap)
     n_evals = max(0, f - spec.time_range + 1)
     return outs[spec.history : spec.history + n_evals]
 

@@ -35,6 +35,7 @@ from syllable_detector_tpu.config.model_format import (
 from syllable_detector_tpu.models.detector import WINDOW
 from syllable_detector_tpu.models.neural_net import NetSpec, apply_net
 from syllable_detector_tpu.ops.processing import specs_to_chain
+from syllable_detector_tpu.ops.scaling import apply_scaling
 from syllable_detector_tpu.ops.stft import (
     frame_signal,
     frequency_index_range,
@@ -112,7 +113,11 @@ def features_and_labels(
         bins=settings.bins,
         kind="magnitude",
     )
-    feats = np.asarray(stack_features(band, settings.time_range))
+    # apply the configured spectrogram scaling so training features match
+    # what detect_features sees at inference (SyllableDetector.swift:183-212)
+    feats = np.asarray(
+        apply_scaling(stack_features(band, settings.time_range), settings.scaling)
+    )
 
     hop = settings.window_length - settings.window_overlap
     gap = -settings.window_overlap if settings.window_overlap < 0 else 0
@@ -228,8 +233,9 @@ def train(
     The output mapminmax (gain 2, yMin -1) maps net outputs from [-1, 1] to
     [0, 1] probabilities, like MATLAB's exported nets (sample.txt:17-20);
     training therefore fits apply_net's post-chain output directly to the
-    0/1 labels. The detection threshold is picked as the
-    ``threshold_quantile`` of the negatives' scores.
+    0/1 labels. The detection threshold is picked by maximizing Youden's J
+    (recall minus false-alarm rate) over a grid of score quantiles
+    (:func:`_pick_threshold`).
     """
     net_spec = _build_net_spec(settings)
     mm_in = fit_mapminmax(features)

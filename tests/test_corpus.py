@@ -64,6 +64,25 @@ def test_scan_corpus_empty(sample_config):
     assert scan_corpus(sample_config, []) == []
 
 
+def test_scan_corpus_files_multichannel(sample_config, tmp_path):
+    """Batched mode runs every channel of a file, like the reference CLI's
+    one-TrackDetector-per-track loop (ADVICE r1: channel-0-only bug)."""
+    rng = np.random.default_rng(11)
+    ch0 = make_audio(rng, seconds=0.5)
+    ch1 = make_audio(rng, seconds=0.5)
+    p = tmp_path / "stereo.wav"
+    write_wav(p, np.stack([ch0, ch1], axis=1), 44100, dtype="float32")
+    lines = []
+    scan_corpus_files(sample_config, [str(p)], emit=lines.append,
+                      err=lambda s: None)
+    got0 = [l for l in lines if l.startswith("0,")]
+    got1 = [l for l in lines if l.startswith("1,")]
+    assert len(got0) + len(got1) == len(lines)
+    assert_csv_close(got0, ref.cli_lines(sample_config, ch0, channel=0))
+    assert_csv_close(got1, ref.cli_lines(sample_config, ch1, channel=1))
+    assert got1, "channel 1 produced no detections; fixture too weak"
+
+
 def test_cli_batched_mode(sample_config, tmp_path, capsys):
     from syllable_detector_tpu.cli import main as cli_main
 

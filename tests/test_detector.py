@@ -125,9 +125,25 @@ def test_streaming_scan_equals_offline(sample_config, rng):
     x = make_audio(rng, seconds=0.7)
     spec, params = detector_spec_from_config(sample_config)
     got = np.asarray(streaming_scan(spec, params, jnp.asarray(x), chunk_hops=8))
-    r = spec.residual
-    hop = spec.hop
-    usable = r + ((len(x) - r) // (8 * hop)) * 8 * hop
-    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x[:usable])))
+    # the trailing partial chunk is processed too: full eval-count parity
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_streaming_scan_partial_tail(sample_config, rng):
+    """Signal lengths that are not a whole number of chunks still produce
+    every evaluation offline_outputs would (ADVICE r1: trailing chunk)."""
+    from syllable_detector_tpu.models.detector import streaming_scan
+
+    spec, params = detector_spec_from_config(sample_config)
+    hop = spec.hop
+    for extra in (1, hop - 1, 3 * hop + 7):
+        n = spec.residual + 8 * hop * 3 + extra
+        x = make_audio(rng, seconds=1.0)[:n]
+        got = np.asarray(
+            streaming_scan(spec, params, jnp.asarray(x), chunk_hops=8)
+        )
+        want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)

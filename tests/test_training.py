@@ -53,6 +53,19 @@ def test_features_and_labels(settings, dataset):
     assert 0 < labels.sum() < len(labels)
 
 
+def test_features_apply_scaling(settings, dataset):
+    """Training features must see the same spectrogram scaling inference
+    applies (ADVICE r1 medium: log/db nets were fit on linear magnitudes)."""
+    import dataclasses
+
+    audio, intervals, feats_lin, _ = dataset
+    log_settings = dataclasses.replace(settings, scaling="log")
+    feats_log, _ = features_and_labels(log_settings, audio, intervals)
+    np.testing.assert_allclose(
+        feats_log, np.log(feats_lin), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_fit_mapminmax(dataset):
     _, _, feats, _ = dataset
     mm = fit_mapminmax(feats)
