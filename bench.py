@@ -96,11 +96,17 @@ def time_scanned(make_fn, x, k_small=2, k_big=12, trials=3):
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
+SWEEP_SLAB = 64  # channels per kernel launch; larger native-batched shapes
+# hit the remote Mosaic compiler's request-size limit, so c > SLAB runs as
+# lax.map over slabs of the one compiled [SLAB, n] kernel
+
+
 def channel_sweep(spec, params, dev):
-    """Optional (--sweep): many-channel batched throughput via the vmapped
-    fused kernel — the 1024+-concurrent-detectors deployment shape. Each
-    channel count is a fresh kernel compile (minutes over a dev tunnel), so
-    this is not part of the default run."""
+    """Optional (--sweep): many-channel batched throughput via the
+    channel-grid fused kernel — the 1024+-concurrent-detectors deployment
+    shape (BASELINE config 5). c <= SWEEP_SLAB launches natively; larger
+    counts reuse the compiled [SWEEP_SLAB, n] kernel via lax.map so only one
+    Mosaic compile is ever needed."""
     from syllable_detector_tpu.kernels.fused_detector import (
         fused_batch_offline_outputs,
     )
@@ -118,10 +124,19 @@ def channel_sweep(spec, params, dev):
             dev,
         )
 
-        def make_fn(xs=xs):
-            def fn(x_unused, carry):
-                outs = fused_batch_offline_outputs(spec, params, xs + carry * 0.0)
-                return outs[-1, -1, 0] + carry
+        def make_fn(xs=xs, c=c):
+            if c <= SWEEP_SLAB:
+                def fn(x_unused, carry):
+                    outs = fused_batch_offline_outputs(spec, params, xs + carry * 0.0)
+                    return outs[-1, -1, 0] + carry
+            else:
+                def fn(x_unused, carry):
+                    slabs = (xs + carry * 0.0).reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
+                    outs = jax.lax.map(
+                        lambda s: fused_batch_offline_outputs(spec, params, s),
+                        slabs,
+                    )
+                    return outs[-1, -1, -1, 0] + carry
 
             return fn
 
@@ -156,6 +171,24 @@ def main():
     x = jax.device_put(x, dev)
 
     tile = 512 if on_tpu else 256
+
+    # --- on-hardware fused-vs-unfused parity (before any timing) -----------
+    # a Mosaic lowering bug must fail the bench loudly, not ship silently
+    try:
+        got = np.asarray(
+            fused_offline_outputs(spec, params, x, tile=tile, input_mode="raw")
+        )
+        want = np.asarray(offline_outputs(spec, params, x))
+        err = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+        max_rel = float(err.max())
+        log(f"fused-vs-unfused parity on device: max rel err {max_rel:.2e} "
+            f"over {got.shape[0]} windows")
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    except AssertionError:
+        raise
+    except Exception as e:  # pragma: no cover - kernel unavailable
+        log(f"parity check skipped (fused path failed): "
+            f"{type(e).__name__}: {str(e)[:150]}")
 
     wps_fused = 0.0
     try:
@@ -212,8 +245,13 @@ def main():
         log(f"unfused baseline failed: {e}")
         wps_unfused = 0.0
 
-    # secondary diagnostic: per-hop streaming latency, 256 channels, 1 hop per
-    # step (the real-time closed-loop path; deadline = hop/fs ~= 3 ms)
+    # secondary diagnostic: per-hop streaming latency, 1 hop per step (the
+    # real-time closed-loop path; deadline = hop/fs ~= 3 ms). Device-side
+    # time is MEASURED with the same scan-slope method as the throughput
+    # numbers: K chained streaming_steps inside one lax.scan (each step's
+    # carry feeds the next, so nothing can be elided), differenced between
+    # two K values — this subtracts dispatch/tunnel cost exactly rather than
+    # inferring it from a separate RTT floor.
     try:
         from syllable_detector_tpu.models.detector import (
             streaming_init,
@@ -221,66 +259,70 @@ def main():
         )
         from syllable_detector_tpu.models.neural_net import stack_params
 
-        c = 256 if on_tpu else 8
-        stacked = jax.device_put(stack_params([params] * c), dev)
-        carry0 = streaming_init(spec)
-        carries = jax.tree.map(lambda a: jnp.stack([a] * c), carry0)
-        carries = jax.device_put(carries, dev)
-        chunk = jnp.zeros((c, hop), jnp.float32)
+        def device_hop_latency(c, k_small=128, k_big=2048, trials=5):
+            # wide K span: the slope must resolve a ~5 us/hop device time
+            # above ~0.5 ms host/tunnel timing noise
+            stacked = jax.device_put(stack_params([params] * c), dev)
+            carry0 = streaming_init(spec)
+            carries = jax.tree.map(lambda a: jnp.stack([a] * c), carry0)
+            carries = jax.device_put(carries, dev)
+            chunk = jnp.zeros((c, hop), jnp.float32)
 
-        @jax.jit
-        def stream_step(carries, chunk):
-            return jax.vmap(lambda p, cr, ch: streaming_step(spec, p, cr, ch))(
-                stacked, carries, chunk
+            def scanned(k):
+                @jax.jit
+                def run(carries):
+                    def body(cs, _):
+                        cs, outs = jax.vmap(
+                            lambda p, cr, ch: streaming_step(spec, p, cr, ch)
+                        )(stacked, cs, chunk)
+                        return cs, None
+
+                    cs, _ = jax.lax.scan(body, carries, None, length=k)
+                    return cs
+
+                return run
+
+            run_small, run_big = scanned(k_small), scanned(k_big)
+            jax.block_until_ready(run_small(carries))
+            jax.block_until_ready(run_big(carries))
+
+            def best(run):
+                times = []
+                for _ in range(trials):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(run(carries))
+                    times.append(time.perf_counter() - t0)
+                return min(times)
+
+            t_small, t_big = best(run_small), best(run_big)
+            return max(t_big - t_small, 1e-9) / (k_big - k_small)
+
+        deadline_ms = hop / spec.sampling_rate * 1e3
+        for c in ((1, 256) if on_tpu else (1, 8)):
+            dt_hop = device_hop_latency(c)
+            log(
+                f"streaming per-hop device-side latency ({c} ch, scan-slope): "
+                f"{dt_hop*1e3:.4f} ms/hop (deadline {deadline_ms:.2f} ms, "
+                f"{deadline_ms/(dt_hop*1e3):,.0f}x headroom)"
             )
-
-        carries, outs = stream_step(carries, chunk)
-        jax.block_until_ready(outs)
-        lat = []
-        for _ in range(100):
-            t0 = time.perf_counter()
-            carries, outs = stream_step(carries, chunk)  # carry chains calls
-            jax.block_until_ready(outs)
-            lat.append(time.perf_counter() - t0)
-        lat_ms = np.asarray(lat) * 1e3
-
-        # round-trip floor: a trivial synchronous call through the same
-        # dispatch path, to separate host<->device transport latency from the
-        # detection math (a tunneled dev chip adds tens of ms that a locally
-        # attached chip does not)
-        tiny = jax.jit(lambda v: v + 1.0)
-        v = jnp.float32(0)
-        v = tiny(v)
-        jax.block_until_ready(v)
-        floor = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            v = tiny(v)
-            jax.block_until_ready(v)
-            floor.append(time.perf_counter() - t0)
-        floor_ms = float(np.percentile(np.asarray(floor) * 1e3, 50))
-
-        p50 = float(np.percentile(lat_ms, 50))
-        log(
-            f"streaming per-hop latency ({c} ch): p50 {p50:.3f} ms, "
-            f"p99 {np.percentile(lat_ms,99):.3f} ms; dispatch RTT floor "
-            f"{floor_ms:.3f} ms -> device-side ~{max(p50-floor_ms,0):.3f} ms "
-            f"(deadline {hop/44100*1e3:.2f} ms)"
-        )
     except Exception as e:  # pragma: no cover
         log(f"streaming latency measurement failed: {type(e).__name__}: {str(e)[:150]}")
 
     if "--sweep" in sys.argv and on_tpu:
         channel_sweep(spec, params, dev)
 
+    # headline = best full-fidelity (fp32-precision) path; fused and unfused
+    # are reported separately so the label is honest about which path won
     value = max(wps_fused, wps_unfused)
     print(
         json.dumps(
             {
-                "metric": "fused_stft_mlp_detection_throughput_per_chip",
+                "metric": "stft_mlp_detection_throughput_per_chip",
                 "value": round(value, 1),
                 "unit": "windows/s",
                 "vs_baseline": round(value / NORTH_STAR, 4),
+                "fused": round(wps_fused, 1),
+                "unfused": round(wps_unfused, 1),
             }
         )
     )

@@ -1,0 +1,105 @@
+"""A/B harness for fused-kernel variants on real TPU hardware.
+
+Times each (packed, split) combination of the fused kernel plus the unfused
+XLA baseline with bench.py's scan-slope method, and checks on-device parity
+for each variant. Usage:  python scripts/ab_kernel.py [variant ...]
+where variant is one of: default, packed, split, old, fast, unfused, frames.
+No args = all.
+"""
+
+import os
+import sys
+
+os.makedirs(os.path.expanduser("~/.cache/syllable_detector_tpu/xla"), exist_ok=True)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/syllable_detector_tpu/xla"),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import make_audio, time_scanned
+from syllable_detector_tpu.config.model_format import load_config
+from syllable_detector_tpu.kernels.fused_detector import fused_offline_outputs
+from syllable_detector_tpu.models.detector import (
+    detector_spec_from_config,
+    offline_outputs,
+)
+
+VARIANTS = {
+    # name -> kwargs for fused_offline_outputs (None = unfused baseline)
+    "default": dict(),                             # packed + split (new)
+    "packed": dict(split=False),                   # packed, fp32 HIGHEST
+    "split": dict(packed=False),                   # two lane blocks, split3
+    "old": dict(packed=False, split=False),        # round-1 kernel
+    "fast": dict(fast=True),                       # 1-pass bf16 diagnostic
+    "frames": dict(input_mode="frames"),           # XLA pre-gathered frames
+    "unfused": None,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    cfg = load_config("/root/reference/sample.txt")
+    spec, params = detector_spec_from_config(cfg)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    n_evals = 1 << 17
+    hop = spec.hop
+    n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
+    x = jax.device_put(jnp.asarray(make_audio(n)), dev)
+    tile = 512
+
+    want = None
+    results = {}
+    for name in names:
+        kw = VARIANTS[name]
+        try:
+            if kw is None:
+                def make_fn():
+                    def fn(x, carry):
+                        out = offline_outputs(spec, params, x + carry * 0.0)
+                        return out[-1, 0] + carry
+                    return fn
+                got = np.asarray(offline_outputs(spec, params, x))
+                want = got
+            else:
+                def make_fn(kw=kw):
+                    def fn(x, carry):
+                        out = fused_offline_outputs(
+                            spec, params, x + carry * 0.0, tile=tile, **kw
+                        )
+                        return out[-1, 0] + carry
+                    return fn
+                got = np.asarray(
+                    fused_offline_outputs(spec, params, x, tile=tile, **kw)
+                )
+            if want is None:
+                want = np.asarray(offline_outputs(spec, params, x))
+            rel = float(
+                (np.abs(got - want) / np.maximum(np.abs(want), 1e-3)).max()
+            )
+            dt = time_scanned(make_fn, x)
+            wps = n_evals / dt
+            results[name] = wps
+            print(
+                f"{name:8s}: {dt*1e3:8.3f} ms/iter -> {wps:12,.0f} windows/s "
+                f"(max rel err vs unfused {rel:.2e})",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{name:8s}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    if "unfused" in results:
+        base = results["unfused"]
+        for name, wps in results.items():
+            print(f"{name:8s}: {wps/base:.3f}x vs unfused", flush=True)
+
+
+if __name__ == "__main__":
+    main()

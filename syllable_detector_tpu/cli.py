@@ -69,7 +69,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=("matmul", "rfft", "fused"),
         default="matmul",
         help="Spectral backend (default: GEMM-native band DFT; 'fused' = "
-        "Pallas kernel, --batched only).",
+        "the Pallas detection kernel).",
     )
     p.add_argument(
         "--batched",
@@ -191,14 +191,6 @@ def main(argv=None) -> int:
             method=args.method,
         )
         return 0
-
-    if args.method == "fused":
-        print(
-            "--method fused requires --batched (the fused kernel runs the "
-            "whole corpus in one launch).",
-            file=sys.stderr,
-        )
-        return 1
 
     multiple = len(args.audio) > 1
     for audio_path in args.audio:

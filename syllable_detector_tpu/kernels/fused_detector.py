@@ -63,6 +63,10 @@ class FusedMeta(NamedTuple):
     o_pad: int      # final output width padded to 8 lanes
     has_l2: bool
     fast: bool = False  # bf16 MXU passes (~1e-2 rel err) instead of fp32
+    packed: bool = False  # re+im share ONE 128-lane block (b <= 64)
+    split: bool = True  # 3-pass bf16-split GEMMs (~1e-5 rel err) instead of
+    #                     6-pass fp32-HIGHEST — half the MXU time at full
+    #                     fidelity-contract precision
 
 
 def fusable(spec: DetectorSpec) -> bool:
@@ -84,25 +88,41 @@ def fusable(spec: DetectorSpec) -> bool:
     return spec.scaling in ("linear", "log", "db")
 
 
-def fold_constants(spec: DetectorSpec, params: dict):
+def fold_constants(spec: DetectorSpec, params: dict, pack: bool | None = None):
     """Precompute the kernel's constant operands (lane-padded float32).
 
     Returns (operands tuple, FusedMeta): operands are
     (c_packed, w1g, c1, mid_w0, mid_b0, ..., out_a, out_c).
+    ``pack`` overrides the automatic re+im single-lane-block layout choice.
     """
     assert fusable(spec)
     b = spec.n_bins
     t_range = spec.time_range
     window = spec.window_length
 
-    # re and im packed into one matrix as two 128-aligned lane blocks, so the
-    # whole windowed band DFT is a single MXU contraction and the re/im
-    # slices stay relayout-free
-    b_pad = _round_up(b, LANE)
-    c_re, c_im = band_dft_matrices(spec.fourier_length, window, WINDOW, spec.bins)
-    c_packed = np.zeros((window, 2 * b_pad), np.float32)
-    c_packed[:, :b] = c_re
-    c_packed[:, b_pad : b_pad + b] = c_im
+    packed = pack if pack is not None else (b <= LANE // 2)
+    assert not packed or b <= LANE // 2
+    if packed:
+        # re and im share ONE 128-lane block (re at lanes [0, b), im at
+        # lanes [64, 64+b)) — halves the dominant DFT GEMM's N dimension;
+        # the kernel merges re^2+im^2 with a 64-lane roll
+        b_pad = LANE
+        c_re, c_im = band_dft_matrices(
+            spec.fourier_length, window, WINDOW, spec.bins
+        )
+        c_packed = np.zeros((window, LANE), np.float32)
+        c_packed[:, :b] = c_re
+        c_packed[:, LANE // 2 : LANE // 2 + b] = c_im
+    else:
+        # re and im as two 128-aligned lane blocks so the slices stay
+        # relayout-free
+        b_pad = _round_up(b, LANE)
+        c_re, c_im = band_dft_matrices(
+            spec.fourier_length, window, WINDOW, spec.bins
+        )
+        c_packed = np.zeros((window, 2 * b_pad), np.float32)
+        c_packed[:, :b] = c_re
+        c_packed[:, b_pad : b_pad + b] = c_im
 
     # fold the affine input chain into per-feature scale/shift
     d = t_range * b
@@ -174,7 +194,8 @@ def fold_constants(spec: DetectorSpec, params: dict):
         operands += [wp, bp]
     operands += [out_a, out_c]
     meta = FusedMeta(
-        n_mids=len(mids), b=b, b_pad=b_pad, hs=hs, o_pad=o_pad, has_l2=has_l2
+        n_mids=len(mids), b=b, b_pad=b_pad, hs=hs, o_pad=o_pad,
+        has_l2=has_l2, packed=packed,
     )
     return tuple(operands), meta
 
@@ -227,14 +248,46 @@ def _make_kernel(
     if input_mode == "raw":
         _, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
 
-    # full fp32 matmul passes by default: Mosaic supports only DEFAULT
-    # (bf16) and HIGHEST; bf16's ~1e-2 relative error is outside the
-    # fidelity contract but available as an opt-in fast path
+    # precision ladder for the two big GEMMs (DFT + conv filter bank):
+    #   fast  -> 1-pass bf16 (~1e-2 rel err, opt-in diagnostic only)
+    #   split -> 3-pass bf16 hi/lo decomposition (~1e-5 rel err; the tf32x3
+    #            analogue — x@C ~= xh@Ch + xh@Cl + xl@Ch, each pass bf16 on
+    #            the MXU with fp32 accumulate). Half the MXU passes of
+    #            HIGHEST at precision well inside the 1e-3 contract.
+    #   else  -> 6-pass fp32 HIGHEST (Mosaic supports only DEFAULT/HIGHEST)
     prec = (
         jax.lax.Precision.DEFAULT if meta.fast else jax.lax.Precision.HIGHEST
     )
+    use_split = meta.split and not meta.fast
 
-    def kernel(frames_hbm, c_packed, w1g, c1, *rest):
+    def split_dot(x, c_hi, c_lo):
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (
+            jnp.dot(x_hi, c_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, c_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_lo, c_hi, preferred_element_type=jnp.float32)
+        )
+
+    def big_dot(x, c):
+        """x @ c at the configured precision; c is (hi, lo) when splitting."""
+        if use_split:
+            return split_dot(x, c[0], c[1])
+        return jnp.dot(x, c, preferred_element_type=jnp.float32, precision=prec)
+
+    def kernel(frames_hbm, *args):
+        if use_split:
+            c_hi, c_lo, w1g_hi, w1g_lo, c1 = args[:5]
+            rest = args[5:]
+            c_slice = lambda lo, hi: (c_hi[lo:hi, :], c_lo[lo:hi, :])
+            c_full = lambda: (c_hi[:], c_lo[:])
+            w1g_full = lambda: (w1g_hi[:], w1g_lo[:])
+        else:
+            c_packed, w1g, c1 = args[:3]
+            rest = args[3:]
+            c_slice = lambda lo, hi: c_packed[lo:hi, :]
+            c_full = lambda: c_packed[:]
+            w1g_full = lambda: w1g[:]
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
         out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
@@ -258,13 +311,12 @@ def _make_kernel(
             # columns, so frames @ C = sum_j part_j @ C[rows of part j] —
             # the band DFT decomposes into one GEMM per slab part, read
             # directly from the (sublane-shifted) slab slices
-            big = jnp.zeros((tile + halo, 2 * meta.b_pad), jnp.float32)
+            n_big = meta.b_pad if meta.packed else 2 * meta.b_pad
+            big = jnp.zeros((tile + halo, n_big), jnp.float32)
             for j, (lo, hi, clo) in enumerate(parts):
-                big = big + jnp.dot(
+                big = big + big_dot(
                     fvmem[j : j + tile + halo, clo : clo + (hi - lo)],
-                    c_packed[lo:hi, :],
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
+                    c_slice(lo, hi),
                 )
         else:
             copy = pltpu.make_async_copy(
@@ -275,14 +327,20 @@ def _make_kernel(
             copy.start()
             copy.wait()
             f = fvmem[pl.ds(0, tile + halo), :]
-            # one GEMM computes re and im as two 128-aligned lane blocks
-            big = jnp.dot(
-                f, c_packed[:], preferred_element_type=jnp.float32, precision=prec
-            )
-        b_pad = meta.b_pad
-        re = big[:, :b_pad]
-        im = big[:, b_pad:]
-        sq = re * re + im * im
+            # one GEMM computes re and im lane blocks together
+            big = big_dot(f, c_full())
+
+        if meta.packed:
+            # re at lanes [0, b), im at lanes [64, 64+b): one 64-lane roll
+            # merges re^2 + im^2 (lanes >= 64 hold a duplicate of [0, 64),
+            # which the zero rows of w1g annihilate)
+            sq0 = big * big
+            sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+        else:
+            b_pad = meta.b_pad
+            re = big[:, :b_pad]
+            im = big[:, b_pad:]
+            sq = re * re + im * im
         mag = jnp.sqrt(sq)
 
         # spectrogram scaling (SyllableDetector.swift:183-212); padded bins
@@ -298,11 +356,14 @@ def _make_kernel(
             scaled = jnp.where(lane_ids < meta.b, s, 0.0)
 
         # all T conv taps in one GEMM; tap t lives in 8-lane block t
-        conv = jnp.dot(
-            scaled, w1g[:], preferred_element_type=jnp.float32, precision=prec
-        )  # [rows, T*hs]
+        conv = big_dot(scaled, w1g_full())  # [rows, T*hs]
         if meta.has_l2:
-            rowsq = jnp.sum(scaled * scaled, axis=1, keepdims=True)  # [rows, 1]
+            if scaling == "linear" and meta.packed:
+                # scaled's duplicate im lanes would double-count; sq0 holds
+                # exactly re^2+im^2 summed over the packed lanes
+                rowsq = jnp.sum(sq0, axis=1, keepdims=True)
+            else:
+                rowsq = jnp.sum(scaled * scaled, axis=1, keepdims=True)
 
         hs = meta.hs
         acc = jnp.zeros((tile, hs), jnp.float32)
@@ -343,6 +404,19 @@ def _fused_call(
 ):
     halo = spec.time_range - 1
     window = spec.window_length
+
+    if meta.split and not meta.fast:
+        # pre-split the two big GEMM constants into bf16 hi/lo halves once
+        # per launch (outside the kernel, so grid programs reuse them)
+        def hi_lo(c):
+            c = jnp.asarray(c, jnp.float32)
+            hi = c.astype(jnp.bfloat16)
+            lo = (c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        c_hi, c_lo = hi_lo(operands[0])
+        w_hi, w_lo = hi_lo(operands[1])
+        operands = (c_hi, c_lo, w_hi, w_lo, *operands[2:])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands
@@ -405,13 +479,13 @@ _fold_cache: "OrderedDict" = OrderedDict()
 _FOLD_CACHE_MAX = 16
 
 
-def _folded(spec: DetectorSpec, params: dict):
+def _folded(spec: DetectorSpec, params: dict, pack: bool | None = None):
     """Memoized fold_constants. The cache holds a strong reference to params
     so its id cannot be recycled by a different dict after garbage
     collection; bounded LRU keeps long-lived servers from leaking."""
-    key = (spec, id(params))
+    key = (spec, id(params), pack)
     if key not in _fold_cache or _fold_cache[key][2] is not params:
-        _fold_cache[key] = (*fold_constants(spec, params), params)
+        _fold_cache[key] = (*fold_constants(spec, params, pack=pack), params)
         while len(_fold_cache) > _FOLD_CACHE_MAX:
             _fold_cache.popitem(last=False)
     else:
@@ -425,25 +499,34 @@ def fused_offline_outputs(
     params: dict,
     x: jax.Array,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
     input_mode: str = "raw",
     fast: bool = False,
+    split: bool | None = None,
+    packed: bool | None = None,
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
     ``input_mode='raw'`` (default) ships raw samples to the kernel and
     rebuilds the overlapping windows in VMEM — no HBM frames matrix at all;
-    ``'frames'`` pre-gathers hop-strided windows with XLA. Falls back to the
-    unfused XLA path for unsupported configs.
+    ``'frames'`` pre-gathers hop-strided windows with XLA. ``split``/
+    ``packed`` override the GEMM precision ladder and re+im lane packing
+    (for A/B benchmarking). ``interpret=None`` auto-selects interpret mode
+    on CPU backends (Mosaic is TPU-only). Falls back to the unfused XLA
+    path for unsupported configs.
     """
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
 
         return offline_outputs(spec, params, x)
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform == "cpu"
 
-    operands, meta = _folded(spec, params)
+    operands, meta = _folded(spec, params, pack=packed)
     if fast:
         meta = meta._replace(fast=True)
+    if split is not None:
+        meta = meta._replace(split=split)
 
     n = x.shape[0]
     f = num_frames(n, spec.window_length, spec.window_overlap)
@@ -487,8 +570,10 @@ def fused_batch_offline_outputs(
     params: dict,
     xs: jax.Array,
     tile: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
     fast: bool = False,
+    split: bool | None = None,
+    packed: bool | None = None,
 ) -> jax.Array:
     """[C, n] streams through one shared net -> [C, E, outputs].
 
@@ -501,10 +586,14 @@ def fused_batch_offline_outputs(
         from syllable_detector_tpu.models.detector import offline_outputs
 
         return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform == "cpu"
 
-    operands, meta = _folded(spec, params)
+    operands, meta = _folded(spec, params, pack=packed)
     if fast:
         meta = meta._replace(fast=True)
+    if split is not None:
+        meta = meta._replace(split=split)
 
     c, n = xs.shape
     f = num_frames(n, spec.window_length, spec.window_overlap)

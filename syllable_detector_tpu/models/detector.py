@@ -314,6 +314,11 @@ class Detector:
     def __init__(self, cfg: SyllableDetectorConfig, method: str = "matmul"):
         self.config = cfg
         self.spec, self.params = detector_spec_from_config(cfg)
+        if method == "fused":
+            from syllable_detector_tpu.kernels.fused_detector import fusable
+
+            if not fusable(self.spec):
+                method = "matmul"  # same fallback the offline fused path takes
         self.method = method
         self._residual = np.zeros(0, np.float32)
         self._history = jnp.zeros((self.spec.history, self.spec.n_bins), jnp.float32)
@@ -337,6 +342,8 @@ class Detector:
         rule (SyllableDetector.swift:164-178).
         """
         spec = self.spec
+        if self.method == "fused":
+            return self._drain_fused()
         buf = self._residual
         f = num_frames(len(buf), spec.window_length, spec.window_overlap)
         if f == 0:
@@ -386,6 +393,52 @@ class Detector:
         skip = max(0, spec.history - self._frames_seen)
         self._frames_seen += f
         outs = outs[skip:]
+        if len(outs):
+            self.last_outputs = outs[-1]
+        return outs
+
+    def _drain_fused(self) -> np.ndarray:
+        """Streaming drain through the fused Pallas kernel.
+
+        The kernel consumes raw samples and needs timeRange frames of context
+        per evaluation, so instead of carrying band-frame history the buffer
+        retains the last (timeRange-1) hops of *samples* after each drain —
+        the next drain's evaluations then start exactly where this one
+        stopped. Sample lengths are bucketed so device kernels compile once
+        per bucket.
+        """
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fused_offline_outputs,
+        )
+
+        spec = self.spec
+        t = spec.time_range
+        hop = spec.hop
+        gap, _ = normalize_overlap(spec.window_overlap)
+        buf = self._residual
+        f = num_frames(len(buf), spec.window_length, spec.window_overlap)
+        n_new = f - (t - 1)
+        if n_new <= 0:
+            return np.zeros((0, spec.net.outputs), np.float32)
+
+        chunks = []
+        while n_new > 0:
+            take = min(n_new, _FRAME_BUCKETS[-1])
+            bucket = next(b for b in _FRAME_BUCKETS if b >= take)
+            # samples for `bucket` evals = bucket + t - 1 frames
+            need = (bucket + t - 2) * hop + gap + spec.window_length
+            samples = np.zeros(need, np.float32)
+            m = min(len(buf), need)
+            samples[:m] = buf[:m]
+            outs = np.asarray(
+                fused_offline_outputs(spec, self.params, jnp.asarray(samples))
+            )[:take]
+            chunks.append(outs)
+            buf = buf[take * hop :]
+            n_new -= take
+        self._residual = buf
+        self._frames_seen += sum(len(c) for c in chunks)
+        outs = np.concatenate(chunks, axis=0)
         if len(outs):
             self.last_outputs = outs[-1]
         return outs

@@ -162,9 +162,22 @@ def test_module_dispatcher(capsys):
     assert "fused-kernel ready" in capsys.readouterr().out
 
 
-def test_fused_method_requires_batched(capsys):
+def test_fused_method_unbatched(sample_config, tmp_path, capsys):
+    """--method fused now runs the sequential (per-track streaming) path via
+    Detector(method='fused') and must match the oracle."""
+    import reference_impl as ref
+    from syllable_detector_tpu.utils.wav import write_wav
+    from test_detector import make_audio
+
+    rng = np.random.default_rng(21)
+    x = make_audio(rng, seconds=0.4)
+    p = tmp_path / "f.wav"
+    write_wav(p, x, 44100, dtype="float32")
     rc = cli_main(
-        ["-n", "/root/reference/sample.txt", "-a", "/tmp/x.wav", "--method", "fused"]
+        ["-n", "/root/reference/sample.txt", "-a", str(p), "--method", "fused"]
     )
-    assert rc == 1
-    assert "requires --batched" in capsys.readouterr().err
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
+    want = ref.cli_lines(sample_config, x)
+    assert len(want) > 0
+    assert_csv_close(out, want)

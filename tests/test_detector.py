@@ -74,13 +74,14 @@ def test_streaming_step_equals_offline(sample_config, rng):
     np.testing.assert_allclose(got[: len(want)], want, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("method", ["matmul", "fused"])
 @pytest.mark.parametrize("chunk_size", [173, 1024, 8000, 10**9])
-def test_host_detector_chunk_invariance(sample_config, rng, chunk_size):
+def test_host_detector_chunk_invariance(sample_config, rng, chunk_size, method):
     x = make_audio(rng, seconds=0.5)
     spec, params = detector_spec_from_config(sample_config)
     want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
 
-    det = Detector(sample_config)
+    det = Detector(sample_config, method=method)
     outs = []
     for start in range(0, len(x), chunk_size):
         det.append_audio_data(x[start : start + chunk_size])

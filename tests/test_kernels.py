@@ -32,11 +32,19 @@ def test_fold_constants_shapes(sample_config):
     spec, params = detector_spec_from_config(sample_config)
     operands, meta = fold_constants(spec, params)
     c_packed, w1g, c1 = operands[:3]
-    # re | im packed as two 128-lane blocks; conv bank = one [bins, T*hs] GEMM
-    assert c_packed.shape == (256, 256)
+    # 29 bins fit a single 128-lane block: re at lanes [0,29), im at [64,93);
+    # conv bank = one [bins, T*hs] GEMM
+    assert meta.packed
+    assert c_packed.shape == (256, 128)
+    assert np.count_nonzero(c_packed[:, 29:64]) == 0
+    assert np.count_nonzero(c_packed[:, 64 + 29 :]) == 0
     assert w1g.shape == (128, 10 * 8)
     assert c1.shape == (1, 8)
     assert meta.n_mids == 1 and meta.b == 29 and meta.has_l2 and meta.hs == 8
+
+    # the two-lane-block layout is still available for wide bands / A-B tests
+    operands2, meta2 = fold_constants(spec, params, pack=False)
+    assert not meta2.packed and operands2[0].shape == (256, 256)
 
 
 def test_fused_matches_unfused(sample_config, audio):
@@ -57,6 +65,26 @@ def test_fused_scalings(sample_config, audio, scaling):
     got = np.asarray(
         fused_offline_outputs(spec, params, jnp.asarray(audio), interpret=True)
     )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("scaling", ["linear", "log"])
+def test_fused_variants(sample_config, audio, packed, split, scaling):
+    """Every (re+im lane packing) x (GEMM precision ladder) combination must
+    match the unfused oracle; 'linear'+packed exercises the sq0 l2 rowsum,
+    'log'+packed the masked duplicate lanes."""
+    cfg = dataclasses.replace(sample_config, scaling=scaling)
+    spec, params = detector_spec_from_config(cfg)
+    want = np.asarray(offline_outputs(spec, params, jnp.asarray(audio)))
+    got = np.asarray(
+        fused_offline_outputs(
+            spec, params, jnp.asarray(audio), interpret=True,
+            packed=packed, split=split,
+        )
+    )
+    assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
 
 

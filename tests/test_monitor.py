@@ -1,0 +1,87 @@
+"""End-to-end monitor CLI: the headless equivalent of the reference GUI's
+processor window (channel table at 10 Hz + TTL outputs,
+ViewControllerProcessor.swift:57, 110-154, 278-284)."""
+
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.monitor import main as monitor_main
+from syllable_detector_tpu.utils.wav import write_wav
+
+NET = "/root/reference/sample.txt"
+
+
+@pytest.fixture(scope="module")
+def chirp_wav(tmp_path_factory):
+    """2-7 kHz gated chirp that trips the sample net."""
+    rate = 44100
+    n = int(1.0 * rate)
+    rng = np.random.default_rng(3)
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / rate
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(phase) + 0.02 * rng.standard_normal(n)
+    x = (x * (0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0))).astype(np.float32)
+    p = tmp_path_factory.mktemp("monitor") / "chirp.wav"
+    write_wav(p, x, rate, dtype="float32")
+    return str(p)
+
+
+def test_monitor_audio_output(chirp_wav, capsys):
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "2", "--duration", "1.0"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    # channel table with header and per-channel level rows
+    assert lines[0].split() == ["chan", "in", "RMS", "max", "out"]
+    rows0 = [l for l in lines if l.strip().startswith("0 ")]
+    rows1 = [l for l in lines if l.strip().startswith("1 ")]
+    assert rows0 and rows1
+    # levels become non-zero once audio flows (RMS col), like the GUI meters
+    assert any(float(r.split()[1]) > 0 for r in rows0)
+    # the chirp trips the detector on both channels and fires TTL events
+    det_line = next(l for l in lines if l.startswith("detections per channel"))
+    dets = eval(det_line.split(":", 1)[1])
+    assert len(dets) == 2 and all(d > 0 for d in dets)
+    ttl_line = next(l for l in lines if l.startswith("TTL events"))
+    assert int(ttl_line.split(":", 1)[1]) > 0
+
+
+def test_monitor_arduino_output(chirp_wav, capsys):
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--output", "arduino", "--duration", "0.6"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    ev_line = next(
+        l for l in out.splitlines() if l.startswith("Arduino events")
+    )
+    assert int(ev_line.split(":", 1)[1]) > 0
+
+
+def test_monitor_synthetic_source(capsys):
+    """No -a: synthetic per-channel tones still drive the table."""
+    rc = monitor_main(["-n", NET, "--duration", "0.4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "detections per channel" in out
+
+
+def test_monitor_list_devices(capsys):
+    rc = monitor_main(["--list-devices"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.strip()  # prints either registered devices or the empty notice
+
+
+def test_monitor_missing_net(capsys):
+    with pytest.raises(SystemExit):
+        monitor_main([])
+
+
+def test_monitor_bad_net(tmp_path, capsys):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("samplingRate = nope\n")
+    rc = monitor_main(["-n", str(bad), "--duration", "0.1"])
+    assert rc == 1
