@@ -14,6 +14,10 @@ COMMANDS = {
     "sim": ("syllable_detector_tpu.sim", "render a detection-signal WAV"),
     "monitor": ("syllable_detector_tpu.monitor", "live multi-channel monitor"),
     "inspect": ("syllable_detector_tpu.inspect_net", "summarize a network file"),
+    "dist-scan": (
+        "syllable_detector_tpu.dist_scan",
+        "multi-host corpus scan (jax.distributed, sharded file list)",
+    ),
 }
 
 

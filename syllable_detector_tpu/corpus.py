@@ -147,8 +147,11 @@ def scan_corpus_files(
     emit=print,
     err=None,
     method: str = "matmul",
+    headers: Optional[bool] = None,
 ) -> None:
     """File-level corpus scan with the CLI's multi-file output contract.
+    ``headers`` forces (or suppresses) per-file path header lines; None =
+    the CLI default, emit them only when scanning more than one file.
 
     Every channel of every file becomes one lane of the batch (the reference
     CLI runs one TrackDetector per audio track, main.swift:86-90). Within a
@@ -194,7 +197,7 @@ def scan_corpus_files(
         return
     results = scan_corpus(cfg, streams, method=method)
     debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
-    multiple = len(good_paths) > 1
+    multiple = len(good_paths) > 1 if headers is None else headers
     for i, p in enumerate(good_paths):
         if multiple:
             emit(p)

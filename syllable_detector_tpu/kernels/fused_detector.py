@@ -277,15 +277,26 @@ def _make_kernel(
 
     def kernel(frames_hbm, *args):
         if use_split:
-            c_hi, c_lo, w1g_hi, w1g_lo, c1 = args[:5]
-            rest = args[5:]
-            c_slice = lambda lo, hi: (c_hi[lo:hi, :], c_lo[lo:hi, :])
-            c_full = lambda: (c_hi[:], c_lo[:])
+            # raw mode ships the DFT matrix pre-sliced per part: bf16 arrays
+            # sliced/cast at odd sublane offsets mis-lower on hardware, so
+            # every bf16 operand here is read whole and already aligned
+            if input_mode == "raw":
+                np_ = len(parts)
+                c_parts = [
+                    (args[2 * j], args[2 * j + 1]) for j in range(np_)
+                ]
+                w1g_hi, w1g_lo, c1 = args[2 * np_ : 2 * np_ + 3]
+                rest = args[2 * np_ + 3 :]
+                c_part = lambda j: (c_parts[j][0][:], c_parts[j][1][:])
+            else:
+                c_hi, c_lo, w1g_hi, w1g_lo, c1 = args[:5]
+                rest = args[5:]
+                c_full = lambda: (c_hi[:], c_lo[:])
             w1g_full = lambda: (w1g_hi[:], w1g_lo[:])
         else:
             c_packed, w1g, c1 = args[:3]
             rest = args[3:]
-            c_slice = lambda lo, hi: c_packed[lo:hi, :]
+            c_part = lambda j: c_packed[parts[j][0] : parts[j][1], :]
             c_full = lambda: c_packed[:]
             w1g_full = lambda: w1g[:]
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
@@ -309,15 +320,23 @@ def _make_kernel(
             copy.wait()
             # frames never materialize: frames = concat_j(part_j) along
             # columns, so frames @ C = sum_j part_j @ C[rows of part j] —
-            # the band DFT decomposes into one GEMM per slab part, read
-            # directly from the (sublane-shifted) slab slices
+            # the band DFT decomposes into one GEMM per slab part. When
+            # splitting, the part GEMMs run over the full (aligned) slab and
+            # the one-row part shift moves to the fp32 GEMM *output* —
+            # sublane-offset slices are only safe in fp32 on hardware.
             n_big = meta.b_pad if meta.packed else 2 * meta.b_pad
             big = jnp.zeros((tile + halo, n_big), jnp.float32)
             for j, (lo, hi, clo) in enumerate(parts):
-                big = big + big_dot(
-                    fvmem[j : j + tile + halo, clo : clo + (hi - lo)],
-                    c_slice(lo, hi),
-                )
+                if use_split:
+                    bigj = big_dot(
+                        fvmem[0:rows2d, clo : clo + (hi - lo)], c_part(j)
+                    )
+                    big = big + bigj[j : j + tile + halo]
+                else:
+                    big = big + big_dot(
+                        fvmem[j : j + tile + halo, clo : clo + (hi - lo)],
+                        c_part(j),
+                    )
         else:
             copy = pltpu.make_async_copy(
                 src.at[pl.ds(i * tile, rows)],
@@ -407,16 +426,24 @@ def _fused_call(
 
     if meta.split and not meta.fast:
         # pre-split the two big GEMM constants into bf16 hi/lo halves once
-        # per launch (outside the kernel, so grid programs reuse them)
+        # per launch (outside the kernel, so grid programs reuse them). In
+        # raw mode the DFT matrix is additionally pre-sliced per slab part:
+        # bf16 slices at odd sublane offsets mis-lower on hardware.
         def hi_lo(c):
             c = jnp.asarray(c, jnp.float32)
             hi = c.astype(jnp.bfloat16)
             lo = (c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, lo
 
-        c_hi, c_lo = hi_lo(operands[0])
+        if input_mode == "raw":
+            parts = _raw_geometry(spec, tile)[6]
+            c_ops = []
+            for lo_row, hi_row, _ in parts:
+                c_ops.extend(hi_lo(operands[0][lo_row:hi_row]))
+        else:
+            c_ops = list(hi_lo(operands[0]))
         w_hi, w_lo = hi_lo(operands[1])
-        operands = (c_hi, c_lo, w_hi, w_lo, *operands[2:])
+        operands = (*c_ops, w_hi, w_lo, *operands[2:])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands

@@ -65,6 +65,12 @@ def main(argv=None) -> int:
     if args.list_devices:
         from syllable_detector_tpu.runtime.audio_io import list_devices
 
+        try:  # real hardware (Linux): ALSA PCMs join the registry
+            from syllable_detector_tpu.runtime.alsa import register_alsa_devices
+
+            register_alsa_devices()
+        except Exception:  # enumeration must never break the listing
+            pass
         devices = list_devices()
         if not devices:
             print("No audio devices registered (simulated sources only).")
@@ -142,26 +148,31 @@ def main(argv=None) -> int:
     last_rms = [0.0] * args.channels
     last_out = [0.0] * args.channels
     print(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
+
+    def print_table():
+        cols = []
+        for i in range(args.channels):
+            rms = proc.get_input_for_channel(i)
+            out = proc.get_output_for_channel(i)
+            # hold the last value when no new data arrived since the
+            # previous refresh (like the GUI's level columns)
+            if rms is not None:
+                last_rms[i] = rms
+            if out is not None:
+                last_out[i] = out
+            cols.append(f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f}")
+        print("\n".join(cols))
+
     t_end = time.monotonic() + (args.duration if args.realtime else 60.0)
     try:
         while time.monotonic() < t_end:
             if interface.wait_until_done(timeout=args.refresh):
                 break
-            cols = []
-            for i in range(args.channels):
-                rms = proc.get_input_for_channel(i)
-                out = proc.get_output_for_channel(i)
-                # hold the last value when no new data arrived since the
-                # previous refresh (like the GUI's level columns)
-                if rms is not None:
-                    last_rms[i] = rms
-                if out is not None:
-                    last_out[i] = out
-                cols.append(f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f}")
-            print("\n".join(cols))
+            print_table()
     except KeyboardInterrupt:
         pass
     proc.drain_pending()
+    print_table()  # final levels after the stream ends
     proc.tear_down()
 
     detections = [lane.detections for lane in proc._lanes]
