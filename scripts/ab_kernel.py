@@ -32,12 +32,15 @@ from syllable_detector_tpu.models.detector import (
 
 VARIANTS = {
     # name -> kwargs for fused_offline_outputs (None = unfused baseline)
-    "default": dict(),                             # packed + split (new)
-    "packed": dict(split=False),                   # packed, fp32 HIGHEST
-    "split": dict(packed=False),                   # two lane blocks, split3
+    "default": dict(),                             # packed + fp32 HIGHEST
+    "split": dict(split=True),                     # packed + bf16x3 tier
     "old": dict(packed=False, split=False),        # round-1 kernel
     "fast": dict(fast=True),                       # 1-pass bf16 diagnostic
     "frames": dict(input_mode="frames"),           # XLA pre-gathered frames
+    "t1024": dict(tile=1024),                      # tile sweep (fidelity)
+    "t2048": dict(tile=2048),
+    "t1024s": dict(tile=1024, split=True),         # tile sweep (split tier)
+    "t2048s": dict(tile=2048, split=True),
     "unfused": None,
 }
 
@@ -69,15 +72,17 @@ def main():
                 got = np.asarray(offline_outputs(spec, params, x))
                 want = got
             else:
+                kw = dict(kw)
+                kw.setdefault("tile", tile)
                 def make_fn(kw=kw):
                     def fn(x, carry):
                         out = fused_offline_outputs(
-                            spec, params, x + carry * 0.0, tile=tile, **kw
+                            spec, params, x + carry * 0.0, **kw
                         )
                         return out[-1, 0] + carry
                     return fn
                 got = np.asarray(
-                    fused_offline_outputs(spec, params, x, tile=tile, **kw)
+                    fused_offline_outputs(spec, params, x, **kw)
                 )
             if want is None:
                 want = np.asarray(offline_outputs(spec, params, x))

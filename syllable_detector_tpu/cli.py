@@ -27,7 +27,7 @@ import numpy as np
 
 from syllable_detector_tpu.config.model_format import ConfigError, load_config
 from syllable_detector_tpu.runtime.track_detector import TrackDetector
-from syllable_detector_tpu.utils.wav import read_wav
+from syllable_detector_tpu.utils.wav import read_audio
 
 __all__ = ["main", "run_file"]
 
@@ -96,7 +96,7 @@ def run_file(
 ) -> bool:
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
     try:
-        samples, rate = read_wav(audio_path)
+        samples, rate = read_audio(audio_path)
     except (OSError, ValueError) as e:
         err(f"Unable to read {audio_path}: {e}")
         return False

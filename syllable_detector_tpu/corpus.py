@@ -27,7 +27,7 @@ from syllable_detector_tpu.models.detector import (
 )
 from syllable_detector_tpu.ops.stft import num_frames
 from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
-from syllable_detector_tpu.utils.wav import read_wav
+from syllable_detector_tpu.utils.wav import read_audio
 
 __all__ = ["batch_offline_outputs_shared", "scan_corpus", "corpus_csv_lines"]
 
@@ -166,7 +166,7 @@ def scan_corpus_files(
     good_paths = []
     for p in paths:
         try:
-            samples, rate = read_wav(p)
+            samples, rate = read_audio(p)
         except (OSError, ValueError) as e:
             err(f"Unable to read {p}: {e}")
             continue

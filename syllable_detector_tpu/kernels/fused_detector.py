@@ -64,9 +64,13 @@ class FusedMeta(NamedTuple):
     has_l2: bool
     fast: bool = False  # bf16 MXU passes (~1e-2 rel err) instead of fp32
     packed: bool = False  # re+im share ONE 128-lane block (b <= 64)
-    split: bool = True  # 3-pass bf16-split GEMMs (~1e-5 rel err) instead of
-    #                     6-pass fp32-HIGHEST — half the MXU time at full
-    #                     fidelity-contract precision
+    split: bool = False  # 3-pass bf16-split GEMMs instead of 6-pass
+    #                      fp32-HIGHEST: half the MXU time, but the ~2^-17
+    #                      input rounding is amplified ~100x by the folded
+    #                      mapminmax gains (measured ~2e-3 max abs on the
+    #                      sample net) — outside the 1e-3/2e-4 fidelity
+    #                      contract, so it is an opt-in fast tier, not the
+    #                      default
 
 
 def fusable(spec: DetectorSpec) -> bool:

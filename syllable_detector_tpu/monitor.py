@@ -33,7 +33,7 @@ from syllable_detector_tpu.runtime.processor import (
     Processor,
     ProcessorEntry,
 )
-from syllable_detector_tpu.utils.wav import read_wav
+from syllable_detector_tpu.utils.wav import read_audio
 
 __all__ = ["main"]
 
@@ -95,7 +95,7 @@ def main(argv=None) -> int:
     rate = config.sampling_rate
     if args.audio:
         try:
-            wav, wav_rate = read_wav(args.audio)
+            wav, wav_rate = read_audio(args.audio)
         except (OSError, ValueError) as e:
             print(f"Unable to read {args.audio}: {e}", file=sys.stderr)
             return 1

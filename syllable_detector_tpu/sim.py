@@ -23,7 +23,7 @@ import numpy as np
 from syllable_detector_tpu.config.model_format import ConfigError, load_config
 from syllable_detector_tpu.models.detector import Detector
 from syllable_detector_tpu.utils.timing import Time
-from syllable_detector_tpu.utils.wav import read_wav, write_wav
+from syllable_detector_tpu.utils.wav import read_audio, write_wav
 
 __all__ = ["simulate", "main"]
 
@@ -91,7 +91,7 @@ def main(argv=None) -> int:
         return 1
 
     try:
-        samples, rate = read_wav(args.audio)
+        samples, rate = read_audio(args.audio)
     except (OSError, ValueError) as e:
         print(f"Unable to read {args.audio}: {e}", file=sys.stderr)
         return 1

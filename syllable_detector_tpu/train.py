@@ -25,7 +25,7 @@ from syllable_detector_tpu.training.trainer import (
     features_and_labels,
     train,
 )
-from syllable_detector_tpu.utils.wav import read_wav
+from syllable_detector_tpu.utils.wav import read_audio
 
 __all__ = ["main", "read_labels"]
 
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     try:
-        samples, rate = read_wav(args.audio)
+        samples, rate = read_audio(args.audio)
     except (OSError, ValueError) as e:
         print(f"Unable to read {args.audio}: {e}", file=sys.stderr)
         return 1

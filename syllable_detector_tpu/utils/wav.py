@@ -1,20 +1,23 @@
-"""Minimal WAV reader/writer (the framework's AVFoundation-decode equivalent).
+"""Audio file reader/writer (the framework's AVFoundation-decode equivalent).
 
 The reference decodes audio through AVAssetReader into float32 non-interleaved
-PCM (reference: Common/SyllableDetector.swift:19-23); here WAV files are
-parsed directly. Supports PCM 8/16/24/32-bit and IEEE float32/64, plus
-WAVE_FORMAT_EXTENSIBLE wrappers; integers normalize to [-1, 1) with the
-CoreAudio convention (int16 / 32768 etc.). No external dependencies.
+PCM — any container AVFoundation can read (reference:
+Common/SyllableDetector.swift:19-23, SyllableDetectorCLI/main.swift:63-76);
+here WAV is parsed directly (PCM 8/16/24/32-bit, IEEE float32/64,
+WAVE_FORMAT_EXTENSIBLE) and AIFF/AIFC and Sun AU ride the stdlib decoders.
+Integers normalize to [-1, 1) with the CoreAudio convention (int16 / 32768
+etc.). No external dependencies.
 """
 
 from __future__ import annotations
 
 import struct
+import warnings
 from typing import Union
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav"]
+__all__ = ["read_audio", "read_wav", "write_wav"]
 
 _PCM = 1
 _IEEE_FLOAT = 3
@@ -93,6 +96,71 @@ def read_wav(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: unsupported WAV format code {audio_format}")
 
     return x.reshape(n_frames, channels), int(rate)
+
+
+def _pcm_bytes_to_float(data: bytes, sampwidth: int, big_endian: bool) -> np.ndarray:
+    """Integer PCM bytes -> float32 in [-1, 1)."""
+    if sampwidth == 1:
+        return np.frombuffer(data, dtype=np.int8).astype(np.float32) / 128.0
+    if sampwidth == 2:
+        dt = ">i2" if big_endian else "<i2"
+        return np.frombuffer(data, dtype=dt).astype(np.float32) / 32768.0
+    if sampwidth == 4:
+        dt = ">i4" if big_endian else "<i4"
+        return np.frombuffer(data, dtype=dt).astype(np.float32) / 2147483648.0
+    if sampwidth == 3:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        if big_endian:
+            raw = raw[:, ::-1]
+        as32 = (
+            raw[:, 0].astype(np.uint32)
+            | (raw[:, 1].astype(np.uint32) << 8)
+            | (raw[:, 2].astype(np.uint32) << 16)
+        )
+        signed = as32.astype(np.int32)
+        signed = np.where(signed >= 1 << 23, signed - (1 << 24), signed)
+        return signed.astype(np.float32) / 8388608.0
+    raise ValueError(f"unsupported PCM sample width {sampwidth}")
+
+
+def _read_stdlib(path, module_name: str, big_endian: bool):
+    """AIFF/AIFC ('aifc') and Sun AU ('sunau') via the stdlib decoders."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        mod = __import__(module_name)
+    f = mod.open(str(path), "rb")
+    try:
+        channels = f.getnchannels()
+        rate = int(f.getframerate())
+        sampwidth = f.getsampwidth()
+        data = f.readframes(f.getnframes())
+    finally:
+        f.close()
+    x = _pcm_bytes_to_float(data, sampwidth, big_endian)
+    n_frames = len(x) // channels
+    return x[: n_frames * channels].reshape(n_frames, channels), rate
+
+
+def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
+    """Read any supported audio container -> ([n, channels] float32, rate).
+
+    Sniffs the magic bytes: RIFF/WAVE (native parser), FORM/AIFF+AIFC
+    (stdlib aifc), .snd/AU (stdlib sunau). The multi-container surface of
+    the reference CLI's AVAssetReader ingest (main.swift:63-76).
+    """
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"RIFF":
+        return read_wav(path)
+    if magic == b"FORM":
+        # aifc.readframes returns the container's big-endian bytes verbatim
+        return _read_stdlib(path, "aifc", big_endian=True)
+    if magic == b".snd":
+        # sunau.readframes byteswaps to NATIVE endianness internally
+        import sys as _sys
+
+        return _read_stdlib(path, "sunau", big_endian=_sys.byteorder == "big")
+    raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
 
 
 def write_wav(

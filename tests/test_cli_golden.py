@@ -53,6 +53,85 @@ def test_wav_roundtrip(tmp_path, rng):
     )
 
 
+def test_read_audio_aiff_and_au(tmp_path, rng):
+    """Non-WAV ingest (the reference CLI decodes anything AVFoundation can
+    read, main.swift:63-76): AIFF and Sun AU via read_audio's magic sniff."""
+    import warnings
+
+    from syllable_detector_tpu.utils.wav import read_audio
+
+    x = (rng.standard_normal((500, 2)) * 0.3).astype(np.float32)
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype(">i2")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+        import sunau
+
+    p_aiff = tmp_path / "a.aiff"
+    f = aifc.open(str(p_aiff), "wb")
+    f.setnchannels(2)
+    f.setsampwidth(2)
+    f.setframerate(22050)
+    f.writeframes(pcm.tobytes())
+    f.close()
+    y, rate = read_audio(p_aiff)
+    assert rate == 22050 and y.shape == (500, 2)
+    np.testing.assert_allclose(y, pcm.astype(np.float32) / 32768.0, atol=1e-7)
+
+    p_au = tmp_path / "a.au"
+    f = sunau.open(str(p_au), "wb")
+    f.setnchannels(1)
+    f.setsampwidth(2)
+    f.setframerate(8000)
+    f.setcomptype("NONE", "")  # linear PCM (sunau defaults to ULAW)
+    # sunau.writeframes expects NATIVE-endian input (it swaps to BE itself)
+    f.writeframes(pcm[:, 0].astype("=i2").tobytes())
+    f.close()
+    y, rate = read_audio(p_au)
+    assert rate == 8000 and y.shape == (500, 1)
+    np.testing.assert_allclose(
+        y[:, 0], pcm[:, 0].astype(np.float32) / 32768.0, atol=1e-7
+    )
+
+    # WAV still routes through the native parser
+    p_wav = tmp_path / "a.wav"
+    write_wav(p_wav, x, 44100, dtype="float32")
+    y, rate = read_audio(p_wav)
+    assert rate == 44100 and y.shape == (500, 2)
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00\x01\x02\x03garbage")
+    with pytest.raises(ValueError, match="unsupported audio container"):
+        read_audio(bad)
+
+
+def test_cli_detects_on_aiff(sample_config, tmp_path, capsys):
+    """End-to-end: AIFF corpus file through the detection CLI."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    rng = np.random.default_rng(7)
+    x = make_audio(rng, seconds=0.4)
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype(">i2")
+    p = tmp_path / "c.aiff"
+    f = aifc.open(str(p), "wb")
+    f.setnchannels(1)
+    f.setsampwidth(2)
+    f.setframerate(44100)
+    f.writeframes(pcm.tobytes())
+    f.close()
+    rc = cli_main(["-n", "/root/reference/sample.txt", "-a", str(p)])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
+    want = ref.cli_lines(sample_config, pcm.astype(np.float32) / 32768.0)
+    assert len(want) > 0
+    assert_csv_close(out, want)
+
+
 def test_fmt_matches_swift_style():
     assert fmt_double(36.1292063492063) == "36.1292063492063"
     assert fmt_double(1.0) == "1.0"
