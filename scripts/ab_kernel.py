@@ -41,6 +41,9 @@ VARIANTS = {
     "t2048": dict(tile=2048),
     "t1024s": dict(tile=1024, split=True),         # tile sweep (split tier)
     "t2048s": dict(tile=2048, split=True),
+    "t4096": dict(tile=4096),
+    "t2048c": dict(tile=2048, split="conv"),       # conv-GEMM-only split
+    "t4096c": dict(tile=4096, split="conv"),
     "unfused": None,
 }
 

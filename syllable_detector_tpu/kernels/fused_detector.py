@@ -64,13 +64,13 @@ class FusedMeta(NamedTuple):
     has_l2: bool
     fast: bool = False  # bf16 MXU passes (~1e-2 rel err) instead of fp32
     packed: bool = False  # re+im share ONE 128-lane block (b <= 64)
-    split: bool = False  # 3-pass bf16-split GEMMs instead of 6-pass
-    #                      fp32-HIGHEST: half the MXU time, but the ~2^-17
-    #                      input rounding is amplified ~100x by the folded
-    #                      mapminmax gains (measured ~2e-3 max abs on the
-    #                      sample net) — outside the 1e-3/2e-4 fidelity
-    #                      contract, so it is an opt-in fast tier, not the
-    #                      default
+    # GEMM precision ladder: False = 6-pass fp32-HIGHEST everywhere (full
+    # fidelity); "conv" = split only the conv filter-bank GEMM into 3-pass
+    # bf16 hi/lo (the DFT stays exact; measured ~1.5e-4 abs budget);
+    # True = split both big GEMMs (~2e-3 max abs on the sample net — the
+    # 2^-17 input rounding is amplified ~100x by the folded mapminmax
+    # gains, so this is an opt-in fast tier outside the fidelity contract)
+    split: object = False
 
 
 def fusable(spec: DetectorSpec) -> bool:
@@ -262,7 +262,8 @@ def _make_kernel(
     prec = (
         jax.lax.Precision.DEFAULT if meta.fast else jax.lax.Precision.HIGHEST
     )
-    use_split = meta.split and not meta.fast
+    split_dft = meta.split is True and not meta.fast
+    split_conv = meta.split in (True, "conv") and not meta.fast
 
     def split_dot(x, c_hi, c_lo):
         x_hi = x.astype(jnp.bfloat16)
@@ -273,36 +274,47 @@ def _make_kernel(
             + jnp.dot(x_lo, c_hi, preferred_element_type=jnp.float32)
         )
 
-    def big_dot(x, c):
-        """x @ c at the configured precision; c is (hi, lo) when splitting."""
-        if use_split:
+    def _any_dot(x, c, split):
+        """x @ c; c is (hi, lo) when that GEMM is split."""
+        if split:
             return split_dot(x, c[0], c[1])
         return jnp.dot(x, c, preferred_element_type=jnp.float32, precision=prec)
 
+    def big_dot(x, c):
+        return _any_dot(x, c, split_dft)
+
+    def conv_dot(x, c):
+        return _any_dot(x, c, split_conv)
+
     def kernel(frames_hbm, *args):
-        if use_split:
-            # raw mode ships the DFT matrix pre-sliced per part: bf16 arrays
-            # sliced/cast at odd sublane offsets mis-lower on hardware, so
-            # every bf16 operand here is read whole and already aligned
-            if input_mode == "raw":
-                np_ = len(parts)
-                c_parts = [
-                    (args[2 * j], args[2 * j + 1]) for j in range(np_)
-                ]
-                w1g_hi, w1g_lo, c1 = args[2 * np_ : 2 * np_ + 3]
-                rest = args[2 * np_ + 3 :]
-                c_part = lambda j: (c_parts[j][0][:], c_parts[j][1][:])
-            else:
-                c_hi, c_lo, w1g_hi, w1g_lo, c1 = args[:5]
-                rest = args[5:]
-                c_full = lambda: (c_hi[:], c_lo[:])
-            w1g_full = lambda: (w1g_hi[:], w1g_lo[:])
+        # unpack operands; bf16 operands arrive pre-sliced/pre-split (bf16
+        # slices/casts at odd sublane offsets mis-lower on hardware, so
+        # every bf16 ref here is read whole and already aligned)
+        idx = 0
+        if split_dft and input_mode == "raw":
+            np_ = len(parts)
+            c_parts = [(args[2 * j], args[2 * j + 1]) for j in range(np_)]
+            idx = 2 * np_
+            c_part = lambda j: (c_parts[j][0][:], c_parts[j][1][:])
+        elif split_dft:
+            c_hi, c_lo = args[:2]
+            idx = 2
+            c_full = lambda: (c_hi[:], c_lo[:])
         else:
-            c_packed, w1g, c1 = args[:3]
-            rest = args[3:]
+            c_packed = args[0]
+            idx = 1
             c_part = lambda j: c_packed[parts[j][0] : parts[j][1], :]
             c_full = lambda: c_packed[:]
+        if split_conv:
+            w1g_hi, w1g_lo = args[idx : idx + 2]
+            idx += 2
+            w1g_full = lambda: (w1g_hi[:], w1g_lo[:])
+        else:
+            w1g = args[idx]
+            idx += 1
             w1g_full = lambda: w1g[:]
+        c1 = args[idx]
+        rest = args[idx + 1 :]
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
         out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
@@ -331,7 +343,7 @@ def _make_kernel(
             n_big = meta.b_pad if meta.packed else 2 * meta.b_pad
             big = jnp.zeros((tile + halo, n_big), jnp.float32)
             for j, (lo, hi, clo) in enumerate(parts):
-                if use_split:
+                if split_dft:
                     bigj = big_dot(
                         fvmem[0:rows2d, clo : clo + (hi - lo)], c_part(j)
                     )
@@ -379,7 +391,7 @@ def _make_kernel(
             scaled = jnp.where(lane_ids < meta.b, s, 0.0)
 
         # all T conv taps in one GEMM; tap t lives in 8-lane block t
-        conv = big_dot(scaled, w1g_full())  # [rows, T*hs]
+        conv = conv_dot(scaled, w1g_full())  # [rows, T*hs]
         if meta.has_l2:
             if scaling == "linear" and meta.packed:
                 # scaled's duplicate im lanes would double-count; sq0 holds
@@ -428,10 +440,12 @@ def _fused_call(
     halo = spec.time_range - 1
     window = spec.window_length
 
-    if meta.split and not meta.fast:
-        # pre-split the two big GEMM constants into bf16 hi/lo halves once
-        # per launch (outside the kernel, so grid programs reuse them). In
-        # raw mode the DFT matrix is additionally pre-sliced per slab part:
+    split_dft = meta.split is True and not meta.fast
+    split_conv = meta.split in (True, "conv") and not meta.fast
+    if split_dft or split_conv:
+        # pre-split the big GEMM constants into bf16 hi/lo halves once per
+        # launch (outside the kernel, so grid programs reuse them). In raw
+        # mode the DFT matrix is additionally pre-sliced per slab part:
         # bf16 slices at odd sublane offsets mis-lower on hardware.
         def hi_lo(c):
             c = jnp.asarray(c, jnp.float32)
@@ -439,15 +453,17 @@ def _fused_call(
             lo = (c - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, lo
 
-        if input_mode == "raw":
+        if split_dft and input_mode == "raw":
             parts = _raw_geometry(spec, tile)[6]
             c_ops = []
             for lo_row, hi_row, _ in parts:
                 c_ops.extend(hi_lo(operands[0][lo_row:hi_row]))
-        else:
+        elif split_dft:
             c_ops = list(hi_lo(operands[0]))
-        w_hi, w_lo = hi_lo(operands[1])
-        operands = (*c_ops, w_hi, w_lo, *operands[2:])
+        else:
+            c_ops = [operands[0]]
+        w_ops = list(hi_lo(operands[1])) if split_conv else [operands[1]]
+        operands = (*c_ops, *w_ops, *operands[2:])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands

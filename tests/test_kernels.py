@@ -69,7 +69,7 @@ def test_fused_scalings(sample_config, audio, scaling):
 
 
 @pytest.mark.parametrize("packed", [False, True])
-@pytest.mark.parametrize("split", [False, True])
+@pytest.mark.parametrize("split", [False, True, "conv"])
 @pytest.mark.parametrize("scaling", ["linear", "log"])
 def test_fused_variants(sample_config, audio, packed, split, scaling):
     """Every (re+im lane packing) x (GEMM precision ladder) combination must
