@@ -217,18 +217,18 @@ class SerialTransport(Transport):
         self.baudrate = baudrate
         self._port = None
 
-    def open(self) -> None:  # pragma: no cover - needs hardware
+    def open(self) -> None:
         self._port = self._serial_mod.Serial(self.port, self.baudrate, timeout=0)
 
-    def close(self) -> None:  # pragma: no cover - needs hardware
+    def close(self) -> None:
         if self._port is not None:
             self._port.close()
             self._port = None
 
-    def write(self, data: bytes) -> None:  # pragma: no cover - needs hardware
+    def write(self, data: bytes) -> None:
         self._port.write(data)
 
-    def read_line(self, timeout: float):  # pragma: no cover - needs hardware
+    def read_line(self, timeout: float):
         deadline = time.monotonic() + timeout
         buf = b""
         while time.monotonic() < deadline:

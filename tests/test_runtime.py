@@ -286,3 +286,78 @@ def test_processor_resamples_mismatched_device_rate(sample_config):
     assert proc._lanes[0].resampler is not None
     assert proc._lanes[0].detections > 0
     assert proc._lanes[0].overflows == 0
+
+
+def test_serial_transport_full_protocol(monkeypatch):
+    """SerialTransport (the pyserial byte transport) driving the simulated
+    firmware through a fake `serial` module: the full client protocol —
+    handshake, pin mode, digital write/read, pulse, close-drives-low —
+    without real hardware."""
+    import sys
+    import types
+
+    from syllable_detector_tpu.runtime.arduino import SerialTransport
+
+    sim = SimulatedArduinoTransport(sketch_id=0)
+
+    class FakeSerial:
+        def __init__(self, port, baudrate, timeout=0):
+            assert port == "/dev/ttyFAKE" and baudrate == 115200
+            self.closed = False
+
+        def write(self, data):
+            sim.write(data)
+
+        def read(self, n):
+            with sim._lock:
+                if sim._responses:
+                    return sim._responses.pop(0)
+            return b""
+
+        def close(self):
+            self.closed = True
+
+    fake_mod = types.ModuleType("serial")
+    fake_mod.Serial = FakeSerial
+    monkeypatch.setitem(sys.modules, "serial", fake_mod)
+
+    transport = SerialTransport("/dev/ttyFAKE")
+    arduino = ArduinoIO(transport, startup_time=0.0)
+    arduino.open()
+    assert arduino.state == ArduinoState.OPENED
+    assert arduino.sketch == 0  # "99" handshake round-tripped the wire
+
+    arduino.set_pin_mode(8, ArduinoPin.OUTPUT)
+    arduino.write_digital(8, True)
+    assert sim.digital[8] == 1
+    arduino.set_pin_mode(9, ArduinoPin.INPUT)
+    sim.digital[9] = 1
+    assert arduino.read_digital(9) is True
+    arduino.pulse_digital(8)
+    assert ("pulse", 8, 1) in [(k, p, v) for _, k, p, v in sim.events]
+
+    port = transport._port
+    arduino.close()
+    assert port.closed and transport._port is None
+    # close drove the configured output pin low (ArduinoIO.swift:370-390)
+    assert sim.digital[8] == 0
+
+
+def test_serial_transport_requires_pyserial(monkeypatch):
+    """Without pyserial installed, SerialTransport raises a clear error."""
+    import builtins
+    import sys
+
+    from syllable_detector_tpu.runtime.arduino import SerialTransport
+
+    monkeypatch.setitem(sys.modules, "serial", None)
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "serial":
+            raise ImportError("No module named 'serial'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    with pytest.raises(ArduinoError, match="pyserial is required"):
+        SerialTransport("/dev/ttyUSB0")
