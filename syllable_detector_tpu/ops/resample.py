@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from syllable_detector_tpu.ops.stft import frame_signal
+
 __all__ = [
     "LinearResamplerState",
     "linear_resample_init",
@@ -232,37 +234,51 @@ def polyphase_filter_bank(
 
 @partial(jax.jit, static_argnames=("up", "down", "half_width", "beta", "n_out"))
 def _polyphase_apply(x, up, down, half_width, beta, n_out):
+    """All `up` phases of one output block as ONE GEMM.
+
+    Output k (= a*up + r) reads the input window ending at m = base//up with
+    phase base % up, where base = k*down + half on the upsampled grid. Block
+    a's windows for every phase live inside one contiguous input span of
+    width W = (max-min window end) + taps, so the whole resampler is
+    hop-strided framing (the slab method — static slices, never a gather,
+    which would lower ~1000x slower feeding a matmul on TPU) followed by a
+    single [blocks, W] @ [W, up] contraction against a filter matrix with
+    each phase's taps scattered at its own offsets.
+    """
     hb, half = polyphase_filter_bank(up, down, half_width, beta)
     taps = hb.shape[1]
     n = x.shape[0]
 
-    # output k (= a*up + r) reads input window ending at m = base//up with
-    # phase base % up, where base = k*down + half on the upsampled grid
     blocks = -(-n_out // up)
     r = np.arange(up, dtype=np.int64)
     base_r = r * down + half
     phase = base_r % up
     m_off = base_r // up
 
-    # gather indices into x padded by `taps` zeros in front (causal window,
-    # reversed for convolution) and by enough zeros at the back
-    a = jnp.arange(blocks, dtype=jnp.int32)[:, None, None]  # [A,1,1]
-    t = jnp.arange(taps, dtype=jnp.int32)[None, None, :]  # [1,1,T]
-    off = jnp.asarray(m_off, dtype=jnp.int32)[None, :, None]  # [1,R,1]
-    idx = a * down + off - t + taps  # position in padded x
-    pad_back = int(blocks * down + np.max(m_off)) + taps + 1 - n
-    xpad = jnp.concatenate(
-        [
-            jnp.zeros(taps, x.dtype),
-            x,
-            jnp.zeros(max(pad_back, 1), x.dtype),
-        ]
-    )
-    xg = jnp.take(xpad, idx, axis=0)  # [A, R, T]
-    hsel = jnp.asarray(hb)[phase]  # [R, T]
-    y = jnp.einsum(
-        "art,rt->ar", xg, hsel, precision=jax.lax.Precision.HIGHEST
-    )
+    # frame a covers input positions [a*down + start0, a*down + start0 + W)
+    # (in unpadded x coordinates); tap t of phase r reads column
+    # m_off[r] - t - start0
+    start0 = int(m_off.min()) - (taps - 1)
+    w_len = int(m_off.max()) - start0 + 1
+
+    g = np.zeros((w_len, up), np.float32)
+    for rr in range(up):
+        for t in range(taps):
+            g[int(m_off[rr]) - t - start0, rr] = hb[phase[rr], t]
+
+    # align frame_signal's gap offset (negative overlap) with start0
+    overlap = w_len - down
+    gshift = max(0, down - w_len)
+    lead = gshift - start0
+    if lead > 0:
+        xin = jnp.concatenate([jnp.zeros(lead, x.dtype), x])
+    elif lead < 0:
+        xin = x[-lead:]
+    else:
+        xin = x
+    # frame_signal zero-pads the back as needed for `blocks` frames
+    frames = frame_signal(xin, blocks, w_len, overlap)
+    y = jnp.matmul(frames, jnp.asarray(g), precision=jax.lax.Precision.HIGHEST)
     return y.reshape(-1)[:n_out]
 
 
