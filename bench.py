@@ -114,6 +114,7 @@ def channel_sweep(spec, params, dev):
     n_evals = 1 << 11  # per channel
     hop = spec.hop
     n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
+    tile = 512  # per-channel grids are small; 512 divides n_evals evenly
     for c in (8, 64, 256, 1024):
         xs = jax.device_put(
             jnp.asarray(
@@ -127,13 +128,17 @@ def channel_sweep(spec, params, dev):
         def make_fn(xs=xs, c=c):
             if c <= SWEEP_SLAB:
                 def fn(x_unused, carry):
-                    outs = fused_batch_offline_outputs(spec, params, xs + carry * 0.0)
+                    outs = fused_batch_offline_outputs(
+                        spec, params, xs + carry * 0.0, tile=tile
+                    )
                     return outs[-1, -1, 0] + carry
             else:
                 def fn(x_unused, carry):
                     slabs = (xs + carry * 0.0).reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
                     outs = jax.lax.map(
-                        lambda s: fused_batch_offline_outputs(spec, params, s),
+                        lambda s: fused_batch_offline_outputs(
+                            spec, params, s, tile=tile
+                        ),
                         slabs,
                     )
                     return outs[-1, -1, -1, 0] + carry
@@ -170,7 +175,9 @@ def main():
     x = jnp.asarray(make_audio(n_samples))
     x = jax.device_put(x, dev)
 
-    tile = 512 if on_tpu else 256
+    # tile sweep (r2): 512 -> 1.00x unfused, 1024 -> 1.12x, 2048 -> 1.15-1.17x,
+    # 4096 -> 1.03x; per-program overhead dominates at small tiles
+    tile = 2048 if on_tpu else 256
 
     # --- on-hardware fused-vs-unfused parity (before any timing) -----------
     # a Mosaic lowering bug must fail the bench loudly, not ship silently
@@ -208,25 +215,29 @@ def main():
         log(f"fused kernel failed: {type(e).__name__}: {str(e)[:200]}")
 
     if on_tpu and wps_fused:
-        try:
-            def make_fast():
-                def fn(x, carry):
-                    out = fused_offline_outputs(
-                        spec, params, x + carry * 0.0, tile=tile,
-                        input_mode="raw", fast=True,
-                    )
-                    return out[-1, 0] + carry
+        for name, kw, err_note in (
+            ("split3 tier", dict(split=True), "~2e-3 max abs err"),
+            ("bf16 fast path", dict(fast=True), "~1e-2 rel err"),
+        ):
+            try:
+                def make_tier(kw=kw):
+                    def fn(x, carry):
+                        out = fused_offline_outputs(
+                            spec, params, x + carry * 0.0, tile=tile,
+                            input_mode="raw", **kw,
+                        )
+                        return out[-1, 0] + carry
 
-                return fn
+                    return fn
 
-            dt_fast = time_scanned(make_fast, x)
-            log(
-                f"fused bf16 fast path: {dt_fast*1e3:8.2f} ms/iter -> "
-                f"{n_evals/dt_fast:,.0f} windows/s (~1e-2 rel err; "
-                f"diagnostic only, not the headline)"
-            )
-        except Exception as e:  # pragma: no cover
-            log(f"fast path failed: {type(e).__name__}: {str(e)[:150]}")
+                dt_tier = time_scanned(make_tier, x)
+                log(
+                    f"fused {name}: {dt_tier*1e3:8.2f} ms/iter -> "
+                    f"{n_evals/dt_tier:,.0f} windows/s ({err_note}; "
+                    f"diagnostic only, not the headline)"
+                )
+            except Exception as e:  # pragma: no cover
+                log(f"{name} failed: {type(e).__name__}: {str(e)[:150]}")
 
     try:
         def make_unfused():
