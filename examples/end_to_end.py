@@ -1,7 +1,10 @@
 """End-to-end example: synthesize labeled audio, train a detector, export it,
 detect with the CLI path, render a simulator WAV, and run the live pipeline.
 
-Run:  python examples/end_to_end.py [workdir]
+Run:  python examples/end_to_end.py [workdir] [--tpu]
+
+Runs on the host CPU by default — the training loop is many tiny dispatches,
+which a tunneled dev TPU serves slowly; pass --tpu to use the real device.
 """
 
 import os
@@ -10,6 +13,13 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from syllable_detector_tpu.cli import main as cli_main
 from syllable_detector_tpu.config import load_config, save_config
