@@ -50,6 +50,10 @@ VARIANTS = {
 
 def main():
     names = sys.argv[1:] or list(VARIANTS)
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        print(f"unknown variants {unknown}; choose from {list(VARIANTS)}")
+        return
     cfg = load_config("/root/reference/sample.txt")
     spec, params = detector_spec_from_config(cfg)
     dev = jax.devices()[0]

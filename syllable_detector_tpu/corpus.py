@@ -33,13 +33,21 @@ __all__ = ["batch_offline_outputs_shared", "scan_corpus", "corpus_csv_lines"]
 
 
 @partial(jax.jit, static_argnames=("spec", "method"))
+def _batch_unfused(spec: DetectorSpec, params, xs: jax.Array, method: str):
+    return jax.vmap(
+        lambda x: offline_outputs(spec, params, x, method=method)
+    )(xs)
+
+
 def batch_offline_outputs_shared(
     spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
 ) -> jax.Array:
     """[C, n] streams through ONE shared network -> [C, E, outputs].
 
     method='fused' routes through the Pallas kernel (one launch for all
-    channels); 'matmul'/'rfft' use the unfused XLA pipeline.
+    channels); 'matmul'/'rfft' use the unfused XLA pipeline. The fused
+    dispatch must happen OUTSIDE jit: fold_constants consumes params as
+    host numpy, which a traced argument would break.
     """
     if method == "fused":
         from syllable_detector_tpu.kernels.fused_detector import (
@@ -47,9 +55,7 @@ def batch_offline_outputs_shared(
         )
 
         return fused_batch_offline_outputs(spec, params, xs)
-    return jax.vmap(
-        lambda x: offline_outputs(spec, params, x, method=method)
-    )(xs)
+    return _batch_unfused(spec, params, xs, method)
 
 
 from collections import OrderedDict
@@ -198,12 +204,13 @@ def scan_corpus_files(
     results = scan_corpus(cfg, streams, method=method)
     debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
     multiple = len(good_paths) > 1 if headers is None else headers
+    by_file: dict[int, list] = {}
+    for (pi, c), outs in zip(lanes, results):
+        by_file.setdefault(pi, []).append((c, outs))
     for i, p in enumerate(good_paths):
         if multiple:
             emit(p)
-        for (pi, c), outs in zip(lanes, results):
-            if pi != i:
-                continue
+        for c, outs in by_file.get(i, ()):
             for line in corpus_csv_lines(
                 cfg, outs, channel=c, debounce_frames=debounce
             ):

@@ -86,13 +86,18 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     shard_file = os.path.join(args.out, f"shard{args.process_id}.csv")
 
+    import re
+
     lines: list[str] = []
     n_detections = 0
+    # detection rows are "channel,sample,..."; header lines are raw paths
+    # (which may themselves contain commas)
+    _row = re.compile(r"^\d+,\d+,")
 
     def emit(s: str) -> None:
         nonlocal n_detections
         lines.append(s)
-        if "," in s:  # detection rows (headers are bare paths)
+        if _row.match(s):
             n_detections += 1
 
     if mine:

@@ -120,11 +120,20 @@ def _hint_str(lib, hint, key: bytes) -> Optional[str]:
         ctypes.CDLL(None).free(ctypes.c_void_p(p))
 
 
+# UIDs already in the registry (enumeration is idempotent) and a
+# monotonically increasing id base so re-enumeration never reuses ids
+_registered_uids: set = set()
+_next_device_id = [1000]
+
+
 def register_alsa_devices(lib=None) -> list[AudioDevice]:
     """Enumerate ALSA PCM devices into the shared device registry
     (the CoreAudio devices() equivalent, AudioInterface.swift:236-254).
 
-    Returns the list of devices registered; empty when ALSA is unavailable.
+    Idempotent: PCMs already registered are skipped, so repeated calls
+    (hot-plug refresh, repeated --list-devices) don't duplicate entries.
+    Returns the list of devices newly registered; empty when ALSA is
+    unavailable.
     """
     lib = lib or _load_alsa()
     if lib is None:
@@ -142,14 +151,19 @@ def register_alsa_devices(lib=None) -> list[AudioDevice]:
             i += 1
             if not name:
                 continue
+            uid = f"alsa:{name}"
+            if uid in _registered_uids:
+                continue
             dev = AudioDevice(
-                device_id=1000 + len(devices),
-                device_uid=f"alsa:{name}",
+                device_id=_next_device_id[0],
+                device_uid=uid,
                 device_name=desc.splitlines()[0] if desc else name,
                 device_manufacturer="ALSA",
                 streams_input=0 if ioid == "Output" else 1,
                 streams_output=0 if ioid == "Input" else 1,
             )
+            _next_device_id[0] += 1
+            _registered_uids.add(uid)
             register_device(dev)
             devices.append(dev)
     finally:
@@ -338,9 +352,15 @@ class AlsaAudioOutput(AudioOutputInterface):
         ptr = out.ctypes.data_as(ctypes.c_void_p)
         while not self._stop.is_set():
             with self._lock:
+                before = self._high_for.copy()
                 ttl_fill(out, self._high_for)
             wrote = lib.snd_pcm_writei(self._pcm.handle, ptr, self.frame_size)
             if wrote < 0:
                 self.underruns += 1
+                # the buffer never reached the device: restore the TTL
+                # frames ttl_fill deducted so the pulse keeps its full
+                # requested duration across the xrun
+                with self._lock:
+                    np.maximum(self._high_for, before, out=self._high_for)
                 if lib.snd_pcm_recover(self._pcm.handle, int(wrote), 1) < 0:
                     break

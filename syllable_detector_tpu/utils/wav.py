@@ -123,19 +123,44 @@ def _pcm_bytes_to_float(data: bytes, sampwidth: int, big_endian: bool) -> np.nda
     raise ValueError(f"unsupported PCM sample width {sampwidth}")
 
 
-def _read_stdlib(path, module_name: str, big_endian: bool):
-    """AIFF/AIFC ('aifc') and Sun AU ('sunau') via the stdlib decoders."""
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        mod = __import__(module_name)
+def _stdlib_decoder(module_name: str):
+    """Import aifc/sunau (removed from the stdlib in Python 3.13, PEP 594);
+    map absence to the ValueError every ingest caller already handles."""
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return __import__(module_name)
+    except ImportError as e:
+        raise ValueError(
+            f"the stdlib {module_name!r} decoder is unavailable on this "
+            f"Python ({e}); convert the file to WAV"
+        ) from e
+
+
+def _read_stdlib(path, module_name: str):
+    """AIFF/AIFC ('aifc') and Sun AU ('sunau') via the stdlib decoders.
+
+    Both return linear PCM frames as the container's raw big-endian bytes;
+    sunau's ULAW path instead decodes via audioop.ulaw2lin, which emits
+    NATIVE-endian int16 (verified against CPython's sunau.readframes).
+    """
+    import sys as _sys
+
+    mod = _stdlib_decoder(module_name)
     f = mod.open(str(path), "rb")
     try:
         channels = f.getnchannels()
         rate = int(f.getframerate())
         sampwidth = f.getsampwidth()
+        comptype = f.getcomptype()
         data = f.readframes(f.getnframes())
     finally:
         f.close()
+    if isinstance(comptype, bytes):
+        comptype = comptype.decode(errors="replace")
+    # aifc spells them 'ulaw'/'alaw', sunau 'ULAW' — all audioop-decoded
+    decoded_native = comptype.upper() in ("ULAW", "ALAW")
+    big_endian = (_sys.byteorder == "big") if decoded_native else True
     x = _pcm_bytes_to_float(data, sampwidth, big_endian)
     n_frames = len(x) // channels
     return x[: n_frames * channels].reshape(n_frames, channels), rate
@@ -153,13 +178,9 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
     if magic == b"RIFF":
         return read_wav(path)
     if magic == b"FORM":
-        # aifc.readframes returns the container's big-endian bytes verbatim
-        return _read_stdlib(path, "aifc", big_endian=True)
+        return _read_stdlib(path, "aifc")
     if magic == b".snd":
-        # sunau.readframes byteswaps to NATIVE endianness internally
-        import sys as _sys
-
-        return _read_stdlib(path, "sunau", big_endian=_sys.byteorder == "big")
+        return _read_stdlib(path, "sunau")
     raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
 
 

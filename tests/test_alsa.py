@@ -154,11 +154,16 @@ def test_fake_enumeration():
     assert devices[0].device_name == "Fake Soundcard"
     assert devices[0].streams_input == 1 and devices[0].streams_output == 1
     assert devices[1].streams_input == 0  # IOID=Output
+    assert devices[0].device_id != devices[1].device_id
 
     from syllable_detector_tpu.runtime.audio_io import list_devices
 
     uids = [d.device_uid for d in list_devices()]
     assert "alsa:hw:CARD=Fake,DEV=0" in uids
+
+    # idempotent: re-enumeration registers nothing new, no duplicate rows
+    assert register_alsa_devices(lib=fake) == []
+    assert uids.count("alsa:hw:CARD=Fake,DEV=0") == 1
 
 
 def test_fake_capture_delivers_channels():

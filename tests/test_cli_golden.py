@@ -85,13 +85,29 @@ def test_read_audio_aiff_and_au(tmp_path, rng):
     f.setsampwidth(2)
     f.setframerate(8000)
     f.setcomptype("NONE", "")  # linear PCM (sunau defaults to ULAW)
-    # sunau.writeframes expects NATIVE-endian input (it swaps to BE itself)
-    f.writeframes(pcm[:, 0].astype("=i2").tobytes())
+    # sunau writes linear frames VERBATIM (no byteswap — CPython
+    # writeframesraw), so spec-compliant AU data must be fed big-endian
+    f.writeframes(pcm[:, 0].tobytes())
     f.close()
     y, rate = read_audio(p_au)
     assert rate == 8000 and y.shape == (500, 1)
     np.testing.assert_allclose(
         y[:, 0], pcm[:, 0].astype(np.float32) / 32768.0, atol=1e-7
+    )
+
+    # ULAW AU: sunau decodes via audioop to NATIVE-endian int16; lossy codec
+    p_ul = tmp_path / "u.au"
+    f = sunau.open(str(p_ul), "wb")
+    f.setnchannels(1)
+    f.setsampwidth(2)
+    f.setframerate(8000)
+    f.setcomptype("ULAW", "")
+    f.writeframes(pcm[:, 0].astype("=i2").tobytes())  # lin2ulaw wants native
+    f.close()
+    y, rate = read_audio(p_ul)
+    assert rate == 8000 and y.shape == (500, 1)
+    np.testing.assert_allclose(
+        y[:, 0], pcm[:, 0].astype(np.float32) / 32768.0, atol=0.02
     )
 
     # WAV still routes through the native parser

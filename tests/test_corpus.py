@@ -64,6 +64,18 @@ def test_scan_corpus_empty(sample_config):
     assert scan_corpus(sample_config, []) == []
 
 
+def test_scan_corpus_fused_method(sample_config):
+    """method='fused' must not crash on traced params (regression: the
+    fused dispatch ran inside jit, tracing params into fold_constants)."""
+    rng = np.random.default_rng(13)
+    streams = [make_audio(rng, seconds=0.3), make_audio(rng, seconds=0.3)]
+    got = scan_corpus(sample_config, streams, method="fused")
+    want = scan_corpus(sample_config, streams, method="matmul")
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=2e-4)
+
+
 def test_scan_corpus_files_multichannel(sample_config, tmp_path):
     """Batched mode runs every channel of a file, like the reference CLI's
     one-TrackDetector-per-track loop (ADVICE r1: channel-0-only bug)."""
