@@ -78,6 +78,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "(optionally with --method fused for the Pallas kernel).",
     )
     p.add_argument(
+        "--mesh",
+        action="store_true",
+        help="Batched mode only: shard the file/channel lanes across all "
+        "local devices (jax.sharding.Mesh).",
+    )
+    p.add_argument(
         "--no-resample",
         action="store_true",
         help="Do not resample rate-mismatched files to the network rate.",
@@ -184,11 +190,17 @@ def main(argv=None) -> int:
     if args.batched:
         from syllable_detector_tpu.corpus import scan_corpus_files
 
+        mesh = None
+        if args.mesh:
+            from syllable_detector_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         scan_corpus_files(
             config,
             args.audio,
             debounce_seconds=args.debounce,
             method=args.method,
+            mesh=mesh,
         )
         return 0
 

@@ -29,7 +29,13 @@ from syllable_detector_tpu.ops.stft import num_frames
 from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
 from syllable_detector_tpu.utils.wav import read_audio
 
-__all__ = ["batch_offline_outputs_shared", "scan_corpus", "corpus_csv_lines"]
+__all__ = [
+    "batch_offline_outputs_shared",
+    "sharded_batch_offline_outputs_shared",
+    "scan_corpus",
+    "corpus_csv_lines",
+    "scan_corpus_files",
+]
 
 
 @partial(jax.jit, static_argnames=("spec", "method"))
@@ -90,10 +96,31 @@ def _bucket(n: int) -> int:
     return b
 
 
+def sharded_batch_offline_outputs_shared(
+    mesh, spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
+) -> jax.Array:
+    """[C, n] streams sharded over the mesh's first axis, one shared net
+    replicated per device -> [C, E, outputs]. C must divide by the mesh
+    size (scan_corpus pads). No cross-device communication — lanes are
+    embarrassingly parallel (Processor.swift:57-59's fan-out, multi-chip)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(x):
+        # params ride in as host-side constants (never traced arguments —
+        # the fused fold consumes them as numpy)
+        return batch_offline_outputs_shared(spec, params, x, method=method)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
+    return jax.jit(fn)(xs)
+
+
 def scan_corpus(
     cfg: SyllableDetectorConfig,
     streams: Sequence[np.ndarray],
     method: str = "matmul",
+    mesh=None,
 ) -> list[np.ndarray]:
     """Detect over many same-rate streams at once -> per-stream [E_i, outputs].
 
@@ -101,18 +128,33 @@ def scan_corpus(
     trimmed back to the stream's true evaluation count. Zero padding cannot
     create detections by itself, but an eval window straddling the end of a
     short stream sees padded zeros exactly as the reference sees silence.
+    With ``mesh``, the lane axis is sharded across the mesh's devices
+    (lanes padded to a multiple of the mesh size).
     """
     spec, params = _spec_cache(cfg)
     if not streams:
         return []
     streams = [np.asarray(s, np.float32).reshape(-1) for s in streams]
     bucket = _bucket(max(len(s) for s in streams))
-    xs = np.zeros((len(streams), bucket), np.float32)
+    lanes = len(streams)
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        lanes = -(-lanes // n_dev) * n_dev
+    xs = np.zeros((lanes, bucket), np.float32)
     for i, s in enumerate(streams):
         xs[i, : len(s)] = s
-    outs = np.asarray(
-        batch_offline_outputs_shared(spec, params, jnp.asarray(xs), method=method)
-    )
+    if mesh is not None:
+        outs = np.asarray(
+            sharded_batch_offline_outputs_shared(
+                mesh, spec, params, jnp.asarray(xs), method=method
+            )
+        )
+    else:
+        outs = np.asarray(
+            batch_offline_outputs_shared(
+                spec, params, jnp.asarray(xs), method=method
+            )
+        )
     results = []
     for i, s in enumerate(streams):
         f = num_frames(len(s), cfg.window_length, cfg.window_overlap)
@@ -154,6 +196,7 @@ def scan_corpus_files(
     err=None,
     method: str = "matmul",
     headers: Optional[bool] = None,
+    mesh=None,
 ) -> None:
     """File-level corpus scan with the CLI's multi-file output contract.
     ``headers`` forces (or suppresses) per-file path header lines; None =
@@ -201,7 +244,7 @@ def scan_corpus_files(
             lanes.append((len(good_paths) - 1, c))
     if not streams:
         return
-    results = scan_corpus(cfg, streams, method=method)
+    results = scan_corpus(cfg, streams, method=method, mesh=mesh)
     debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
     multiple = len(good_paths) > 1 if headers is None else headers
     by_file: dict[int, list] = {}

@@ -64,6 +64,36 @@ def test_scan_corpus_empty(sample_config):
     assert scan_corpus(sample_config, []) == []
 
 
+def test_scan_corpus_mesh_sharded(sample_config):
+    """Lanes sharded across the 8-device test mesh (with padding to a
+    multiple of the mesh size) must equal the single-device scan."""
+    from syllable_detector_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(17)
+    streams = [make_audio(rng, seconds=0.3) for _ in range(5)]  # 5 % 8 != 0
+    mesh = make_mesh()
+    got = scan_corpus(sample_config, streams, mesh=mesh)
+    want = scan_corpus(sample_config, streams)
+    assert len(got) == len(want) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_batched_mesh(sample_config, tmp_path, capsys):
+    from syllable_detector_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(18)
+    x = make_audio(rng, seconds=0.4)
+    p = tmp_path / "m.wav"
+    write_wav(p, x, 44100, dtype="float32")
+    rc = cli_main(
+        ["-n", "/root/reference/sample.txt", "-a", str(p), "--batched", "--mesh"]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert_csv_close(out, ref.cli_lines(sample_config, x))
+
+
 def test_scan_corpus_fused_method(sample_config):
     """method='fused' must not crash on traced params (regression: the
     fused dispatch ran inside jit, tracing params into fold_constants)."""
