@@ -11,6 +11,13 @@ Usage:
   python -m syllable_detector_tpu.monitor -n NET.txt -a IN.wav [--channels N]
                                           [--output audio|arduino]
                                           [--duration SECONDS] [--realtime]
+  python -m syllable_detector_tpu.monitor --interactive [...]
+
+``--interactive`` is the GUI's control loop as a REPL: load a network per
+channel row, start/stop the processor, inspect the level table — the
+ViewControllerMenu -> ViewControllerProcessor flow
+(ViewControllerMenu.swift:163-225, ViewControllerProcessor.swift:116-154,
+222-276) without a window server.
 """
 
 from __future__ import annotations
@@ -38,6 +45,137 @@ from syllable_detector_tpu.utils.wav import read_audio
 __all__ = ["main"]
 
 
+def interactive_loop(args, input_fn=input, out=print) -> int:
+    """The GUI control flow as a REPL (testable via injected input_fn).
+
+    Commands:
+      load CH NET.txt   assign a network to channel row CH
+                        (double-click-to-load, ViewControllerProcessor.swift:222-276)
+      start | stop      construct/tear down the Processor
+                        (the Start/Stop button, ViewControllerProcessor.swift:116-154)
+      table             print the level columns (the 10 Hz refresh)
+      devices           list registered audio devices
+      quit              stop and exit
+    """
+    from syllable_detector_tpu.runtime.audio_io import list_devices
+
+    rate = 44100.0
+    configs: dict[int, object] = {}
+    proc = None
+    interface = None
+    output = None
+
+    def make_source(audio_path):
+        if audio_path:
+            wav, _ = read_audio(audio_path)
+            mono = np.ascontiguousarray(wav[:, 0])
+
+            def source(ch, start, n):
+                idx = (start + np.arange(n)) % len(mono)
+                return mono[idx]
+
+            return source
+        rng = np.random.default_rng(0)
+
+        def source(ch, start, n):
+            t = (start + np.arange(n)) / rate
+            x = 0.4 * np.sin(2 * np.pi * (2500.0 + 700 * ch) * t)
+            return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+        return source
+
+    def stop():
+        nonlocal proc, interface
+        if proc is None:
+            out("not running")
+            return
+        interface.wait_until_done(timeout=None)
+        proc.drain_pending()
+        proc.tear_down()
+        out(f"stopped; detections per channel: "
+            f"{[lane.detections for lane in proc._lanes]}")
+        proc = None
+
+    out("interactive monitor — load CH NET | start | stop | table | devices | quit")
+    while True:
+        try:
+            line = input_fn("> ")
+        except (EOFError, KeyboardInterrupt):
+            line = "quit"
+        parts = line.strip().split()
+        if not parts:
+            continue
+        cmd = parts[0].lower()
+        if cmd == "quit":
+            if proc is not None:
+                stop()
+            return 0
+        if cmd == "devices":
+            devices = list_devices()
+            if not devices:
+                out("No audio devices registered (simulated sources only).")
+            for d in devices:
+                out(f"{d.device_id}: {d.device_name} [{d.device_uid}]")
+        elif cmd == "load":
+            if len(parts) != 3:
+                out("usage: load CH NET.txt")
+                continue
+            try:
+                ch = int(parts[1])
+                cfg = load_config(parts[2])
+            except (ValueError, ConfigError) as e:
+                out(f"load failed: {e}")
+                continue
+            configs[ch] = cfg
+            rate = cfg.sampling_rate
+            out(f"channel {ch} <- {parts[2]} "
+                f"({cfg.sampling_rate:.0f} Hz, threshold {cfg.thresholds[0]})")
+        elif cmd == "start":
+            if proc is not None:
+                out("already running (stop first)")
+                continue
+            if not configs:
+                out("no networks loaded (use: load CH NET.txt)")
+                continue
+            channels = max(configs) + 1
+            total = int(args.duration * rate)
+            interface = SimulatedAudioInput(
+                make_source(args.audio),
+                channels=channels,
+                sample_rate=rate,
+                realtime=args.realtime,
+                total_samples=total,
+            )
+            entries = [
+                ProcessorEntry(
+                    input_channel=i, output_channel=i, config=configs.get(i)
+                )
+                for i in range(channels)
+            ]
+            out_interface = SimulatedAudioOutput(
+                channels=channels, sample_rate=rate
+            )
+            output = AudioTTLOutput(out_interface)
+            proc = Processor(interface, entries, output)
+            proc.set_up()
+            out(f"running: {len(proc.entries)} detector(s) over "
+                f"{channels} channel(s)")
+        elif cmd == "stop":
+            stop()
+        elif cmd == "table":
+            if proc is None:
+                out("not running")
+                continue
+            out(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
+            for e in proc.entries:
+                i = e.input_channel
+                rms = proc.get_input_for_channel(i) or 0.0
+                o = proc.get_output_for_channel(i) or 0.0
+                out(f"{i:>4} {rms:>10.4f} {o:>10.4f}")
+        else:
+            out(f"unknown command {cmd!r}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="syllable-detector-monitor")
     p.add_argument(
@@ -60,7 +198,15 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=2.0, help="Seconds to run.")
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="REPL control loop: load/start/stop/table (the GUI flow).",
+    )
     args = p.parse_args(argv)
+
+    if args.interactive:
+        return interactive_loop(args)
 
     if args.list_devices:
         from syllable_detector_tpu.runtime.audio_io import list_devices

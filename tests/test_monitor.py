@@ -85,3 +85,57 @@ def test_monitor_bad_net(tmp_path, capsys):
     bad.write_text("samplingRate = nope\n")
     rc = monitor_main(["-n", str(bad), "--duration", "0.1"])
     assert rc == 1
+
+
+def test_monitor_interactive_loop(chirp_wav):
+    """The GUI control flow as a REPL: load nets per channel, start, inspect
+    the table, stop with a detections summary
+    (ViewControllerProcessor.swift:116-154, 222-276)."""
+    import argparse
+
+    from syllable_detector_tpu.monitor import interactive_loop
+
+    args = argparse.Namespace(
+        audio=chirp_wav, duration=0.6, realtime=False
+    )
+    commands = iter([
+        "devices",
+        "load onlyonearg",     # bad usage
+        "load 0 /nonexistent", # load error path
+        f"load 0 {NET}",
+        f"load 1 {NET}",
+        "table",               # not running yet
+        "start",
+        "start",               # double start rejected
+        "stop",
+        "table",               # stopped again
+        "bogus",
+        "quit",
+    ])
+    out_lines = []
+    rc = interactive_loop(
+        args, input_fn=lambda prompt: next(commands), out=out_lines.append
+    )
+    assert rc == 0
+    text = "\n".join(out_lines)
+    assert "usage: load CH NET.txt" in text
+    assert "load failed" in text
+    assert "channel 0 <-" in text and "channel 1 <-" in text
+    assert "running: 2 detector(s) over 2 channel(s)" in text
+    assert "already running" in text
+    assert "unknown command 'bogus'" in text
+    det_line = next(l for l in out_lines if "detections per channel" in l)
+    dets = eval(det_line.split(":", 1)[1])
+    assert len(dets) == 2 and all(d > 0 for d in dets)
+
+
+def test_monitor_interactive_quit_on_eof():
+    import argparse
+
+    from syllable_detector_tpu.monitor import interactive_loop
+
+    def raise_eof(prompt):
+        raise EOFError
+
+    args = argparse.Namespace(audio=None, duration=0.1, realtime=False)
+    assert interactive_loop(args, input_fn=raise_eof, out=lambda s: None) == 0
