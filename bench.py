@@ -125,16 +125,20 @@ def channel_sweep(spec, params, dev):
             dev,
         )
 
-        def make_fn(xs=xs, c=c):
+        # the streams MUST flow through the function argument: a closed-over
+        # device array is lifted into the HLO as a literal constant, and a
+        # [1024, n] constant blows the remote compiler's request-size limit
+        # (the real cause of the r1 sweep failures)
+        def make_fn(c=c):
             if c <= SWEEP_SLAB:
-                def fn(x_unused, carry):
+                def fn(x, carry):
                     outs = fused_batch_offline_outputs(
-                        spec, params, xs + carry * 0.0, tile=tile
+                        spec, params, x + carry * 0.0, tile=tile
                     )
                     return outs[-1, -1, 0] + carry
             else:
-                def fn(x_unused, carry):
-                    slabs = (xs + carry * 0.0).reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
+                def fn(x, carry):
+                    slabs = (x + carry * 0.0).reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
                     outs = jax.lax.map(
                         lambda s: fused_batch_offline_outputs(
                             spec, params, s, tile=tile
@@ -272,40 +276,62 @@ def main():
 
         def device_hop_latency(c, k_small=128, k_big=2048, trials=5):
             # wide K span: the slope must resolve a ~5 us/hop device time
-            # above ~0.5 ms host/tunnel timing noise
+            # above ~0.5 ms host/tunnel timing noise. Each call feeds the
+            # previous call's carries back in — identical-input re-executions
+            # can be served from a runtime cache and time as pure RTT.
             stacked = jax.device_put(stack_params([params] * c), dev)
             carry0 = streaming_init(spec)
             carries = jax.tree.map(lambda a: jnp.stack([a] * c), carry0)
+            # chaotic nonzero start so the state never converges to a fixed
+            # point (identical inputs could be served from a runtime cache)
+            carries["residual"] = jnp.asarray(
+                np.random.default_rng(0)
+                .uniform(0.2, 0.8, carries["residual"].shape)
+                .astype(np.float32)
+            )
             carries = jax.device_put(carries, dev)
-            chunk = jnp.zeros((c, hop), jnp.float32)
+            r_len = carries["residual"].shape[1]
+            reps = -(-hop // r_len)
 
             def scanned(k):
                 @jax.jit
-                def run(carries):
-                    def body(cs, _):
+                def run(state):
+                    def body(state, _):
+                        cs, acc = state
+                        # logistic-map chunk derived from the carry: every
+                        # iteration's input is new, nothing is elidable
+                        r = jnp.clip(cs["residual"], 0.01, 0.99)
+                        ch = 3.9 * r * (1.0 - r)
+                        ch = jnp.tile(ch, (1, reps))[:, :hop]
                         cs, outs = jax.vmap(
-                            lambda p, cr, ch: streaming_step(spec, p, cr, ch)
-                        )(stacked, cs, chunk)
-                        return cs, None
+                            lambda p, cr, x: streaming_step(spec, p, cr, x)
+                        )(stacked, cs, ch)
+                        # consume the outputs so the MLP stays live
+                        return (cs, acc + jnp.sum(outs)), None
 
-                    cs, _ = jax.lax.scan(body, carries, None, length=k)
-                    return cs
+                    state, _ = jax.lax.scan(body, state, None, length=k)
+                    return state
 
                 return run
 
             run_small, run_big = scanned(k_small), scanned(k_big)
-            jax.block_until_ready(run_small(carries))
-            jax.block_until_ready(run_big(carries))
+            state = (carries, jnp.float32(0))
+            state = run_small(state)
+            jax.block_until_ready(state)
+            state = run_big(state)
+            jax.block_until_ready(state)
 
-            def best(run):
+            def best(run, state):
                 times = []
                 for _ in range(trials):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(run(carries))
+                    state = run(state)  # carry chains calls
+                    jax.block_until_ready(state)
                     times.append(time.perf_counter() - t0)
-                return min(times)
+                return min(times), state
 
-            t_small, t_big = best(run_small), best(run_big)
+            t_small, state = best(run_small, state)
+            t_big, state = best(run_big, state)
             return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
         deadline_ms = hop / spec.sampling_rate * 1e3

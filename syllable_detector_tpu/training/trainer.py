@@ -74,6 +74,22 @@ class TrainSettings:
     batch_size: int = 4096
     seed: int = 0
 
+    def __post_init__(self):
+        # the MATLAB exporter's preamble validation (convert_to_text.m:41-54)
+        if self.fourier_length & (self.fourier_length - 1):
+            raise ValueError(
+                f"fourier_length must be a power of 2, got {self.fourier_length}"
+            )
+        if self.window_length > self.fourier_length:
+            raise ValueError(
+                f"window_length ({self.window_length}) must not exceed "
+                f"fourier_length ({self.fourier_length})"
+            )
+        if self.scaling not in ("linear", "log", "db"):
+            raise ValueError(f"unknown scaling {self.scaling!r}")
+        if self.time_range < 1:
+            raise ValueError("time_range must be >= 1")
+
     @property
     def bins(self) -> tuple[int, int]:
         b = frequency_index_range(

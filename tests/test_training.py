@@ -53,6 +53,18 @@ def test_features_and_labels(settings, dataset):
     assert 0 < labels.sum() < len(labels)
 
 
+def test_settings_validation():
+    """convert_to_text.m's preamble checks (convert_to_text.m:41-54)."""
+    with pytest.raises(ValueError, match="power of 2"):
+        TrainSettings(fourier_length=300)
+    with pytest.raises(ValueError, match="must not exceed"):
+        TrainSettings(fourier_length=256, window_length=512)
+    with pytest.raises(ValueError, match="unknown scaling"):
+        TrainSettings(scaling="cube")
+    with pytest.raises(ValueError, match="time_range"):
+        TrainSettings(time_range=0)
+
+
 def test_features_apply_scaling(settings, dataset):
     """Training features must see the same spectrogram scaling inference
     applies (ADVICE r1 medium: log/db nets were fit on linear magnitudes)."""
