@@ -170,6 +170,45 @@ def test_train_cli(tmp_path):
     assert hits / len(lines) > 0.8, (hits, len(lines))
 
 
+def test_train_cli_log_scaling(tmp_path):
+    """--scaling log end-to-end (ADVICE r1 medium: these nets used to be fit
+    on linear magnitudes but evaluated on log features — silently broken).
+    A net trained on log features must actually detect its syllables."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syllable_detector_tpu.cli import main as cli_main
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=3.0)
+    wav = tmp_path / "train.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    labels = tmp_path / "labels.csv"
+    labels.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+    net = tmp_path / "net_log.txt"
+    rc = train_main(
+        ["-a", str(wav), "-l", str(labels), "-o", str(net),
+         "--epochs", "150", "--scaling", "log", "--quiet"]
+    )
+    assert rc == 0 and net.exists()
+    assert "scaling = log" in net.read_text()
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["-n", str(net), "-a", str(wav)])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) > 0
+    # detections concentrate inside labeled syllables
+    hits = 0
+    for l in lines:
+        t = float(l.split(",")[2])
+        if any(lo - 0.05 <= t <= hi + 0.05 for lo, hi in intervals):
+            hits += 1
+    assert hits / len(lines) > 0.8
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from syllable_detector_tpu.training.checkpoint import (
