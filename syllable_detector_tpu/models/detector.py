@@ -450,3 +450,39 @@ class Detector:
         if not len(outs):
             return False
         return bool(np.any(outs[:, 0] >= np.float32(self.spec.thresholds[0])))
+
+    # -- state checkpoint / resume (beyond the reference, whose only
+    # recovery is restarting the app — SURVEY §5 checkpoint/resume) --------
+
+    def get_state(self) -> dict:
+        """Snapshot the streaming state (buffered samples, frame history,
+        warm-up counter, last outputs) as plain numpy arrays."""
+        return {
+            "residual": np.asarray(self._residual, np.float32).copy(),
+            "history": np.asarray(self._history, np.float32).copy(),
+            "frames_seen": int(self._frames_seen),
+            "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
+        }
+
+    def set_state(self, state: dict) -> None:
+        """Restore a snapshot taken by :meth:`get_state` (possibly in a
+        different process); continuing the stream afterwards produces
+        exactly the outputs an uninterrupted detector would."""
+        residual = np.asarray(state["residual"], np.float32)
+        history = np.asarray(state["history"], np.float32)
+        if history.shape != (self.spec.history, self.spec.n_bins):
+            raise ValueError(
+                f"state history shape {history.shape} does not match this "
+                f"detector ({self.spec.history}, {self.spec.n_bins})"
+            )
+        self._residual = residual.copy()
+        self._history = jnp.asarray(history)
+        self._frames_seen = int(state["frames_seen"])
+        self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
+
+    def save_state(self, path) -> None:
+        np.savez(path, **self.get_state())
+
+    def load_state(self, path) -> None:
+        with np.load(path) as data:
+            self.set_state({k: data[k] for k in data.files})

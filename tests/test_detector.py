@@ -106,6 +106,40 @@ def test_detector_last_outputs_and_seen(sample_config, rng):
     assert seen == bool(np.any(outs[:, 0] >= np.float32(det2.spec.thresholds[0])))
 
 
+@pytest.mark.parametrize("method", ["matmul", "fused"])
+def test_detector_state_checkpoint_resume(sample_config, rng, tmp_path, method):
+    """Snapshot mid-stream, resume in a FRESH detector (new process
+    equivalent), outputs match an uninterrupted run exactly."""
+    x = make_audio(rng, seconds=0.6)
+    cut = len(x) // 3 + 41  # awkward offset: mid-hop, mid-frame
+
+    base = Detector(sample_config, method=method)
+    base.append_audio_data(x)
+    want = base.drain()
+
+    d1 = Detector(sample_config, method=method)
+    d1.append_audio_data(x[:cut])
+    first = d1.drain()
+    path = tmp_path / "state.npz"
+    d1.save_state(path)
+
+    d2 = Detector(sample_config, method=method)
+    d2.load_state(path)
+    d2.append_audio_data(x[cut:])
+    rest = d2.drain()
+
+    got = np.concatenate([first, rest]) if len(first) or len(rest) else first
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(d2.last_outputs, want[-1])
+
+    bad = Detector(sample_config)
+    state = d1.get_state()
+    state["history"] = state["history"][:, :3]
+    with pytest.raises(ValueError, match="history shape"):
+        bad.set_state(state)
+
+
 def test_spec_validation(sample_config):
     import dataclasses
 
