@@ -63,36 +63,44 @@ def time_scanned(make_fn, x, k_small=2, k_big=12, trials=3):
     Instead each *single* dispatch runs K data-dependent iterations inside a
     lax.scan (every iteration's output feeds the next carry, so nothing can
     be dropped), and the per-iteration time is the slope between two K
-    values — subtracting dispatch/transfer cost exactly.
+    values — subtracting dispatch/transfer cost exactly. The seed carry
+    chains from call to call so no two timed executions see identical
+    inputs (identical re-executions can be served from a runtime cache and
+    time as pure RTT).
     """
 
     def scanned(k):
         fn = make_fn()
 
         @jax.jit
-        def run(x):
+        def run(x, c0):
             def body(carry, _):
                 out = fn(x, carry)
                 return out, None
 
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            c, _ = jax.lax.scan(body, c0, None, length=k)
             return c
 
         return run
 
     run_small, run_big = scanned(k_small), scanned(k_big)
-    jax.block_until_ready(run_small(x))  # compile
-    jax.block_until_ready(run_big(x))
+    c = jnp.float32(0)
+    c = run_small(x, c)
+    jax.block_until_ready(c)  # compile
+    c = run_big(x, c)
+    jax.block_until_ready(c)
 
-    def best(run):
+    def best(run, c):
         times = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x))
+            c = run(x, c)  # carry chains calls
+            jax.block_until_ready(c)
             times.append(time.perf_counter() - t0)
-        return min(times)
+        return min(times), c
 
-    t_small, t_big = best(run_small), best(run_big)
+    t_small, c = best(run_small, c)
+    t_big, c = best(run_big, c)
     return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
 
@@ -114,7 +122,8 @@ def channel_sweep(spec, params, dev):
     n_evals = 1 << 11  # per channel
     hop = spec.hop
     n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
-    tile = 512  # per-channel grids are small; 512 divides n_evals evenly
+    tile = 2048  # one grid program per channel (per-program overhead
+    # dominates at small tiles; see the main-path tile sweep)
     for c in (8, 64, 256, 1024):
         xs = jax.device_put(
             jnp.asarray(
