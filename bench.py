@@ -125,15 +125,6 @@ def channel_sweep(spec, params, dev):
     tile = 2048  # one grid program per channel (per-program overhead
     # dominates at small tiles; see the main-path tile sweep)
     for c in (8, 64, 256, 1024):
-        xs = jax.device_put(
-            jnp.asarray(
-                np.random.default_rng(0)
-                .standard_normal((c, n))
-                .astype(np.float32)
-            ),
-            dev,
-        )
-
         # the streams MUST flow through the function argument: a closed-over
         # device array is lifted into the HLO as a literal constant, and a
         # [1024, n] constant blows the remote compiler's request-size limit
@@ -159,6 +150,14 @@ def channel_sweep(spec, params, dev):
             return fn
 
         try:
+            xs = jax.device_put(
+                jnp.asarray(
+                    np.random.default_rng(0)
+                    .standard_normal((c, n))
+                    .astype(np.float32)
+                ),
+                dev,
+            )
             dt = time_scanned(make_fn, xs)
             total = c * n_evals
             log(
