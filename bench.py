@@ -122,8 +122,9 @@ def channel_sweep(spec, params, dev):
     n_evals = 1 << 11  # per channel
     hop = spec.hop
     n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
-    tile = 2048  # one grid program per channel (per-program overhead
-    # dominates at small tiles; see the main-path tile sweep)
+    tile = 512  # measured: the batched kernel wants MANY grid programs
+    # (tile 2048 = one program per channel halved throughput; tile 512's
+    # 4 programs/channel pipeline DMA against compute)
     for c in (8, 64, 256, 1024):
         # the streams MUST flow through the function argument: a closed-over
         # device array is lifted into the HLO as a literal constant, and a
