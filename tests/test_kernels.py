@@ -163,7 +163,11 @@ def test_raw_mode_gap_config():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
-def test_fused_batch(sample_config):
+@pytest.mark.parametrize("tile", [256, 64])
+def test_fused_batch(sample_config, tile):
+    """tile=256 -> one grid program per channel; tile=64 -> four programs
+    per channel, exercising the flat-slab row arithmetic (base =
+    ch*ch_rows + i*tile) at i > 0."""
     from syllable_detector_tpu.kernels.fused_detector import (
         fused_batch_offline_outputs,
     )
@@ -171,7 +175,7 @@ def test_fused_batch(sample_config):
     spec, params = detector_spec_from_config(sample_config)
     rng = np.random.default_rng(1)
     xs = jnp.asarray(rng.standard_normal((4, 30000)).astype(np.float32))
-    outs = fused_batch_offline_outputs(spec, params, xs, interpret=True)
+    outs = fused_batch_offline_outputs(spec, params, xs, tile=tile, interpret=True)
     ref = jnp.stack([offline_outputs(spec, params, x) for x in xs])
     assert outs.shape == ref.shape
     np.testing.assert_allclose(np.asarray(outs), np.asarray(ref), rtol=1e-3, atol=2e-4)
