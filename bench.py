@@ -177,6 +177,24 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
+    # --profile DIR: wrap the run in a jax.profiler trace (view with
+    # tensorboard/xprof) — the Time.printAll analogue at device level
+    if "--profile" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--profile") + 1]
+        log(f"writing profiler trace to {trace_dir}")
+        import contextlib
+
+        ctx = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _run(cfg, spec, params, dev)
+
+
+def _run(cfg, spec, params, dev):
+
     on_tpu = dev.platform != "cpu"
     # windows per call: big enough to amortize dispatch, small enough that a
     # cold compile over the tunnel stays in the driver's budget
