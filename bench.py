@@ -74,11 +74,20 @@ def time_scanned(make_fn, x, k_small=2, k_big=12, trials=3):
 
         @jax.jit
         def run(x, c0):
-            def body(carry, _):
-                out = fn(x, carry)
-                return out, None
+            # x rides in the scan CARRY and each iteration rewrites one
+            # element with a value depending on the previous output: the
+            # iterations serialize (no hoisting/elision) but the carried
+            # buffer is aliased in place — unlike `x + carry*0`, which
+            # copied the whole input every iteration (~6% artifact).
+            def body(state, _):
+                x, c = state
+                out = fn(x, c)
+                x = jax.lax.dynamic_update_slice(
+                    x, x[:1] + 0.0 * out, (0,) * x.ndim
+                )
+                return (x, out), None
 
-            c, _ = jax.lax.scan(body, c0, None, length=k)
+            (_, c), _ = jax.lax.scan(body, (x, c0), None, length=k)
             return c
 
         return run
@@ -133,13 +142,11 @@ def channel_sweep(spec, params, dev):
         def make_fn(c=c):
             if c <= SWEEP_SLAB:
                 def fn(x, carry):
-                    outs = fused_batch_offline_outputs(
-                        spec, params, x + carry * 0.0, tile=tile
-                    )
+                    outs = fused_batch_offline_outputs(spec, params, x, tile=tile)
                     return outs[-1, -1, 0] + carry
             else:
                 def fn(x, carry):
-                    slabs = (x + carry * 0.0).reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
+                    slabs = x.reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
                     outs = jax.lax.map(
                         lambda s: fused_batch_offline_outputs(
                             spec, params, s, tile=tile
@@ -233,7 +240,7 @@ def _run(cfg, spec, params, dev):
         def make_fused():
             def fn(x, carry):
                 out = fused_offline_outputs(
-                    spec, params, x + carry * 0.0, tile=tile, input_mode="raw"
+                    spec, params, x, tile=tile, input_mode="raw"
                 )
                 return out[-1, 0] + carry
 
@@ -254,7 +261,7 @@ def _run(cfg, spec, params, dev):
                 def make_tier(kw=kw):
                     def fn(x, carry):
                         out = fused_offline_outputs(
-                            spec, params, x + carry * 0.0, tile=tile,
+                            spec, params, x, tile=tile,
                             input_mode="raw", **kw,
                         )
                         return out[-1, 0] + carry
@@ -273,7 +280,7 @@ def _run(cfg, spec, params, dev):
     try:
         def make_unfused():
             def fn(x, carry):
-                out = offline_outputs(spec, params, x + carry * 0.0)
+                out = offline_outputs(spec, params, x)
                 return out[-1, 0] + carry
 
             return fn

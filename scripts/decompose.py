@@ -1,0 +1,154 @@
+"""Decompose the fused kernel's per-program time on hardware.
+
+Times stripped-down variants of the tile-2048 kernel: DMA only, DMA+DFT,
+DMA+DFT+mag, full pipeline — to locate the ~30 us/program that neither MXU
+passes nor DMA bytes explain. Results feed the round notes.
+"""
+
+import functools
+import os
+import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/syllable_detector_tpu/xla"),
+)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bench import make_audio, time_scanned
+from syllable_detector_tpu.config.model_format import load_config
+from syllable_detector_tpu.kernels.fused_detector import (
+    _folded,
+    _raw_geometry,
+)
+from syllable_detector_tpu.models.detector import detector_spec_from_config
+
+TILE = 2048
+
+
+def make_variant(spec, meta, operands, stage: str):
+    """stage: dma | dft | mag | full-ish"""
+    gap, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(
+        spec, TILE
+    )
+    halo = spec.time_range - 1
+    prec = jax.lax.Precision.HIGHEST
+    c_packed = operands[0]
+    w1g = operands[1]
+
+    def kernel(frames_hbm, c_ref, w_ref, out_ref, fvmem, sem):
+        i = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            frames_hbm.at[pl.ds(i * TILE, rows2d)],
+            fvmem.at[pl.ds(0, rows2d)],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        if stage == "dma":
+            out_ref[:, :] = fvmem[0:TILE, 0:8] * 2.0
+            return
+        big = jnp.zeros((TILE + halo, meta.b_pad), jnp.float32)
+        for j, (lo, hi, clo) in enumerate(parts):
+            big = big + jnp.dot(
+                fvmem[j : j + TILE + halo, clo : clo + (hi - lo)],
+                c_ref[lo:hi, :],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        if stage == "dft":
+            out_ref[:, :] = big[0:TILE, 0:8]
+            return
+        sq0 = big * big
+        sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+        mag = jnp.sqrt(sq)
+        if stage == "mag":
+            out_ref[:, :] = mag[0:TILE, 0:8]
+            return
+        conv = jnp.dot(
+            mag, w_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
+        acc = jnp.zeros((TILE, meta.hs), jnp.float32)
+        rowsq = jnp.sum(sq0, axis=1, keepdims=True)
+        norm = jnp.zeros((TILE, 1), jnp.float32)
+        for t in range(spec.time_range):
+            acc = acc + conv[t : t + TILE, t * meta.hs : (t + 1) * meta.hs]
+            norm = norm + rowsq[t : t + TILE, :]
+        acc = jnp.tanh(acc / jnp.sqrt(norm))
+        out_ref[:, :] = acc
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(data):
+        n_rows = data.shape[0]
+        grid = (n_rows - rows2d) // TILE + 1
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((grid * TILE, 8), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows2d, hop_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(data, jnp.asarray(c_packed), jnp.asarray(w1g))
+
+    return run
+
+
+def main():
+    cfg = load_config("/root/reference/sample.txt")
+    spec, params = detector_spec_from_config(cfg)
+    operands, meta = _folded(spec, params)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    n_evals = 1 << 17
+    hop = spec.hop
+    _, _, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, TILE)
+    grid = n_evals // TILE
+    total_rows = (grid - 1) * TILE + rows2d
+    x = make_audio(total_rows * hop)
+    data = np.zeros((total_rows, hop_pad), np.float32)
+    data[:, :hop] = x.reshape(total_rows, hop)
+    data = jax.device_put(jnp.asarray(data), dev)
+
+    stages = sys.argv[1:] or ["dma", "dft", "mag", "full"]
+    for stage in stages:
+        run = make_variant(spec, meta, operands, stage)
+
+        def make_fn(run=run):
+            def fn(d, carry):
+                out = run(d + carry * 0.0)
+                return out[-1, 0] + carry
+            return fn
+
+        try:
+            dt = time_scanned(make_fn, data)
+            per_prog = dt / grid
+            print(
+                f"{stage:5s}: {dt*1e3:8.3f} ms/iter, {per_prog*1e6:7.2f} "
+                f"us/program ({n_evals/dt:,.0f} windows/s)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{stage}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
