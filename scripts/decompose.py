@@ -204,12 +204,89 @@ def make_flat(spec, meta, operands):
     return run
 
 
+def make_pipe132(spec, meta, operands):
+    """Like 'pipelined' but the HBM array keeps its natural 132-lane width
+    (no 132->256 pad): BlockSpec-managed blocks may not need the manual-DMA
+    128-multiple lane rule. If this compiles and runs fast, the whole
+    134 MB/call prep pad disappears."""
+    gap, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(
+        spec, TILE
+    )
+    halo = spec.time_range - 1
+    prec = jax.lax.Precision.HIGHEST
+    c_packed = operands[0]
+    w1g = operands[1]
+    halo_rows = rows2d - TILE
+    step = TILE // halo_rows
+
+    def kernel(main_ref, halo_ref, c_ref, w_ref, out_ref, slab):
+        slab[0:TILE, :] = main_ref[:, :]
+        slab[TILE:rows2d, :] = halo_ref[:, :]
+        big = jnp.zeros((TILE + halo, meta.b_pad), jnp.float32)
+        for j, (lo, hi, clo) in enumerate(parts):
+            big = big + jnp.dot(
+                slab[j : j + TILE + halo, clo : clo + (hi - lo)],
+                c_ref[lo:hi, :],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        sq0 = big * big
+        sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+        mag = jnp.sqrt(sq)
+        conv = jnp.dot(
+            mag, w_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
+        acc = jnp.zeros((TILE, meta.hs), jnp.float32)
+        rowsq = jnp.sum(sq0, axis=1, keepdims=True)
+        norm = jnp.zeros((TILE, 1), jnp.float32)
+        for t in range(spec.time_range):
+            acc = acc + conv[t : t + TILE, t * meta.hs : (t + 1) * meta.hs]
+            norm = norm + rowsq[t : t + TILE, :]
+        acc = jnp.tanh(acc / jnp.sqrt(norm))
+        out_ref[:, :] = acc
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(narrow):
+        total_rows = narrow.shape[0]
+        grid = (total_rows - rows2d) // TILE + 1
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=jax.ShapeDtypeStruct((grid * TILE, 8), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (halo_rows, hop),
+                    lambda i: ((i + 1) * step, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows2d, hop), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(narrow, narrow, jnp.asarray(c_packed), jnp.asarray(w1g))
+
+    return run
+
+
 def make_variant(spec, meta, operands, stage: str):
     """stage: dma | dft | mag | full-ish"""
     if stage == "pipelined":
         return make_pipelined(spec, meta, operands)
     if stage == "flat":
         return make_flat(spec, meta, operands)
+    if stage == "pipe132":
+        return make_pipe132(spec, meta, operands)
     gap, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(
         spec, TILE
     )
@@ -314,15 +391,23 @@ def main():
     data = np.zeros((total_rows, hop_pad), np.float32)
     data[:, :hop] = x.reshape(total_rows, hop)
     data = jax.device_put(jnp.asarray(data), dev)
+    narrow = jax.device_put(
+        jnp.asarray(x.reshape(total_rows, hop)), dev
+    )  # unpadded 132-lane layout for pipe132
 
-    stages = sys.argv[1:] or ["full", "pipelined", "flat"]
+    stages = sys.argv[1:] or ["full", "pipelined", "pipe132"]
+    def data_for(stage):
+        return narrow if stage == "pipe132" else data
+
     if "full" in stages:
         a = np.asarray(make_variant(spec, meta, operands, "full")(data))
         for other in stages:
             if other == "full":
                 continue
             try:
-                b = np.asarray(make_variant(spec, meta, operands, other)(data))
+                b = np.asarray(
+                    make_variant(spec, meta, operands, other)(data_for(other))
+                )
                 print(f"{other} parity vs full: max abs err "
                       f"{np.abs(a-b).max():.2e}", flush=True)
             except Exception as e:
@@ -338,7 +423,7 @@ def main():
             return fn
 
         try:
-            dt = time_scanned(make_fn, data)
+            dt = time_scanned(make_fn, data_for(stage))
             per_prog = dt / grid
             print(
                 f"{stage:5s}: {dt*1e3:8.3f} ms/iter, {per_prog*1e6:7.2f} "
