@@ -254,6 +254,7 @@ def _make_kernel(
     input_mode: str = "frames",
     ch_rows: int | None = None,
     pipelined: bool = False,
+    out3d: bool = False,
 ):
     t_range = spec.time_range
     halo = t_range - 1
@@ -349,13 +350,14 @@ def _make_kernel(
 
         # batched channels ride the SAME flat 2-D slab layout as the
         # single-stream kernel (channel ch's rows at [ch*ch_rows, ...)) —
-        # 3-D .at[ch] HBM slicing measured ~25% slower DMA
-        batched = ch_rows is not None
-        if batched:
+        # 3-D .at[ch] HBM slicing measured ~25% slower DMA. Pipelined mode
+        # addresses via the BlockSpec index maps instead (base unused).
+        batched = out3d or ch_rows is not None
+        if ch_rows is not None:
             ch = pl.program_id(0)
             i = pl.program_id(1)
             base = ch * ch_rows + i * tile
-        else:
+        elif not pipelined:
             i = pl.program_id(0)
             base = i * tile
         if input_mode == "raw":
@@ -508,19 +510,22 @@ def _fused_call(
         w_ops = list(hi_lo(operands[1])) if split_conv else [operands[1]]
         operands = (*c_ops, *w_ops, *operands[2:])
 
-    # single-stream raw path: BlockSpec-pipelined slab (Mosaic double-buffers
-    # the HBM->VMEM traffic across grid programs — 1.17x over manual DMA).
+    # raw path: BlockSpec-pipelined slab (Mosaic double-buffers the
+    # HBM->VMEM traffic across grid programs — 1.17x over manual DMA).
     # BlockSpec-managed blocks do NOT need the manual-DMA 128-multiple lane
     # rule, so the data keeps its natural hop-lane width — no 132->256 lane
-    # pad at all (another ~1.35x end-to-end, bit-exact).
+    # pad at all (another ~1.35x end-to-end, bit-exact). Batched pipelining
+    # additionally needs ch_rows divisible by tile (the caller pads).
     pipe = (
         input_mode == "raw"
-        and channels is None
         and _pipelined_geometry(spec, tile) is not None
+        and (channels is None or (ch_rows is not None and ch_rows % tile == 0))
     )
 
     kernel = _make_kernel(
-        spec, meta, tile, input_mode, ch_rows=ch_rows, pipelined=pipe
+        spec, meta, tile, input_mode,
+        ch_rows=None if pipe else ch_rows, pipelined=pipe,
+        out3d=channels is not None,
     )
     if input_mode == "raw":
         _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
@@ -531,14 +536,20 @@ def _fused_call(
 
     if pipe:
         halo_rows, step = _pipelined_geometry(spec, tile)
+        if channels is None:
+            main_map = lambda i: (i, 0)
+            halo_map = lambda i, _s=step: ((i + 1) * _s, 0)
+        else:
+            blocks_per_ch = ch_rows // tile
+            main_map = lambda ch, i, _b=blocks_per_ch: (ch * _b + i, 0)
+            halo_map = (
+                lambda ch, i, _b=blocks_per_ch, _s=step:
+                ((ch * _b + i + 1) * _s, 0)
+            )
         in_specs = [
+            pl.BlockSpec((tile, hop), main_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (halo_rows, hop),
-                lambda i, _step=step: ((i + 1) * _step, 0),
-                memory_space=pltpu.VMEM,
+                (halo_rows, hop), halo_map, memory_space=pltpu.VMEM
             ),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands]
         inputs = (data, data, *operands)
@@ -724,18 +735,26 @@ def fused_batch_offline_outputs(
     grid = max(1, -(-n_evals // tile))
     _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
     total_rows = (grid - 1) * tile + rows2d
-    total = total_rows * hop
     xs = jnp.asarray(xs, jnp.float32)
+    # flat 2-D slab: channel ch's rows occupy [ch*ch_rows, (ch+1)*ch_rows) —
+    # the same layout and DMA arithmetic as the single-stream kernel
+    # (3-D .at[ch] slicing measured slower). When the pipelined geometry is
+    # available, pad ch_rows up to a whole number of tile blocks (BlockSpec
+    # index maps need integral block indices) and keep the natural hop-lane
+    # width — no 128-multiple lane pad.
+    pipe = _pipelined_geometry(spec, tile) is not None
+    if pipe:
+        ch_rows = _round_up(total_rows, tile)
+    else:
+        ch_rows = total_rows
+    total = ch_rows * hop
     if total > n:
         xs = jnp.concatenate([xs, jnp.zeros((c, total - n), jnp.float32)], axis=1)
-    # flat 2-D slab: channel ch's rows occupy [ch*total_rows, (ch+1)*total_rows)
-    # — the same layout and DMA arithmetic as the single-stream kernel
-    # (3-D .at[ch] slicing measured slower)
-    data = xs[:, :total].reshape(c * total_rows, hop)
-    if hop_pad != hop:
+    data = xs[:, :total].reshape(c * ch_rows, hop)
+    if hop_pad != hop and not pipe:
         data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
 
     return _fused_call(
         spec, meta, data, operands, grid, n_evals, tile, interpret, "raw",
-        channels=c, ch_rows=total_rows,
+        channels=c, ch_rows=ch_rows,
     )
