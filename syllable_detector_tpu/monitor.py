@@ -217,6 +217,12 @@ def main(argv=None) -> int:
             register_alsa_devices()
         except Exception:  # enumeration must never break the listing
             pass
+        try:  # daemon-routed audio: PulseAudio default source/sink
+            from syllable_detector_tpu.runtime.pulse import register_pulse_devices
+
+            register_pulse_devices()
+        except Exception:
+            pass
         devices = list_devices()
         if not devices:
             print("No audio devices registered (simulated sources only).")
