@@ -126,14 +126,15 @@ def channel_sweep(spec, params, dev):
     Mosaic compile is ever needed."""
     from syllable_detector_tpu.kernels.fused_detector import (
         fused_batch_offline_outputs,
+        fused_input_samples,
     )
 
     n_evals = 1 << 11  # per channel
     hop = spec.hop
-    n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
     tile = 512  # measured: the batched kernel wants MANY grid programs
     # (tile 2048 = one program per channel halved throughput; tile 512's
     # 4 programs/channel pipeline DMA against compute)
+    n = fused_input_samples(spec, n_evals, tile=tile, batched=True)
     for c in (8, 64, 256, 1024):
         # the streams MUST flow through the function argument: a closed-over
         # device array is lifted into the HLO as a literal constant, and a
@@ -142,14 +143,16 @@ def channel_sweep(spec, params, dev):
         def make_fn(c=c):
             if c <= SWEEP_SLAB:
                 def fn(x, carry):
-                    outs = fused_batch_offline_outputs(spec, params, x, tile=tile)
+                    outs = fused_batch_offline_outputs(
+                        spec, params, x, tile=tile, n_evals=n_evals
+                    )
                     return outs[-1, -1, 0] + carry
             else:
                 def fn(x, carry):
                     slabs = x.reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
                     outs = jax.lax.map(
                         lambda s: fused_batch_offline_outputs(
-                            spec, params, s, tile=tile
+                            spec, params, s, tile=tile, n_evals=n_evals
                         ),
                         slabs,
                     )
@@ -207,15 +210,20 @@ def _run(cfg, spec, params, dev):
     # cold compile over the tunnel stays in the driver's budget
     n_evals = 1 << 17 if on_tpu else 1 << 13
     hop = spec.hop
-    n_samples = (n_evals + spec.time_range - 1 - 1) * hop + spec.window_length + hop
-    log(f"generating {n_samples} samples (~{n_samples/44100:.0f}s of audio), "
-        f"{n_evals} windows/call")
-    x = jnp.asarray(make_audio(n_samples))
-    x = jax.device_put(x, dev)
 
     # tile sweep (r2): 512 -> 1.00x unfused, 1024 -> 1.12x, 2048 -> 1.15-1.17x,
     # 4096 -> 1.03x; per-program overhead dominates at small tiles
     tile = 2048 if on_tpu else 256
+
+    # exact slab-filling sample count: the fused path's tail zero-pad (a
+    # whole-input device copy) becomes a no-op
+    from syllable_detector_tpu.kernels.fused_detector import fused_input_samples
+
+    n_samples = fused_input_samples(spec, n_evals, tile=tile)
+    log(f"generating {n_samples} samples (~{n_samples/44100:.0f}s of audio), "
+        f"{n_evals} windows/call (slab-exact, no tail pad)")
+    x = jnp.asarray(make_audio(n_samples))
+    x = jax.device_put(x, dev)
 
     # --- on-hardware fused-vs-unfused parity (before any timing) -----------
     # a Mosaic lowering bug must fail the bench loudly, not ship silently
@@ -240,7 +248,8 @@ def _run(cfg, spec, params, dev):
         def make_fused():
             def fn(x, carry):
                 out = fused_offline_outputs(
-                    spec, params, x, tile=tile, input_mode="raw"
+                    spec, params, x, tile=tile, input_mode="raw",
+                    n_evals=n_evals,
                 )
                 return out[-1, 0] + carry
 
@@ -262,7 +271,7 @@ def _run(cfg, spec, params, dev):
                     def fn(x, carry):
                         out = fused_offline_outputs(
                             spec, params, x, tile=tile,
-                            input_mode="raw", **kw,
+                            input_mode="raw", n_evals=n_evals, **kw,
                         )
                         return out[-1, 0] + carry
 

@@ -44,7 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 from syllable_detector_tpu.models.detector import WINDOW, DetectorSpec
 from syllable_detector_tpu.ops.stft import band_dft_matrices, frame_signal, num_frames
 
-__all__ = ["fusable", "fused_offline_outputs", "fold_constants"]
+__all__ = [
+    "fusable", "fused_offline_outputs", "fold_constants",
+    "fused_input_samples",
+]
 
 LANE = 128
 
@@ -622,6 +625,23 @@ def _folded(spec: DetectorSpec, params: dict, pack: bool | None = None):
     return operands, meta
 
 
+def fused_input_samples(
+    spec: DetectorSpec, n_evals: int, tile: int = 256, batched: bool = False
+) -> int:
+    """Samples per stream at which the fused raw path does ZERO host-side
+    padding for ``n_evals`` evaluations: the slab reshape becomes a pure
+    view and the tail zero-concat (a whole-input copy, ~10% of iteration
+    time at the headline shape) disappears. Pass the matching ``n_evals``
+    explicitly to :func:`fused_offline_outputs` /
+    :func:`fused_batch_offline_outputs`."""
+    grid = max(1, -(-n_evals // tile))
+    _, hop, _, _, _, rows2d, _ = _raw_geometry(spec, tile)
+    total_rows = (grid - 1) * tile + rows2d
+    if batched and _pipelined_geometry(spec, tile) is not None:
+        total_rows = _round_up(total_rows, tile)
+    return total_rows * hop
+
+
 def fused_offline_outputs(
     spec: DetectorSpec,
     params: dict,
@@ -632,6 +652,7 @@ def fused_offline_outputs(
     fast: bool = False,
     split: bool | None = None,
     packed: bool | None = None,
+    n_evals: int | None = None,
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
@@ -642,6 +663,10 @@ def fused_offline_outputs(
     (for A/B benchmarking). ``interpret=None`` auto-selects interpret mode
     on CPU backends (Mosaic is TPU-only). Falls back to the unfused XLA
     path for unsupported configs.
+
+    ``n_evals`` overrides the evaluation count derived from ``len(x)``
+    (must not exceed it). With ``len(x) == fused_input_samples(spec,
+    n_evals, tile)`` the host-side tail pad is skipped entirely.
     """
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
@@ -658,7 +683,11 @@ def fused_offline_outputs(
 
     n = x.shape[0]
     f = num_frames(n, spec.window_length, spec.window_overlap)
-    n_evals = f - spec.time_range + 1
+    max_evals = f - spec.time_range + 1
+    if n_evals is None:
+        n_evals = max_evals
+    elif n_evals > max_evals:
+        raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
     if n_evals <= 0:
         return jnp.zeros((0, spec.net.outputs), jnp.float32)
 
@@ -705,6 +734,7 @@ def fused_batch_offline_outputs(
     fast: bool = False,
     split: bool | None = None,
     packed: bool | None = None,
+    n_evals: int | None = None,
 ) -> jax.Array:
     """[C, n] streams through one shared net -> [C, E, outputs].
 
@@ -728,7 +758,11 @@ def fused_batch_offline_outputs(
 
     c, n = xs.shape
     f = num_frames(n, spec.window_length, spec.window_overlap)
-    n_evals = f - spec.time_range + 1
+    max_evals = f - spec.time_range + 1
+    if n_evals is None:
+        n_evals = max_evals
+    elif n_evals > max_evals:
+        raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 

@@ -179,3 +179,44 @@ def test_fused_batch(sample_config, tile):
     ref = jnp.stack([offline_outputs(spec, params, x) for x in xs])
     assert outs.shape == ref.shape
     np.testing.assert_allclose(np.asarray(outs), np.asarray(ref), rtol=1e-3, atol=2e-4)
+
+
+def test_exact_sized_input_no_pad(sample_config, audio):
+    # fused_input_samples sizes the stream so the tail zero-pad is a no-op;
+    # outputs must equal the unfused oracle over the first n_evals windows
+    from syllable_detector_tpu.kernels.fused_detector import fused_input_samples
+
+    spec, params = detector_spec_from_config(sample_config)
+    tile, n_evals = 64, 200
+    n = fused_input_samples(spec, n_evals, tile=tile)
+    assert n <= len(audio)
+    x = jnp.asarray(audio[:n])
+    got = np.asarray(
+        fused_offline_outputs(
+            spec, params, x, tile=tile, interpret=True, n_evals=n_evals
+        )
+    )
+    want = np.asarray(offline_outputs(spec, params, x))[:n_evals]
+    assert got.shape == want.shape == (n_evals, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+    # batched flavor: [C, exact_n] with explicit n_evals
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    nb = fused_input_samples(spec, n_evals, tile=tile, batched=True)
+    xs = jnp.stack([jnp.asarray(audio[:nb]), jnp.asarray(audio[1 : nb + 1])])
+    got_b = np.asarray(
+        fused_batch_offline_outputs(
+            spec, params, xs, tile=tile, interpret=True, n_evals=n_evals
+        )
+    )
+    assert got_b.shape == (2, n_evals, 1)
+    np.testing.assert_allclose(got_b[0], want, rtol=1e-3, atol=2e-4)
+
+    # asking for more evals than the samples support is an error
+    with pytest.raises(ValueError, match="n_evals"):
+        fused_offline_outputs(
+            spec, params, x, tile=tile, interpret=True, n_evals=10**6
+        )
