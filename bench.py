@@ -190,7 +190,11 @@ def main():
     # --profile DIR: wrap the run in a jax.profiler trace (view with
     # tensorboard/xprof) — the Time.printAll analogue at device level
     if "--profile" in sys.argv:
-        trace_dir = sys.argv[sys.argv.index("--profile") + 1]
+        i = sys.argv.index("--profile")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("-"):
+            log("usage: bench.py --profile TRACE_DIR [--sweep]")
+            sys.exit(2)
+        trace_dir = sys.argv[i + 1]
         log(f"writing profiler trace to {trace_dir}")
         import contextlib
 

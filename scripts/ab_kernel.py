@@ -3,7 +3,8 @@
 Times each (packed, split) combination of the fused kernel plus the unfused
 XLA baseline with bench.py's scan-slope method, and checks on-device parity
 for each variant. Usage:  python scripts/ab_kernel.py [variant ...]
-where variant is one of: default, packed, split, old, fast, unfused, frames.
+where variant is a key of VARIANTS below (default, split, old, fast, frames,
+t1024, t2048, t1024s, t2048s, t4096, t2048c, t4096c, unfused).
 No args = all.
 """
 

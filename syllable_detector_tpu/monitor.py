@@ -89,7 +89,13 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
         if proc is None:
             out("not running")
             return
-        interface.wait_until_done(timeout=None)
+        # the GUI's Stop tears down immediately
+        # (ViewControllerProcessor.swift:116-154); only a finite offline
+        # replay gets a BOUNDED grace to finish so detection counts are
+        # deterministic — never an unbounded wait (a --realtime source would
+        # otherwise block the REPL for the stream's remaining duration)
+        if not getattr(args, "realtime", False):
+            interface.wait_until_done(timeout=5.0)
         proc.drain_pending()
         proc.tear_down()
         out(f"stopped; detections per channel: "

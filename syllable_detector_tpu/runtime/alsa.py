@@ -364,3 +364,14 @@ class AlsaAudioOutput(AudioOutputInterface):
                     np.maximum(self._high_for, before, out=self._high_for)
                 if lib.snd_pcm_recover(self._pcm.handle, int(wrote), 1) < 0:
                     break
+            elif wrote < self.frame_size:
+                # short write (signal/buffer boundary): frames beyond
+                # ``wrote`` were dropped, so give back the high frames
+                # ttl_fill deducted for the unplayed region — otherwise an
+                # armed pulse ends up shorter than its requested duration
+                with self._lock:
+                    np.maximum(
+                        self._high_for,
+                        np.maximum(before - int(wrote), 0),
+                        out=self._high_for,
+                    )

@@ -130,10 +130,16 @@ def features_and_labels(
         kind="magnitude",
     )
     # apply the configured spectrogram scaling so training features match
-    # what detect_features sees at inference (SyllableDetector.swift:183-212)
-    feats = np.asarray(
-        apply_scaling(stack_features(band, settings.time_range), settings.scaling)
-    )
+    # what detect_features sees at inference (SyllableDetector.swift:183-212).
+    # Training only: floor exact-zero magnitudes first — digitally silent
+    # windows (zero-padded / gated recordings) would make log/db emit -inf,
+    # which poisons the mapminmax fit and every gradient after it. Inference
+    # keeps the reference's raw semantics; a silent window never fires
+    # either way.
+    stacked = stack_features(band, settings.time_range)
+    if settings.scaling in ("log", "db"):
+        stacked = jnp.maximum(stacked, 1e-12)
+    feats = np.asarray(apply_scaling(stacked, settings.scaling))
 
     hop = settings.window_length - settings.window_overlap
     gap = -settings.window_overlap if settings.window_overlap < 0 else 0

@@ -147,15 +147,21 @@ def _read_stdlib(path, module_name: str):
     import sys as _sys
 
     mod = _stdlib_decoder(module_name)
-    f = mod.open(str(path), "rb")
     try:
-        channels = f.getnchannels()
-        rate = int(f.getframerate())
-        sampwidth = f.getsampwidth()
-        comptype = f.getcomptype()
-        data = f.readframes(f.getnframes())
-    finally:
-        f.close()
+        f = mod.open(str(path), "rb")
+        try:
+            channels = f.getnchannels()
+            rate = int(f.getframerate())
+            sampwidth = f.getsampwidth()
+            comptype = f.getcomptype()
+            data = f.readframes(f.getnframes())
+        finally:
+            f.close()
+    except (mod.Error, EOFError) as e:
+        # decode failures (truncated container, unsupported codec) must keep
+        # the ValueError contract read_audio documents — every ingest caller
+        # catches (OSError, ValueError) to skip-and-continue per file
+        raise ValueError(f"{path}: {module_name} decode failed: {e}") from e
     if isinstance(comptype, bytes):
         comptype = comptype.decode(errors="replace")
     # aifc spells them 'ulaw'/'alaw', sunau 'ULAW' — all audioop-decoded

@@ -219,3 +219,30 @@ def test_open_failure_raises():
 def test_real_enumeration_smoke():
     # where ALSA exists, enumeration must not crash (may be empty in CI)
     register_alsa_devices()
+
+
+def test_short_write_restores_ttl_frames():
+    # a short snd_pcm_writei (0 < wrote < frame_size) must give back the
+    # high frames ttl_fill deducted for the unplayed tail, so armed pulses
+    # keep their full duration
+    class ShortWriteAlsa(FakeAlsa):
+        def snd_pcm_writei(self, h, ptr, frames):
+            super().snd_pcm_writei(h, ptr, frames)
+            self.written[-1] = self.written[-1][:4]  # only 4 frames played
+            return 4
+
+    fake = ShortWriteAlsa(channels=1)
+    out = AlsaAudioOutput(channels=1, frame_size=16, sample_rate=16000,
+                          lib=fake)
+    out.initialize_audio()
+    out.create_high_output(0, duration=0.002)  # 32 frames
+    deadline = time.monotonic() + 5
+    # 32 high frames at 4 frames actually played per write = 8 short writes
+    while time.monotonic() < deadline:
+        with out._lock:
+            if out._high_for[0] == 0 and len(fake.written) >= 10:
+                break
+        time.sleep(0.005)
+    out.tear_down_audio()
+    wave = np.concatenate(fake.written, axis=0)[:, 0]
+    assert int(wave.sum()) == 32  # full pulse length reached the device

@@ -276,3 +276,19 @@ def test_fused_method_unbatched(sample_config, tmp_path, capsys):
     want = ref.cli_lines(sample_config, x)
     assert len(want) > 0
     assert_csv_close(out, want)
+
+
+def test_read_audio_decode_errors_are_valueerror(tmp_path):
+    # decode failures must keep the documented ValueError contract so the
+    # per-file skip-and-continue paths (cli/corpus/monitor) survive bad files
+    from syllable_detector_tpu.utils.wav import read_audio
+
+    p = tmp_path / "truncated.aiff"
+    p.write_bytes(b"FORM\x00\x00\x00\x08AIFF")  # header, no chunks
+    with pytest.raises(ValueError, match="decode failed"):
+        read_audio(p)
+
+    q = tmp_path / "truncated.au"
+    q.write_bytes(b".snd\x00\x00\x00\x18")  # header cut short
+    with pytest.raises(ValueError, match="decode failed|unsupported"):
+        read_audio(q)

@@ -139,3 +139,22 @@ def test_monitor_interactive_quit_on_eof():
 
     args = argparse.Namespace(audio=None, duration=0.1, realtime=False)
     assert interactive_loop(args, input_fn=raise_eof, out=lambda s: None) == 0
+
+
+def test_monitor_interactive_stop_is_prompt_in_realtime(chirp_wav):
+    """REPL 'stop' must tear down a --realtime stream immediately (the GUI's
+    Stop semantics), not block for the stream's remaining duration."""
+    import argparse
+    import time
+
+    from syllable_detector_tpu.monitor import interactive_loop
+
+    args = argparse.Namespace(audio=chirp_wav, duration=30.0, realtime=True)
+    commands = iter([f"load 0 {NET}", "start", "stop", "quit"])
+    t0 = time.monotonic()
+    rc = interactive_loop(
+        args, input_fn=lambda prompt: next(commands), out=lambda s: None
+    )
+    elapsed = time.monotonic() - t0
+    assert rc == 0
+    assert elapsed < 15.0, f"stop blocked for {elapsed:.1f}s"

@@ -230,3 +230,18 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["layers"][0]["w"]), np.arange(6.0).reshape(2, 3)
     )
     assert restore_checkpoint(str(tmp_path / "none")) is None
+
+
+def test_log_scaling_survives_digital_silence(settings):
+    """Exact-zero audio regions (zero-padded/gated recordings) must not
+    produce -inf log/db features: the mapminmax fit and every gradient
+    after it would go NaN."""
+    import dataclasses
+
+    audio, intervals = make_labeled_audio()
+    audio = audio.copy()
+    audio[: len(audio) // 4] = 0.0  # digitally silent leading region
+    for scaling in ("log", "db"):
+        s = dataclasses.replace(settings, scaling=scaling)
+        feats, labels = features_and_labels(s, audio, intervals)
+        assert np.isfinite(feats).all(), scaling
