@@ -7,7 +7,9 @@ The TPU-native design: stack per-channel network parameters on a leading
 axis, ``vmap`` the detector over it, and shard that axis across a
 ``jax.sharding.Mesh`` with ``shard_map``. No collectives are needed inside a
 hop (channels never communicate); ``psum`` appears only for aggregate
-metrics, mirroring the reference's SummaryStat reductions.
+metrics, mirroring the reference's SummaryStat reductions. For one stream
+too long for a single device, the time axis shards instead, with a one-hop
+``ppermute`` halo exchange (sequence parallelism; SURVEY.md section 5).
 """
 
 from syllable_detector_tpu.parallel.mesh import (
@@ -16,6 +18,7 @@ from syllable_detector_tpu.parallel.mesh import (
     sharded_offline_outputs,
     sharded_detection_counts,
     sharded_streaming_step,
+    time_sharded_offline_outputs,
 )
 
 __all__ = [
@@ -24,4 +27,5 @@ __all__ = [
     "sharded_offline_outputs",
     "sharded_detection_counts",
     "sharded_streaming_step",
+    "time_sharded_offline_outputs",
 ]

@@ -30,9 +30,11 @@ __all__ = [
     "sharded_offline_outputs",
     "sharded_detection_counts",
     "sharded_streaming_step",
+    "time_sharded_offline_outputs",
 ]
 
 CHANNEL_AXIS = "channel"
+TIME_AXIS = "time"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = CHANNEL_AXIS) -> Mesh:
@@ -96,6 +98,73 @@ def sharded_detection_counts(
         out_specs=P(),
     )
     return jax.jit(fn)(stacked_params, xs)
+
+
+def time_sharded_offline_outputs(
+    mesh: Mesh,
+    spec: DetectorSpec,
+    params,
+    x: jax.Array,
+    method: str = "matmul",
+) -> jax.Array:
+    """One long stream's TIME axis sharded across the mesh — the
+    sequence-parallel form of this workload (SURVEY.md section 5: "shard the
+    time axis across devices with halo exchange of window-hop samples").
+
+    Each device evaluates a contiguous block of hops from its local segment
+    plus a ``(timeRange-2)*hop + gap + window`` sample halo received from its
+    right neighbor over one ``lax.ppermute`` (ICI); the last device takes the
+    zero-padded stream tail instead. Numerically identical to
+    :func:`~syllable_detector_tpu.models.detector.offline_outputs` on the
+    whole stream. Use for offline corpus scans whose single stream is too
+    long for one device's HBM; channel-parallel sharding remains the
+    deployment shape for many independent streams.
+    """
+    from syllable_detector_tpu.ops.stft import normalize_overlap, num_frames
+
+    axis = mesh.axis_names[0]
+    d = int(mesh.shape[axis])
+    gap, _ = normalize_overlap(spec.window_overlap)
+    hop = spec.hop
+    halo = (spec.time_range - 2) * hop + gap + spec.window_length
+
+    n = int(x.shape[0])
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    e_total = f - spec.time_range + 1
+    if e_total <= 0:
+        return jnp.zeros((0, spec.net.outputs), jnp.float32)
+    e_loc = -(-e_total // d)
+    if e_loc * hop < halo:
+        # segments shorter than the halo cannot feed the neighbor exchange;
+        # the stream is too short to be worth sharding anyway
+        return offline_outputs(spec, params, x, method=method)
+
+    body = d * e_loc * hop
+    need = body + halo
+    x = jnp.asarray(x, jnp.float32)
+    if need > n:
+        x = jnp.concatenate([x, jnp.zeros(need - n, jnp.float32)])
+    xs = x[:body].reshape(d, e_loc * hop)
+    tail = x[body:need]  # the last device's halo lives in the stream tail
+
+    perm = [((i + 1) % d, i) for i in range(d)]  # receive from right neighbor
+
+    def local(params, x_own, tail):
+        x_own = x_own[0]
+        idx = jax.lax.axis_index(axis)
+        from_right = jax.lax.ppermute(x_own[:halo], axis, perm)
+        halo_recv = jnp.where(idx == d - 1, tail, from_right)
+        seg = jnp.concatenate([x_own, halo_recv])
+        return offline_outputs(spec, params, seg, method=method)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(axis),
+    )
+    outs = jax.jit(fn)(params, xs, tail)  # [d*e_loc, outputs]
+    return outs[:e_total]
 
 
 def sharded_streaming_step(

@@ -109,3 +109,49 @@ def test_1024_channels_on_virtual_mesh(sample_config):
     new_carries, outs = sharded_streaming_step(mesh, spec, stacked, carries, chunks)
     assert outs.shape == (c, 2, spec.net.outputs)
     assert bool(jnp.all(jnp.isfinite(outs)))
+
+
+def test_time_sharded_matches_offline(setup):
+    """Sequence parallelism: one long stream's time axis sharded over all 8
+    devices with a ppermute halo exchange must equal the single-device
+    offline path exactly (SURVEY section 5's halo-exchange design)."""
+    from syllable_detector_tpu.parallel.mesh import time_sharded_offline_outputs
+
+    spec, params, _, _ = setup
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(make_audio(rng, seconds=2.3))  # not divisible by 8 evals
+    mesh = make_mesh(8, axis="time")
+    got = np.asarray(time_sharded_offline_outputs(mesh, spec, params, x))
+    want = np.asarray(offline_outputs(spec, params, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_time_sharded_gap_config(sample_config):
+    """The halo must include the inter-window gap (negative overlap)."""
+    import dataclasses
+
+    from syllable_detector_tpu.parallel.mesh import time_sharded_offline_outputs
+
+    cfg = dataclasses.replace(sample_config, window_overlap=-40)
+    spec, params = detector_spec_from_config(cfg)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(make_audio(rng, seconds=2.0))
+    mesh = make_mesh(4, axis="time")
+    got = np.asarray(time_sharded_offline_outputs(mesh, spec, params, x))
+    want = np.asarray(offline_outputs(spec, params, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_time_sharded_short_stream_falls_back(setup):
+    """Streams shorter than one halo per device just run unsharded."""
+    from syllable_detector_tpu.parallel.mesh import time_sharded_offline_outputs
+
+    spec, params, _, _ = setup
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(make_audio(rng, seconds=0.06))
+    mesh = make_mesh(8, axis="time")
+    got = np.asarray(time_sharded_offline_outputs(mesh, spec, params, x))
+    want = np.asarray(offline_outputs(spec, params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
