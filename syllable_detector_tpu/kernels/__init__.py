@@ -1,9 +1,20 @@
-"""Pallas TPU kernels: the fused STFT+MLP detection path."""
+"""Pallas TPU kernels: the fused STFT+MLP detection path and the framed
+GEMM building block (polyphase resampler)."""
 
 from syllable_detector_tpu.kernels.fused_detector import (
     fusable,
     fused_offline_outputs,
     fused_batch_offline_outputs,
 )
+from syllable_detector_tpu.kernels.framed_gemm import (
+    framed_gemm,
+    pallas_polyphase_resample,
+)
 
-__all__ = ["fusable", "fused_offline_outputs", "fused_batch_offline_outputs"]
+__all__ = [
+    "fusable",
+    "fused_offline_outputs",
+    "fused_batch_offline_outputs",
+    "framed_gemm",
+    "pallas_polyphase_resample",
+]

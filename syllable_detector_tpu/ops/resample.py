@@ -232,9 +232,8 @@ def polyphase_filter_bank(
     return hb.astype(np.float32), half
 
 
-@partial(jax.jit, static_argnames=("up", "down", "half_width", "beta", "n_out"))
-def _polyphase_apply(x, up, down, half_width, beta, n_out):
-    """All `up` phases of one output block as ONE GEMM.
+def polyphase_plan(up: int, down: int, half_width: int = 10, beta: float = 5.0):
+    """Framing plan that turns rational resampling into one framed GEMM.
 
     Output k (= a*up + r) reads the input window ending at m = base//up with
     phase base % up, where base = k*down + half on the upsampled grid. Block
@@ -244,12 +243,13 @@ def _polyphase_apply(x, up, down, half_width, beta, n_out):
     which would lower ~1000x slower feeding a matmul on TPU) followed by a
     single [blocks, W] @ [W, up] contraction against a filter matrix with
     each phase's taps scattered at its own offsets.
+
+    Returns (g [W, up] float32, lead, w_len, overlap): frame the input
+    (left-padded/trimmed by ``lead``) with window ``w_len`` and
+    ``overlap`` (negative = gap), then ``frames @ g`` and flatten.
     """
     hb, half = polyphase_filter_bank(up, down, half_width, beta)
     taps = hb.shape[1]
-    n = x.shape[0]
-
-    blocks = -(-n_out // up)
     r = np.arange(up, dtype=np.int64)
     base_r = r * down + half
     phase = base_r % up
@@ -270,12 +270,23 @@ def _polyphase_apply(x, up, down, half_width, beta, n_out):
     overlap = w_len - down
     gshift = max(0, down - w_len)
     lead = gshift - start0
+    return g, lead, w_len, overlap
+
+
+def _polyphase_lead(x, lead):
     if lead > 0:
-        xin = jnp.concatenate([jnp.zeros(lead, x.dtype), x])
-    elif lead < 0:
-        xin = x[-lead:]
-    else:
-        xin = x
+        return jnp.concatenate([jnp.zeros(lead, x.dtype), x])
+    if lead < 0:
+        return x[-lead:]
+    return x
+
+
+@partial(jax.jit, static_argnames=("up", "down", "half_width", "beta", "n_out"))
+def _polyphase_apply(x, up, down, half_width, beta, n_out):
+    """All `up` phases of one output block as ONE GEMM (see polyphase_plan)."""
+    g, lead, w_len, overlap = polyphase_plan(up, down, half_width, beta)
+    blocks = -(-n_out // up)
+    xin = _polyphase_lead(x, lead)
     # frame_signal zero-pads the back as needed for `blocks` frames
     frames = frame_signal(xin, blocks, w_len, overlap)
     y = jnp.matmul(frames, jnp.asarray(g), precision=jax.lax.Precision.HIGHEST)
