@@ -61,10 +61,26 @@ def main():
     print(f"device: {dev}", flush=True)
 
     n_evals = 1 << 17
-    hop = spec.hop
-    n = (n_evals + spec.time_range - 2) * hop + spec.window_length + hop
-    x = jax.device_put(jnp.asarray(make_audio(n)), dev)
     tile = 512
+
+    from syllable_detector_tpu.kernels.fused_detector import fused_input_samples
+
+    # slab-exact per-tile input sizing (no tail-pad copy), inputs chained
+    # through the scan carry — bench.py's exact methodology. All tiles slice
+    # prefixes of ONE master signal (make_audio's chirp depends on its total
+    # length, so independently generated lengths would not share windows).
+    tiles_needed = {tile} | {
+        VARIANTS[n].get("tile", tile) for n in names if VARIANTS[n] is not None
+    }
+    n_master = max(fused_input_samples(spec, n_evals, tile=t) for t in tiles_needed)
+    x_master = make_audio(n_master)
+    xs_by_tile = {}
+
+    def x_for(t):
+        if t not in xs_by_tile:
+            n = fused_input_samples(spec, n_evals, tile=t)
+            xs_by_tile[t] = jax.device_put(jnp.asarray(x_master[:n]), dev)
+        return xs_by_tile[t]
 
     want = None
     results = {}
@@ -72,28 +88,32 @@ def main():
         kw = VARIANTS[name]
         try:
             if kw is None:
+                x = x_for(tile)
                 def make_fn():
                     def fn(x, carry):
                         out = offline_outputs(spec, params, x + carry * 0.0)
                         return out[-1, 0] + carry
                     return fn
-                got = np.asarray(offline_outputs(spec, params, x))
+                got = np.asarray(offline_outputs(spec, params, x))[:n_evals]
                 want = got
             else:
                 kw = dict(kw)
                 kw.setdefault("tile", tile)
-                def make_fn(kw=kw):
+                x = x_for(kw["tile"])
+                def make_fn(kw=kw, x=x):
                     def fn(x, carry):
                         out = fused_offline_outputs(
-                            spec, params, x + carry * 0.0, **kw
+                            spec, params, x, n_evals=n_evals, **kw
                         )
                         return out[-1, 0] + carry
                     return fn
                 got = np.asarray(
-                    fused_offline_outputs(spec, params, x, **kw)
+                    fused_offline_outputs(spec, params, x, n_evals=n_evals, **kw)
                 )
             if want is None:
-                want = np.asarray(offline_outputs(spec, params, x))
+                want = np.asarray(
+                    offline_outputs(spec, params, x_for(tile))
+                )[:n_evals]
             rel = float(
                 (np.abs(got - want) / np.maximum(np.abs(want), 1e-3)).max()
             )

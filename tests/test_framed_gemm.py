@@ -21,6 +21,7 @@ from syllable_detector_tpu.ops.stft import frame_signal, num_frames
         (200, -56, 32),    # negative overlap = gap
         (64, 32, 8),       # tiny frames, tile not rounding-friendly
         (300, 236, 128),   # window > 2 hops (3 parts)
+        (330, 300, 40),    # tile % halo != 0 -> manual-DMA fallback path
     ],
 )
 def test_framed_gemm_matches_frame_signal(window, overlap, tile):
