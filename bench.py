@@ -141,22 +141,14 @@ def channel_sweep(spec, params, dev):
         # [1024, n] constant blows the remote compiler's request-size limit
         # (the real cause of the r1 sweep failures)
         def make_fn(c=c):
-            if c <= SWEEP_SLAB:
-                def fn(x, carry):
-                    outs = fused_batch_offline_outputs(
-                        spec, params, x, tile=tile, n_evals=n_evals
-                    )
-                    return outs[-1, -1, 0] + carry
-            else:
-                def fn(x, carry):
-                    slabs = x.reshape(c // SWEEP_SLAB, SWEEP_SLAB, n)
-                    outs = jax.lax.map(
-                        lambda s: fused_batch_offline_outputs(
-                            spec, params, s, tile=tile, n_evals=n_evals
-                        ),
-                        slabs,
-                    )
-                    return outs[-1, -1, -1, 0] + carry
+            def fn(x, carry):
+                # c > SWEEP_SLAB runs as lax.map over slabs of the one
+                # compiled kernel inside fused_batch_offline_outputs itself
+                outs = fused_batch_offline_outputs(
+                    spec, params, x, tile=tile, n_evals=n_evals,
+                    slab_channels=SWEEP_SLAB,
+                )
+                return outs[-1, -1, 0] + carry
 
             return fn
 

@@ -735,6 +735,7 @@ def fused_batch_offline_outputs(
     split: bool | None = None,
     packed: bool | None = None,
     n_evals: int | None = None,
+    slab_channels: int | None = 64,
 ) -> jax.Array:
     """[C, n] streams through one shared net -> [C, E, outputs].
 
@@ -742,6 +743,12 @@ def fused_batch_offline_outputs(
     all channels run in one launch — the 1024+-concurrent-detector-channels
     deployment shape. (A plain vmap fails Mosaic's ANY-memory-space blocking
     rule, so the batching is native.)
+
+    Channel counts above ``slab_channels`` run as ``lax.map`` over slabs of
+    one compiled ``slab_channels``-wide kernel: very wide native shapes blow
+    the remote Mosaic compiler's request-size limit, only ONE compile is
+    ever needed, and the map measured as fast as (often faster than) a
+    single wide launch. ``slab_channels=None`` disables the slabbing.
     """
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
@@ -765,6 +772,24 @@ def fused_batch_offline_outputs(
         raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    if slab_channels is not None and c > slab_channels:
+        s = slab_channels
+        c_pad = _round_up(c, s)
+        xs = jnp.asarray(xs, jnp.float32)
+        if c_pad > c:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((c_pad - c, n), jnp.float32)]
+            )
+        outs = jax.lax.map(
+            lambda sl: fused_batch_offline_outputs(
+                spec, params, sl, tile=tile, interpret=interpret, fast=fast,
+                split=split, packed=packed, n_evals=n_evals,
+                slab_channels=None,
+            ),
+            xs.reshape(c_pad // s, s, n),
+        )
+        return outs.reshape(c_pad, *outs.shape[2:])[:c]
 
     grid = max(1, -(-n_evals // tile))
     _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)

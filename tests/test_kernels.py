@@ -220,3 +220,28 @@ def test_exact_sized_input_no_pad(sample_config, audio):
         fused_offline_outputs(
             spec, params, x, tile=tile, interpret=True, n_evals=10**6
         )
+
+
+def test_batch_slab_channels_matches_native(sample_config, audio):
+    # channel counts above slab_channels run as lax.map over slabs of one
+    # compiled kernel (the remote-compiler request-size workaround); results
+    # must equal the native wide launch, including the padded last slab
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 8000
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(5)])
+    native = np.asarray(
+        fused_batch_offline_outputs(
+            spec, params, xs, tile=64, interpret=True, slab_channels=None
+        )
+    )
+    slabbed = np.asarray(
+        fused_batch_offline_outputs(
+            spec, params, xs, tile=64, interpret=True, slab_channels=2
+        )
+    )
+    assert slabbed.shape == native.shape == (5, native.shape[1], 1)
+    np.testing.assert_allclose(slabbed, native, rtol=1e-5, atol=1e-6)
