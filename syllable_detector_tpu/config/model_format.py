@@ -123,6 +123,20 @@ class LayerSpec:
             raise ConfigError("invalidValue", f"transferFunction {self.transfer}")
 
 
+def first_output_sample(
+    window_length: int, window_overlap: int, time_range: int
+) -> int:
+    """Sample index of the first network output — one full window plus the
+    hop for each additional time step, plus the gap which applies even to
+    the first window (TrackDetector.swift:38-42). The single home for this
+    accounting; SyllableDetectorConfig and DetectorSpec both delegate here.
+    """
+    n = window_length + (window_length - window_overlap) * (time_range - 1)
+    if window_overlap < 0:
+        n -= window_overlap
+    return n
+
+
 @dataclass
 class SyllableDetectorConfig:
     """Full detector description (SyllableDetectorConfig.swift:32-44)."""
@@ -167,15 +181,10 @@ class SyllableDetectorConfig:
 
     @property
     def first_output_sample(self) -> int:
-        """Sample index of the first network output — one full window plus the
-        hop for each additional time step, plus the gap which applies even to
-        the first window (TrackDetector.swift:38-42)."""
-        n = self.window_length + (self.window_length - self.window_overlap) * (
-            self.time_range - 1
+        """Sample index of the first network output (TrackDetector.swift:38-42)."""
+        return first_output_sample(
+            self.window_length, self.window_overlap, self.time_range
         )
-        if self.window_overlap < 0:
-            n -= self.window_overlap
-        return n
 
     def validate(self) -> None:
         """Construction-time guards from the reference."""

@@ -94,12 +94,13 @@ class DetectorSpec:
 
     @property
     def first_output_sample(self) -> int:
-        n = self.window_length + (self.window_length - self.window_overlap) * (
-            self.time_range - 1
+        from syllable_detector_tpu.config.model_format import (
+            first_output_sample,
         )
-        if self.window_overlap < 0:
-            n -= self.window_overlap
-        return n
+
+        return first_output_sample(
+            self.window_length, self.window_overlap, self.time_range
+        )
 
 
 def detector_spec_from_config(cfg: SyllableDetectorConfig) -> tuple[DetectorSpec, dict]:

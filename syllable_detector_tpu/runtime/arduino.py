@@ -101,6 +101,14 @@ class SimulatedArduinoTransport(Transport):
 
     def write(self, data: bytes) -> None:
         with self._lock:
+            # model the firmware boot window: bytes arriving before
+            # ``startup_delay`` has elapsed after open() are lost, exactly
+            # like a real board still in its bootloader (the reason the
+            # client queues commands for 2 s, ArduinoIO.swift:298-331)
+            if self._startup_delay > 0:
+                t0 = self._opened_at
+                if t0 is None or time.monotonic() < t0 + self._startup_delay:
+                    return
             for val in data:
                 self._step(val)
 
@@ -276,8 +284,22 @@ class ArduinoIO:
             if self.state != ArduinoState.WAITING_TO_OPEN:
                 return
             # sketch handshake: "99" -> id (ArduinoIO.swift:329-330, 557-581)
-            self.transport.write(b"99")
-            line = self.transport.read_line(TIMEOUT_DURATION)
+            # Transport errors (port yanked during the startup window) must
+            # land in ERROR with on_error fired — an escaping exception on
+            # this Timer thread would leave the client WAITING_TO_OPEN
+            # forever, queueing commands into a black hole.
+            try:
+                self.transport.write(b"99")
+                line = self.transport.read_line(TIMEOUT_DURATION)
+            except Exception as e:
+                self.state = ArduinoState.ERROR
+                if self.on_error:
+                    self.on_error(
+                        e if isinstance(e, ArduinoError)
+                        else ArduinoError(f"handshake failed: {e}"),
+                        True,
+                    )
+                return
             if line is None:
                 self.state = ArduinoState.ERROR
                 if self.on_error:

@@ -190,6 +190,7 @@ class Processor:
         self._work: "queue.Queue[int]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self.drain_errors = 0  # transient per-drain failures survived
 
         interface_input.delegate = self.receive_audio
 
@@ -244,44 +245,66 @@ class Processor:
                 index = self._work.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if index < 0:
-                continue
-            lane = self._lanes[index]
-
-            # per-drain latency stats (the reference instruments the same
-            # boundary in its simulator, ViewControllerSimulator.swift:291-318)
-            t_start = _time_ns()
-
-            samples = lane.ring.peek()
-            if len(samples):
-                lane.ring.consume(len(samples))
-                lane.detector.append_audio_data(samples)
-
-            outs = lane.detector.drain()
-            Time.save_with_name(
-                "process" if len(outs) else "skip", _time_ns() - t_start
-            )
-            seen = False
-            if len(outs):
-                lane.stat_output.write_value(float(np.max(outs[:, 0])))
-                thr = np.float32(lane.detector.spec.thresholds[0])
-                n_hits = int(np.sum(outs[:, 0] >= thr))
-                if n_hits:
-                    seen = True
-                    lane.detections += n_hits
             try:
-                self.output.prepare_output(index, lane.entry, seen)
-            except Exception:
-                pass  # output backend errors are logged, not fatal
-                # (Processor.swift:272-276 logs and continues)
+                if index < 0:
+                    continue
+                try:
+                    self._drain_lane(index, self._lanes[index])
+                except Exception as e:
+                    # a transient device/compile error on one drain must not
+                    # kill the sole worker thread (capture would keep filling
+                    # rings while detection silently stops forever); count,
+                    # log, and keep serving the queue
+                    self.drain_errors += 1
+                    if self.drain_errors <= 5:
+                        import sys
+
+                        print(
+                            f"processor: drain error on lane {index}: "
+                            f"{type(e).__name__}: {e}",
+                            file=sys.stderr,
+                        )
+            finally:
+                self._work.task_done()
+
+    def _drain_lane(self, index: int, lane: _Lane) -> None:
+        # per-drain latency stats (the reference instruments the same
+        # boundary in its simulator, ViewControllerSimulator.swift:291-318)
+        t_start = _time_ns()
+
+        samples = lane.ring.peek()
+        if len(samples):
+            lane.ring.consume(len(samples))
+            lane.detector.append_audio_data(samples)
+
+        outs = lane.detector.drain()
+        Time.save_with_name(
+            "process" if len(outs) else "skip", _time_ns() - t_start
+        )
+        seen = False
+        if len(outs):
+            lane.stat_output.write_value(float(np.max(outs[:, 0])))
+            thr = np.float32(lane.detector.spec.thresholds[0])
+            n_hits = int(np.sum(outs[:, 0] >= thr))
+            if n_hits:
+                seen = True
+                lane.detections += n_hits
+        try:
+            self.output.prepare_output(index, lane.entry, seen)
+        except Exception:
+            pass  # output backend errors are logged, not fatal
+            # (Processor.swift:272-276 logs and continues)
 
     def drain_pending(self, timeout: float = 10.0) -> None:
-        """Block until the work queue is empty (for finite simulations)."""
+        """Block until all queued work has been PROCESSED (not merely
+        dequeued) — queue.join with a timeout, so a caller reading
+        lane.detections afterwards sees the final chunk's results."""
         import time as _t
 
         deadline = _t.monotonic() + timeout
-        while not self._work.empty() and _t.monotonic() < deadline:
-            _t.sleep(0.01)
+        with self._work.all_tasks_done:
+            while self._work.unfinished_tasks and _t.monotonic() < deadline:
+                self._work.all_tasks_done.wait(timeout=0.05)
 
     # -- stats for UIs (Processor.swift:158-184) ----------------------------
 

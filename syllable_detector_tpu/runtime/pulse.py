@@ -259,9 +259,15 @@ class PulseAudioInput(AudioInputInterface):
 
     def tear_down_audio(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
+        t = self._thread
+        if t is not None:
+            t.join(timeout=5)
             self._thread = None
+            if t.is_alive():
+                # the IO thread is stuck in a blocking device call; freeing
+                # the handle under it would be a use-after-free — leak the
+                # handle instead (the daemon thread dies with the process)
+                return
         if self._stream is not None:
             self._stream.close()
             self._stream = None
@@ -325,9 +331,15 @@ class PulseAudioOutput(AudioOutputInterface):
 
     def tear_down_audio(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
+        t = self._thread
+        if t is not None:
+            t.join(timeout=5)
             self._thread = None
+            if t.is_alive():
+                # the IO thread is stuck in a blocking device call; freeing
+                # the handle under it would be a use-after-free — leak the
+                # handle instead (the daemon thread dies with the process)
+                return
         if self._stream is not None:
             self._stream.close()
             self._stream = None

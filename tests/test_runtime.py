@@ -361,3 +361,83 @@ def test_serial_transport_requires_pyserial(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", fake_import)
     with pytest.raises(ArduinoError, match="pyserial is required"):
         SerialTransport("/dev/ttyUSB0")
+
+
+def test_processor_survives_drain_errors(sample_config):
+    """A transient failure inside one drain (device/compile hiccup) must not
+    kill the sole worker thread — later chunks still detect."""
+    seen = []
+    output = CallbackOutput(lambda i, e, s: seen.append(s))
+    rng = np.random.default_rng(3)
+    audio = make_audio(rng, seconds=0.6)
+
+    def source(ch, start, n):
+        return audio[start : start + n]
+
+    interface = SimulatedAudioInput(
+        source, channels=1, total_samples=len(audio), frame_size=512
+    )
+    entries = [ProcessorEntry(input_channel=0, output_channel=0,
+                              config=sample_config)]
+    proc = Processor(interface, entries, output)
+
+    # first two drains explode, the rest work
+    lane = proc._lanes[0]
+    real_drain = lane.detector.drain
+    calls = {"n": 0}
+
+    def flaky_drain():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient device error")
+        return real_drain()
+
+    lane.detector.drain = flaky_drain
+    proc.set_up()
+    assert interface.wait_until_done(timeout=60)
+    proc.drain_pending(timeout=30)
+    proc.tear_down()
+    assert proc.drain_errors == 2
+    assert lane.detections > 0  # detection resumed after the failures
+
+
+def test_arduino_handshake_transport_error():
+    """A transport exception during the startup handshake must land in
+    ERROR with on_error fired — not leave the client queueing forever."""
+
+    class ExplodingTransport(SimulatedArduinoTransport):
+        def write(self, data):
+            raise OSError("port vanished")
+
+    errors = []
+    arduino = ArduinoIO(ExplodingTransport(), startup_time=0.0)
+    arduino.on_error = lambda e, permanent: errors.append((e, permanent))
+    arduino.open()
+    assert arduino.state == ArduinoState.ERROR
+    assert errors and errors[0][1] is True
+    with pytest.raises(ArduinoError):
+        arduino.set_pin_mode(8, ArduinoPin.OUTPUT)
+
+
+def test_simulated_arduino_startup_delay():
+    """The simulated firmware drops bytes during its boot window (the reason
+    the client queues commands, ArduinoIO.swift:298-331); a client whose
+    startup_time outlasts the device delay still completes the handshake."""
+    transport = SimulatedArduinoTransport(sketch_id=7, startup_delay=0.05)
+    transport.open()
+    transport.write(b"99")  # lost: device still booting
+    assert transport.read_line(0.01) is None
+    time.sleep(0.06)
+    transport.write(b"99")  # device online now
+    assert transport.read_line(0.5) == b"7\r\n"
+
+    arduino = ArduinoIO(
+        SimulatedArduinoTransport(sketch_id=3, startup_delay=0.05),
+        startup_time=0.15,
+    )
+    arduino.open()
+    arduino.set_pin_mode(8, ArduinoPin.OUTPUT)  # queued during startup
+    time.sleep(0.3)
+    assert arduino.state == ArduinoState.OPENED and arduino.sketch == 3
+    assert arduino.transport.pins[8] == "output"
+    arduino.close()
