@@ -201,6 +201,7 @@ def main(argv=None) -> int:
             debounce_seconds=args.debounce,
             method=args.method,
             mesh=mesh,
+            resample=not args.no_resample,
         )
         return 0
 

@@ -197,6 +197,7 @@ def scan_corpus_files(
     method: str = "matmul",
     headers: Optional[bool] = None,
     mesh=None,
+    resample: bool = True,
 ) -> None:
     """File-level corpus scan with the CLI's multi-file output contract.
     ``headers`` forces (or suppresses) per-file path header lines; None =
@@ -219,7 +220,14 @@ def scan_corpus_files(
         except (OSError, ValueError) as e:
             err(f"Unable to read {p}: {e}")
             continue
-        if rate != cfg.sampling_rate:
+        if rate != cfg.sampling_rate and not resample:
+            # match the sequential path's --no-resample contract: warn and
+            # process at the network rate (cli.run_file does the same)
+            err(
+                f"Warning: {p} is {rate} Hz but the network expects "
+                f"{cfg.sampling_rate} Hz (resampling disabled)."
+            )
+        elif rate != cfg.sampling_rate:
             # polyphase-resample to the net rate before the fused kernel,
             # like the reference's AVAssetReader output settings
             from syllable_detector_tpu.ops.resample import polyphase_resample

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from syllable_detector_tpu.ops.stft import normalize_overlap
+from syllable_detector_tpu.ops.stft import slab_parts
 
 __all__ = ["framed_gemm", "pallas_polyphase_resample"]
 
@@ -42,16 +42,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _geometry(window: int, window_overlap: int, tile: int):
     """Slab geometry for one tile of frames (no sliding-window halo here —
-    that is detector-specific)."""
-    gap, _ = normalize_overlap(window_overlap)
-    hop = gap + window - (window_overlap if window_overlap > 0 else 0)
-    n_parts = -(-(gap + window) // hop)
-    rows2d = _round_up(tile + n_parts - 1, 8)
-    parts = []  # (frame col lo, frame col hi, slab col lo)
-    for j in range(n_parts):
-        lo = max(0, j * hop - gap)
-        hi = min(window, (j + 1) * hop - gap)
-        parts.append((lo, hi, gap + lo - j * hop))
+    that is detector-specific). Part layout delegates to ops.stft.slab_parts
+    (the single home for the slab decomposition)."""
+    gap, hop, parts = slab_parts(window, window_overlap)
+    rows2d = _round_up(tile + len(parts) - 1, 8)
     return gap, hop, rows2d, tuple(parts)
 
 

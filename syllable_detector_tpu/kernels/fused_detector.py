@@ -222,21 +222,15 @@ def _raw_geometry(spec: DetectorSpec, tile: int):
     [rows2d, hop] (lane-padded to a 128 multiple — Mosaic requires DMA slice
     lane dims aligned to the (8, 128) tiling); frames are rebuilt in VMEM
     from static slices."""
-    from syllable_detector_tpu.ops.stft import normalize_overlap
+    from syllable_detector_tpu.ops.stft import slab_parts
 
-    gap, _ = normalize_overlap(spec.window_overlap)
-    hop = spec.hop
+    gap, hop, parts = slab_parts(spec.window_length, spec.window_overlap)
+    assert hop == spec.hop
     hop_pad = _round_up(hop, LANE)
-    window = spec.window_length
     halo = spec.time_range - 1
     rows_frames = tile + halo
-    n_parts = -(-(gap + window) // hop)
+    n_parts = len(parts)
     rows2d = _round_up(rows_frames + n_parts - 1, 8)
-    parts = []  # (frame col lo, frame col hi, slab col lo)
-    for j in range(n_parts):
-        lo = max(0, j * hop - gap)
-        hi = min(window, (j + 1) * hop - gap)
-        parts.append((lo, hi, gap + lo - j * hop))
     return gap, hop, hop_pad, rows_frames, n_parts, rows2d, tuple(parts)
 
 

@@ -66,15 +66,20 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
     output = None
 
     def make_source(audio_path):
+        """-> (source fn, device rate): a WAV streams at its OWN rate (a
+        mismatch with the net rate adds a per-lane resampler, the GUI's
+        ViewControllerProcessor.swift:247-250 path)."""
         if audio_path:
-            wav, _ = read_audio(audio_path)
+            wav, wav_rate = read_audio(audio_path)
             mono = np.ascontiguousarray(wav[:, 0])
+            if not len(mono):
+                raise ValueError(f"{audio_path}: no samples")
 
             def source(ch, start, n):
                 idx = (start + np.arange(n)) % len(mono)
                 return mono[idx]
 
-            return source
+            return source, float(wav_rate)
         rng = np.random.default_rng(0)
 
         def source(ch, start, n):
@@ -82,7 +87,7 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
             x = 0.4 * np.sin(2 * np.pi * (2500.0 + 700 * ch) * t)
             return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
 
-        return source
+        return source, rate
 
     def stop():
         nonlocal proc, interface
@@ -144,17 +149,23 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 out("no networks loaded (use: load CH NET.txt)")
                 continue
             channels = max(configs) + 1
-            total = int(args.duration * rate)
+            try:
+                src, device_rate = make_source(args.audio)
+            except (OSError, ValueError) as e:
+                out(f"start failed: {e}")
+                continue
+            total = int(args.duration * device_rate)
             interface = SimulatedAudioInput(
-                make_source(args.audio),
+                src,
                 channels=channels,
-                sample_rate=rate,
+                sample_rate=device_rate,
                 realtime=args.realtime,
                 total_samples=total,
             )
             entries = [
                 ProcessorEntry(
-                    input_channel=i, output_channel=i, config=configs.get(i)
+                    input_channel=i, output_channel=i, config=configs.get(i),
+                    resample_from=device_rate,
                 )
                 for i in range(channels)
             ]
@@ -251,6 +262,7 @@ def main(argv=None) -> int:
     config = configs[0]
 
     rate = config.sampling_rate
+    device_rate = rate  # the simulated device's sample rate
     if args.audio:
         try:
             wav, wav_rate = read_audio(args.audio)
@@ -258,6 +270,13 @@ def main(argv=None) -> int:
             print(f"Unable to read {args.audio}: {e}", file=sys.stderr)
             return 1
         mono = np.ascontiguousarray(wav[:, 0])
+        if not len(mono):
+            print(f"{args.audio}: no samples.", file=sys.stderr)
+            return 1
+        # stream at the file's own rate; a rate mismatch adds a per-lane
+        # resampler below — the GUI's mismatched-device-rate path
+        # (ViewControllerProcessor.swift:247-250)
+        device_rate = wav_rate
 
         def source(ch, start, n):
             idx = (start + np.arange(n)) % len(mono)
@@ -271,23 +290,25 @@ def main(argv=None) -> int:
             x = 0.4 * np.sin(2 * np.pi * (2500.0 + 700 * ch) * t)
             return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
 
-    total = int(args.duration * rate)
+    total = int(args.duration * device_rate)
     interface = SimulatedAudioInput(
         source,
         channels=args.channels,
-        sample_rate=rate,
+        sample_rate=device_rate,
         realtime=args.realtime,
         total_samples=total,
     )
 
     # one network per channel, cycling when fewer nets than channels — the
     # processor window's per-row network loading
-    # (ViewControllerProcessor.swift:222-276)
+    # (ViewControllerProcessor.swift:222-276); resample_from adds a lane
+    # resampler when the device rate differs from the net rate
     entries = [
         ProcessorEntry(
             input_channel=i,
             output_channel=i,
             config=configs[i % len(configs)],
+            resample_from=device_rate,
         )
         for i in range(args.channels)
     ]

@@ -87,6 +87,28 @@ def frame_start_indices(
     return gap + hop * np.arange(n_frames, dtype=np.int64)
 
 
+def slab_parts(
+    window_length: int, window_overlap: int
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Slab decomposition of hop-strided framing: frame k's column block j
+    is row ``k + j`` of the ``[rows, hop]`` reshape of the raw samples.
+
+    Returns (gap, hop, parts) with parts = [(frame col lo, frame col hi,
+    slab col lo), ...] — the single home for this geometry; frame_signal and
+    both Pallas kernels (kernels/framed_gemm.py, kernels/fused_detector.py)
+    all delegate here.
+    """
+    gap, _ = normalize_overlap(window_overlap)
+    hop = hop_length(window_length, window_overlap)
+    n_parts = -(-(gap + window_length) // hop)
+    parts = []
+    for j in range(n_parts):
+        lo = max(0, j * hop - gap)
+        hi = min(window_length, (j + 1) * hop - gap)
+        parts.append((lo, hi, gap + lo - j * hop))
+    return gap, hop, parts
+
+
 def frame_signal(
     x: jax.Array, n_frames: int, window_length: int, window_overlap: int
 ) -> jax.Array:
@@ -101,21 +123,17 @@ def frame_signal(
     the equivalent slices), while slice+concat compiles to plain copies.
     Frame k's column block j is row k+j of the hop-strided slab.
     """
-    gap, _ = normalize_overlap(window_overlap)
-    hop = hop_length(window_length, window_overlap)
-    n_parts = -(-(gap + window_length) // hop)
-    rows2d = n_frames + n_parts - 1
+    _, hop, part_geo = slab_parts(window_length, window_overlap)
+    rows2d = n_frames + len(part_geo) - 1
     total = rows2d * hop
     n = x.shape[0]
     if total > n:
         x = jnp.concatenate([x, jnp.zeros(total - n, x.dtype)])
     slab = x[:total].reshape(rows2d, hop)
-    parts = []
-    for j in range(n_parts):
-        lo = max(0, j * hop - gap)  # frame column range covered by row k+j
-        hi = min(window_length, (j + 1) * hop - gap)
-        clo = gap + lo - j * hop
-        parts.append(slab[j : j + n_frames, clo : clo + (hi - lo)])
+    parts = [
+        slab[j : j + n_frames, clo : clo + (hi - lo)]
+        for j, (lo, hi, clo) in enumerate(part_geo)
+    ]
     return jnp.concatenate(parts, axis=1)
 
 

@@ -100,7 +100,7 @@ def main(argv=None) -> int:
         print(f"No channel {args.channel} in {args.audio}.", file=sys.stderr)
         return 1
 
-    signal = simulate(config, samples[:, args.channel])
+    signal = simulate(config, samples[:, args.channel], method=args.method)
     # 16-bit mono at the detector rate (ViewControllerSimulator.swift:197-226)
     write_wav(args.output, signal, int(config.sampling_rate), dtype="int16")
     Time.print_all()

@@ -31,6 +31,7 @@ from syllable_detector_tpu.config.model_format import (
     LayerSpec,
     ProcessingSpec,
     SyllableDetectorConfig,
+    first_output_sample,
 )
 from syllable_detector_tpu.models.detector import WINDOW
 from syllable_detector_tpu.models.neural_net import NetSpec, apply_net
@@ -132,18 +133,17 @@ def features_and_labels(
     # apply the configured spectrogram scaling so training features match
     # what detect_features sees at inference (SyllableDetector.swift:183-212).
     # Training only: floor exact-zero magnitudes first — digitally silent
-    # windows (zero-padded / gated recordings) would make log/db emit -inf,
-    # which poisons the mapminmax fit and every gradient after it. Inference
-    # keeps the reference's raw semantics; a silent window never fires
-    # either way.
-    stacked = stack_features(band, settings.time_range)
-    if settings.scaling in ("log", "db"):
-        stacked = jnp.maximum(stacked, 1e-12)
+    # windows (zero-padded / gated recordings) would make log/db emit -inf
+    # and make l2normalize divide 0/0 under linear scaling, either of which
+    # poisons the mapminmax fit and every gradient after it. Inference keeps
+    # the reference's raw semantics; a silent window never fires either way.
+    stacked = jnp.maximum(stack_features(band, settings.time_range), 1e-12)
     feats = np.asarray(apply_scaling(stacked, settings.scaling))
 
     hop = settings.window_length - settings.window_overlap
-    gap = -settings.window_overlap if settings.window_overlap < 0 else 0
-    first = settings.window_length + hop * (settings.time_range - 1) + gap
+    first = first_output_sample(
+        settings.window_length, settings.window_overlap, settings.time_range
+    )
     decision_samples = first + hop * np.arange(len(feats))
     t = decision_samples / settings.sampling_rate
     labels = np.zeros(len(feats), np.float32)
@@ -288,7 +288,9 @@ def train(
 
     dp_step = None
     if mesh is not None:
-        dp_step = make_data_parallel_step(mesh, net_spec, settings.learning_rate)
+        dp_step = make_data_parallel_step(
+            mesh, net_spec, settings.learning_rate, axis=mesh.axis_names[0]
+        )
         n_dev = mesh.devices.size
         bs = (bs // n_dev) * n_dev or n_dev
 

@@ -162,6 +162,8 @@ def _read_stdlib(path, module_name: str):
         # the ValueError contract read_audio documents — every ingest caller
         # catches (OSError, ValueError) to skip-and-continue per file
         raise ValueError(f"{path}: {module_name} decode failed: {e}") from e
+    if channels < 1:
+        raise ValueError(f"{path}: invalid channel count {channels}")
     if isinstance(comptype, bytes):
         comptype = comptype.decode(errors="replace")
     # aifc spells them 'ulaw'/'alaw', sunau 'ULAW' — all audioop-decoded
