@@ -158,3 +158,33 @@ def test_monitor_interactive_stop_is_prompt_in_realtime(chirp_wav):
     elapsed = time.monotonic() - t0
     assert rc == 0
     assert elapsed < 15.0, f"stop blocked for {elapsed:.1f}s"
+
+
+def test_monitor_resamples_mismatched_wav_rate(tmp_path, capsys):
+    """A WAV at a different rate streams at its OWN rate and resamples per
+    lane to the net rate (the GUI's mismatched-device-rate path,
+    ViewControllerProcessor.swift:247-250) — detections still fire."""
+    rate = 22050
+    n = int(1.0 * rate)
+    rng = np.random.default_rng(4)
+    phase = 2 * np.pi * np.cumsum(np.linspace(2000.0, 7000.0, n)) / rate
+    t = np.arange(n) / rate
+    x = 0.5 * np.sin(phase) + 0.02 * rng.standard_normal(n)
+    x = (x * (0.3 + 0.7 * (np.sin(2 * np.pi * 3.0 * t) > 0))).astype(np.float32)
+    p = tmp_path / "chirp22k.wav"
+    write_wav(p, x, rate, dtype="float32")
+
+    rc = monitor_main(["-n", NET, "-a", str(p), "--duration", "1.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    det_line = next(l for l in out.splitlines() if "detections" in l)
+    dets = eval(det_line.split(":", 1)[1])
+    assert dets[0] > 0
+
+
+def test_monitor_empty_wav_errors(tmp_path, capsys):
+    p = tmp_path / "empty.wav"
+    write_wav(p, np.zeros(0, np.float32), 44100, dtype="float32")
+    rc = monitor_main(["-n", NET, "-a", str(p), "--duration", "0.2"])
+    assert rc == 1
+    assert "no samples" in capsys.readouterr().err
