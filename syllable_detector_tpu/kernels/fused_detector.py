@@ -132,21 +132,11 @@ def fold_constants(spec: DetectorSpec, params: dict, pack: bool | None = None):
         c_packed[:, b_pad : b_pad + b] = c_im
 
     # fold the affine input chain into per-feature scale/shift
-    d = t_range * b
-    feat_scale = np.ones(d, np.float64)
-    feat_shift = np.zeros(d, np.float64)
-    has_l2 = False
-    for name, p in zip(spec.net.input_processing, params["process_inputs"]):
-        if name == "l2normalize":
-            has_l2 = True
-        elif name in ("mapminmax", "mapstd"):
-            g = np.asarray(p["gains"], np.float64)
-            xo = np.asarray(p["x_offsets"], np.float64)
-            yo = float(p["y_offset"])
-            # applied after the accumulated (scale, shift):
-            # ((x*s + h) - xo) * g + yo
-            feat_shift = (feat_shift - xo) * g + yo
-            feat_scale = feat_scale * g
+    from syllable_detector_tpu.ops.processing import fold_input_affines
+
+    feat_scale, feat_shift, has_l2 = fold_input_affines(
+        spec.net.input_processing, params["process_inputs"], t_range * b
+    )
 
     w1 = np.asarray(params["layers"][0]["w"], np.float64)  # [H, D]
     b1 = np.asarray(params["layers"][0]["b"], np.float64)  # [H]
@@ -178,16 +168,12 @@ def fold_constants(spec: DetectorSpec, params: dict, pack: bool | None = None):
         prev = o_pad
 
     # output chain reverse as one affine y*a + c
+    from syllable_detector_tpu.ops.processing import fold_output_affines
+
     n_out = spec.net.outputs
-    a = np.ones(n_out, np.float64)
-    cshift = np.zeros(n_out, np.float64)
-    for name, p in zip(spec.net.output_processing, params["process_outputs"]):
-        if name in ("mapminmax", "mapstd"):
-            g = np.asarray(p["gains"], np.float64)
-            xo = np.asarray(p["x_offsets"], np.float64)
-            yo = float(p["y_offset"])
-            a = a / g
-            cshift = (cshift - yo) / g + xo
+    a, cshift = fold_output_affines(
+        spec.net.output_processing, params["process_outputs"], n_out
+    )
     o_pad = prev
     out_a = np.zeros((1, o_pad), np.float32)
     out_c = np.zeros((1, o_pad), np.float32)

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from syllable_detector_tpu.config.model_format import ProcessingSpec
 
 __all__ = [
+    "fold_input_affines",
+    "fold_output_affines",
     "apply_named",
     "reverse_named",
     "apply_input_chain",
@@ -116,3 +118,49 @@ def reverse_output_chain(
     for name, p in zip(names, params):
         y = reverse_named(y, name, p)
     return y
+
+
+def fold_input_affines(names, procs, n_features: int):
+    """Fold an affine input chain (mapminmax/mapstd after an optional leading
+    l2normalize) into per-feature (scale, shift) in float64, so
+    ``chain(x) = (x_or_normalized * scale) + shift``.
+
+    Returns (scale [D], shift [D], has_l2). The algebra both the fused
+    kernel's constant folding and the tensor-parallel path rely on:
+    W @ (x*s + h) = (W*s) @ x + W @ h.
+    """
+    import numpy as np
+
+    scale = np.ones(n_features, np.float64)
+    shift = np.zeros(n_features, np.float64)
+    has_l2 = False
+    for name, p in zip(names, procs):
+        if name == "l2normalize":
+            has_l2 = True
+        elif name in ("mapminmax", "mapstd"):
+            g = np.asarray(p["gains"], np.float64)
+            xo = np.asarray(p["x_offsets"], np.float64)
+            yo = float(p["y_offset"])
+            # applied after the accumulated (scale, shift):
+            # ((x*s + h) - xo) * g + yo
+            shift = (shift - xo) * g + yo
+            scale = scale * g
+    return scale, shift, has_l2
+
+
+def fold_output_affines(names, procs, n_outputs: int):
+    """Fold the reverse-applied output chain into one affine ``y*a + c``
+    (float64) — mapminmax/mapstd reverse maps composed in reverse order
+    (NeuralNet.swift:316-323)."""
+    import numpy as np
+
+    a = np.ones(n_outputs, np.float64)
+    c = np.zeros(n_outputs, np.float64)
+    for name, p in zip(names, procs):
+        if name in ("mapminmax", "mapstd"):
+            g = np.asarray(p["gains"], np.float64)
+            xo = np.asarray(p["x_offsets"], np.float64)
+            yo = float(p["y_offset"])
+            a = a / g
+            c = (c - yo) / g + xo
+    return a, c

@@ -19,6 +19,7 @@ from syllable_detector_tpu.parallel.mesh import (
     sharded_detection_counts,
     sharded_streaming_step,
     time_sharded_offline_outputs,
+    tensor_sharded_offline_outputs,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "sharded_detection_counts",
     "sharded_streaming_step",
     "time_sharded_offline_outputs",
+    "tensor_sharded_offline_outputs",
 ]

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from syllable_detector_tpu.models.detector import (
+    WINDOW,
     DetectorSpec,
     offline_outputs,
     streaming_step,
@@ -31,6 +32,7 @@ __all__ = [
     "sharded_detection_counts",
     "sharded_streaming_step",
     "time_sharded_offline_outputs",
+    "tensor_sharded_offline_outputs",
 ]
 
 CHANNEL_AXIS = "channel"
@@ -98,6 +100,140 @@ def sharded_detection_counts(
         out_specs=P(),
     )
     return jax.jit(fn)(stacked_params, xs)
+
+
+def tensor_sharded_offline_outputs(
+    mesh: Mesh,
+    spec: DetectorSpec,
+    params,
+    x: jax.Array,
+) -> jax.Array:
+    """One detector's FEATURE axis sharded across the mesh — tensor
+    parallelism for this workload: each device computes the band DFT for its
+    shard of frequency bins and its columns of the (affine-folded) first
+    layer, and ONE ``psum`` reduces the partial layer-1 products (plus the
+    l2-norm partial sums) over ICI. Everything after layer 1 is a few
+    hundred FLOPs and runs replicated.
+
+    The algebra: with the input chain folded to ``x*scale + shift``
+    (ops.processing.fold_input_affines) and l2normalize linear in the
+    contraction, ``W1 @ chain(feat) = psum_d(W1_d' @ feat_d)/||feat|| +
+    (b1 + W1 @ shift)``. Numerically matches
+    :func:`~syllable_detector_tpu.models.detector.offline_outputs`; falls
+    back to it for unsupported processing chains. Real nets here are tiny —
+    this exists to exercise the tp sharding shape, not for speed.
+    """
+    from syllable_detector_tpu.kernels.fused_detector import fusable
+    from syllable_detector_tpu.ops.processing import (
+        fold_input_affines,
+        fold_output_affines,
+    )
+    from syllable_detector_tpu.ops.stft import (
+        band_dft_matrices,
+        num_frames,
+        stack_features,
+    )
+    from syllable_detector_tpu.ops.transfer import apply_transfer
+
+    if not fusable(spec):
+        return offline_outputs(spec, params, x)
+
+    axis = mesh.axis_names[0]
+    d = int(mesh.shape[axis])
+    b = spec.n_bins
+    t_range = spec.time_range
+    bp = -(-b // d)  # bins per device (zero-padded shards)
+
+    c_re, c_im = band_dft_matrices(
+        spec.fourier_length, spec.window_length, WINDOW, spec.bins
+    )
+    c_re_p = np.zeros((spec.window_length, d * bp), np.float32)
+    c_im_p = np.zeros((spec.window_length, d * bp), np.float32)
+    c_re_p[:, :b] = c_re
+    c_im_p[:, :b] = c_im
+    c_re_s = np.stack(np.split(c_re_p, d, axis=1))  # [d, window, bp]
+    c_im_s = np.stack(np.split(c_im_p, d, axis=1))
+
+    scale, shift, has_l2 = fold_input_affines(
+        spec.net.input_processing, params["process_inputs"], t_range * b
+    )
+    w1 = np.asarray(params["layers"][0]["w"], np.float64)  # [H, D_feats]
+    h1 = w1.shape[0]
+    w1_eff = w1 * scale[None, :]
+    b_eff = np.asarray(params["layers"][0]["b"], np.float64) + w1 @ shift
+
+    # local W1 columns: shard dd owns features (t, dd*bp + j) for all t
+    w1_s = np.zeros((d, t_range * bp, h1), np.float32)
+    for dd in range(d):
+        for j in range(min(bp, b - dd * bp)):
+            gbin = dd * bp + j
+            for t in range(t_range):
+                w1_s[dd, t * bp + j, :] = w1_eff[:, t * b + gbin]
+    mask = np.zeros((d, bp), np.float32)
+    for dd in range(d):
+        mask[dd, : max(0, min(bp, b - dd * bp))] = 1.0
+
+    mids = [
+        (np.asarray(l["w"], np.float32).T, np.asarray(l["b"], np.float32))
+        for l in params["layers"][1:]
+    ]
+    out_a, out_c = fold_output_affines(
+        spec.net.output_processing, params["process_outputs"], spec.net.outputs
+    )
+    out_a = out_a.astype(np.float32)
+    out_c = out_c.astype(np.float32)
+    b_eff32 = b_eff.astype(np.float32)
+
+    n = int(x.shape[0])
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    n_evals = f - t_range + 1
+    if n_evals <= 0:
+        return jnp.zeros((0, spec.net.outputs), jnp.float32)
+
+    hi_prec = jax.lax.Precision.HIGHEST
+    scaling = spec.scaling
+    transfers = spec.net.transfers
+
+    def local(c_re_l, c_im_l, w1_l, mask_l, x):
+        c_re_l, c_im_l = c_re_l[0], c_im_l[0]
+        w1_l, mask_l = w1_l[0], mask_l[0]
+        from syllable_detector_tpu.ops.stft import frame_signal
+
+        frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
+        re = jnp.matmul(frames, c_re_l, precision=hi_prec)
+        im = jnp.matmul(frames, c_im_l, precision=hi_prec)
+        mag = jnp.sqrt(re * re + im * im)
+        if scaling == "db":
+            s = jnp.where(mask_l > 0, 20.0 * jnp.log10(mag), 0.0)
+        elif scaling == "log":
+            s = jnp.where(mask_l > 0, jnp.log(mag), 0.0)
+        else:
+            s = mag
+        feats = stack_features(s, t_range)  # [E, T*bp]
+        z = jnp.matmul(feats, w1_l, precision=hi_prec)  # local partial
+        z = jax.lax.psum(z, axis)  # the ONE tp collective
+        if has_l2:
+            rowsq = jax.lax.psum(
+                jnp.sum(feats * feats, axis=1, keepdims=True), axis
+            )
+            z = z / jnp.sqrt(rowsq)
+        h = apply_transfer(z + b_eff32, transfers[0])
+        for (w, bb), name in zip(mids, transfers[1:]):
+            h = apply_transfer(
+                jnp.matmul(h, w, precision=hi_prec) + bb, name
+            )
+        return h * out_a + out_c
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)(
+        jnp.asarray(c_re_s), jnp.asarray(c_im_s), jnp.asarray(w1_s),
+        jnp.asarray(mask), jnp.asarray(x, jnp.float32),
+    )
 
 
 def time_sharded_offline_outputs(

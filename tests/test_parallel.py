@@ -155,3 +155,25 @@ def test_time_sharded_short_stream_falls_back(setup):
     got = np.asarray(time_sharded_offline_outputs(mesh, spec, params, x))
     want = np.asarray(offline_outputs(spec, params, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("scaling", ["linear", "log"])
+def test_tensor_sharded_matches_offline(sample_config, scaling):
+    """Tensor parallelism: the feature/bin axis sharded over 8 devices with
+    one psum must match the single-device detector (29 bins -> 4-bin shards
+    with zero padding; log scaling exercises the padded-lane masking)."""
+    import dataclasses
+
+    from syllable_detector_tpu.parallel.mesh import (
+        tensor_sharded_offline_outputs,
+    )
+
+    cfg = dataclasses.replace(sample_config, scaling=scaling)
+    spec, params = detector_spec_from_config(cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(make_audio(rng, seconds=0.5))
+    mesh = make_mesh(8, axis="model")
+    got = np.asarray(tensor_sharded_offline_outputs(mesh, spec, params, x))
+    want = np.asarray(offline_outputs(spec, params, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
