@@ -223,6 +223,7 @@ def _run(cfg, spec, params, dev):
 
     # --- on-hardware fused-vs-unfused parity (before any timing) -----------
     # a Mosaic lowering bug must fail the bench loudly, not ship silently
+    max_rel = None
     try:
         got = np.asarray(
             fused_offline_outputs(spec, params, x, tile=tile, input_mode="raw")
@@ -374,7 +375,10 @@ def _run(cfg, spec, params, dev):
             return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
         deadline_ms = hop / spec.sampling_rate * 1e3
-        for c in ((1, 256) if on_tpu else (1, 8)):
+        lat_channels = (1, 256) if on_tpu else (1, 8)
+        if on_tpu and "--sweep" in sys.argv:
+            lat_channels += (1024,)  # flagship deployment scale (~5 min compile)
+        for c in lat_channels:
             dt_hop = device_hop_latency(c)
             log(
                 f"streaming per-hop device-side latency ({c} ch, scan-slope): "
@@ -399,6 +403,7 @@ def _run(cfg, spec, params, dev):
                 "vs_baseline": round(value / NORTH_STAR, 4),
                 "fused": round(wps_fused, 1),
                 "unfused": round(wps_unfused, 1),
+                "parity_max_rel_err": max_rel,
             }
         )
     )
