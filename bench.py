@@ -165,8 +165,8 @@ def channel_sweep(spec, params, dev):
             total = c * n_evals
             log(
                 f"sweep c={c:5d}: {dt*1e3:8.2f} ms/iter -> "
-                f"{total/dt:,.0f} windows/s ({total/dt/44100*132:,.0f} "
-                f"realtime channels)"
+                f"{total/dt:,.0f} windows/s "
+                f"({total/dt/spec.sampling_rate*hop:,.0f} realtime channels)"
             )
         except Exception as e:
             log(f"sweep c={c} failed: {type(e).__name__}: {str(e)[:120]}")
@@ -336,8 +336,12 @@ def _run(cfg, spec, params, dev):
             def scanned(k):
                 @jax.jit
                 def run(state):
+                    # stacked params ride the STATE, not the closure: a
+                    # closed-over device array embeds as an HLO literal and
+                    # can blow the remote compiler's request limit at wide
+                    # channel counts (the r1 "413" failure mode)
                     def body(state, _):
-                        cs, acc = state
+                        params_s, cs, acc = state
                         # logistic-map chunk derived from the carry: every
                         # iteration's input is new, nothing is elidable
                         r = jnp.clip(cs["residual"], 0.01, 0.99)
@@ -345,9 +349,9 @@ def _run(cfg, spec, params, dev):
                         ch = jnp.tile(ch, (1, reps))[:, :hop]
                         cs, outs = jax.vmap(
                             lambda p, cr, x: streaming_step(spec, p, cr, x)
-                        )(stacked, cs, ch)
+                        )(params_s, cs, ch)
                         # consume the outputs so the MLP stays live
-                        return (cs, acc + jnp.sum(outs)), None
+                        return (params_s, cs, acc + jnp.sum(outs)), None
 
                     state, _ = jax.lax.scan(body, state, None, length=k)
                     return state
@@ -355,7 +359,7 @@ def _run(cfg, spec, params, dev):
                 return run
 
             run_small, run_big = scanned(k_small), scanned(k_big)
-            state = (carries, jnp.float32(0))
+            state = (stacked, carries, jnp.float32(0))
             state = run_small(state)
             jax.block_until_ready(state)
             state = run_big(state)

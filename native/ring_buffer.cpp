@@ -42,6 +42,9 @@ sdring* sdring_create(int32_t min_capacity) {
     if (min_capacity <= 0) return nullptr;
     const long page = sysconf(_SC_PAGESIZE);
     const size_t cap = ((static_cast<size_t>(min_capacity) + page - 1) / page) * page;
+    // page rounding near INT32_MAX would overflow the int32 length field
+    // into a negative capacity (silent head/tail corruption) — reject
+    if (cap > static_cast<size_t>(INT32_MAX)) return nullptr;
 
     for (int attempt = 0; attempt < 3; ++attempt) {
         int fd = memfd_create("sdring", MFD_CLOEXEC);

@@ -91,7 +91,11 @@ def main():
                 x = x_for(tile)
                 def make_fn():
                     def fn(x, carry):
-                        out = offline_outputs(spec, params, x + carry * 0.0)
+                        # no input perturbation here: time_scanned's scan
+                        # body already chains the carry through x (a
+                        # baseline-only `x + carry*0` copy would inflate
+                        # every fused-vs-unfused ratio)
+                        out = offline_outputs(spec, params, x)
                         return out[-1, 0] + carry
                     return fn
                 got = np.asarray(offline_outputs(spec, params, x))[:n_evals]

@@ -212,6 +212,8 @@ def make_pipe132(spec, meta, operands):
     gap, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(
         spec, TILE
     )
+    halo_rows = rows2d - TILE
+    assert halo_rows > 0 and TILE % halo_rows == 0, (TILE, rows2d)
     halo = spec.time_range - 1
     prec = jax.lax.Precision.HIGHEST
     c_packed = operands[0]

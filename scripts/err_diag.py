@@ -45,7 +45,8 @@ def main():
     x = jax.device_put(jnp.asarray(make_audio(n)), dev)
     want = np.asarray(offline_outputs(spec, params, x))
     for name, kw in (
-        ("split-fixed(raw)", dict()),
+        ("split3-bf16", dict(split=True)),
+        ("split-conv-only", dict(split="conv")),
         ("packed-highest", dict(split=False)),
     ):
         got = np.asarray(fused_offline_outputs(spec, params, x, tile=512, **kw))

@@ -163,7 +163,8 @@ def test_fake_enumeration():
 
     # idempotent: re-enumeration registers nothing new, no duplicate rows
     assert register_alsa_devices(lib=fake) == []
-    assert uids.count("alsa:hw:CARD=Fake,DEV=0") == 1
+    uids_after = [d.device_uid for d in list_devices()]
+    assert uids_after.count("alsa:hw:CARD=Fake,DEV=0") == 1
 
 
 def test_fake_capture_delivers_channels():

@@ -113,7 +113,8 @@ def test_fake_registration(monkeypatch):
     assert "pulse:default-sink" in registry_uids
     # idempotent: re-registration adds nothing
     assert register_pulse_devices(lib=fake) == []
-    assert registry_uids.count("pulse:default-sink") == 1
+    uids_after = [d.device_uid for d in list_devices()]
+    assert uids_after.count("pulse:default-sink") == 1
 
 
 def test_fake_capture_delivers_channels():

@@ -95,9 +95,12 @@ def test_spsc_threads(ring_kind):
                 r.consume(len(got))
                 seen += len(got)
 
-    t1 = threading.Thread(target=producer)
-    t2 = threading.Thread(target=consumer)
+    # daemon threads: a corruption failure must surface as a clean assert,
+    # not as an orphaned busy-loop thread hanging pytest shutdown
+    t1 = threading.Thread(target=producer, daemon=True)
+    t2 = threading.Thread(target=consumer, daemon=True)
     t1.start(); t2.start()
     t1.join(timeout=60); t2.join(timeout=60)
     assert not errors, errors
+    assert not t1.is_alive() and not t2.is_alive()
     assert r.fill == 0
