@@ -45,6 +45,7 @@ VARIANTS = {
     "t4096": dict(tile=4096),
     "t2048c": dict(tile=2048, split="conv"),       # conv-GEMM-only split
     "t4096c": dict(tile=4096, split="conv"),
+    "t2048q": dict(tile=2048, split=4),            # 4-pass split (fidelity?)
     "unfused": None,
 }
 

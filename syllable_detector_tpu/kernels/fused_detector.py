@@ -70,9 +70,11 @@ class FusedMeta(NamedTuple):
     # GEMM precision ladder: False = 6-pass fp32-HIGHEST everywhere (full
     # fidelity); "conv" = split only the conv filter-bank GEMM into 3-pass
     # bf16 hi/lo (the DFT stays exact; measured ~1.5e-4 abs budget);
-    # True = split both big GEMMs (~2e-3 max abs on the sample net — the
-    # 2^-17 input rounding is amplified ~100x by the folded mapminmax
-    # gains, so this is an opt-in fast tier outside the fidelity contract)
+    # True = 3-pass split of both big GEMMs (~2e-3 max abs on the sample
+    # net — the dropped x_lo@C_lo term's ~2^-16 relative error is amplified
+    # ~100x by the folded mapminmax gains; opt-in fast tier);
+    # 4 = 4-pass split of both (keeps x_lo@C_lo, residual ~2^-24 relative
+    # before amplification) — 8 MXU passes vs HIGHEST's 12
     split: object = False
 
 
@@ -261,17 +263,21 @@ def _make_kernel(
     prec = (
         jax.lax.Precision.DEFAULT if meta.fast else jax.lax.Precision.HIGHEST
     )
-    split_dft = meta.split is True and not meta.fast
-    split_conv = meta.split in (True, "conv") and not meta.fast
+    split_dft = meta.split in (True, 4) and not meta.fast
+    split_conv = meta.split in (True, 4, "conv") and not meta.fast
+    four_pass = meta.split == 4 and not meta.fast
 
     def split_dot(x, c_hi, c_lo):
         x_hi = x.astype(jnp.bfloat16)
         x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (
+        acc = (
             jnp.dot(x_hi, c_hi, preferred_element_type=jnp.float32)
             + jnp.dot(x_hi, c_lo, preferred_element_type=jnp.float32)
             + jnp.dot(x_lo, c_hi, preferred_element_type=jnp.float32)
         )
+        if four_pass:
+            acc = acc + jnp.dot(x_lo, c_lo, preferred_element_type=jnp.float32)
+        return acc
 
     def _any_dot(x, c, split):
         """x @ c; c is (hi, lo) when that GEMM is split."""
@@ -468,8 +474,8 @@ def _fused_call(
     halo = spec.time_range - 1
     window = spec.window_length
 
-    split_dft = meta.split is True and not meta.fast
-    split_conv = meta.split in (True, "conv") and not meta.fast
+    split_dft = meta.split in (True, 4) and not meta.fast
+    split_conv = meta.split in (True, 4, "conv") and not meta.fast
     if split_dft or split_conv:
         # pre-split the big GEMM constants into bf16 hi/lo halves once per
         # launch (outside the kernel, so grid programs reuse them). In raw
