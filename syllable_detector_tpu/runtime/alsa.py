@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 
