@@ -247,3 +247,26 @@ def test_short_write_restores_ttl_frames():
     out.tear_down_audio()
     wave = np.concatenate(fake.written, axis=0)[:, 0]
     assert int(wave.sum()) == 32  # full pulse length reached the device
+
+
+def test_teardown_with_stuck_reader_leaks_not_crashes():
+    """A reader thread stuck in a blocking device call must NOT have the PCM
+    freed under it (use-after-free); tear_down returns, leaves the handle,
+    and the daemon thread dies with the process."""
+    release = threading.Event()
+
+    class BlockingAlsa(FakeAlsa):
+        def snd_pcm_readi(self, h, ptr, frames):
+            release.wait(timeout=30)  # simulates a stalled capture device
+            return -32  # EPIPE after release
+
+    fake = BlockingAlsa(channels=1)
+    inp = AlsaAudioInput(channels=1, frame_size=16, lib=fake)
+    inp.initialize_audio()
+    time.sleep(0.05)  # let the reader enter the blocking read
+    t0 = time.monotonic()
+    inp.tear_down_audio()  # join times out after 5 s
+    assert 4.0 < time.monotonic() - t0 < 10.0
+    assert inp._pcm is not None  # handle intentionally leaked
+    assert fake.closed == 0      # never freed under the live thread
+    release.set()
