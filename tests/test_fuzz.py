@@ -157,3 +157,26 @@ def test_random_config_pipeline(seed):
             )
         )
         np.testing.assert_allclose(fused, got, rtol=5e-3, atol=1e-3)
+
+    # sequence-parallel (time-sharded, ppermute halo) equals offline for
+    # every random geometry — gaps, odd lengths, short-stream fallback
+    from syllable_detector_tpu.parallel.mesh import (
+        make_mesh,
+        tensor_sharded_offline_outputs,
+        time_sharded_offline_outputs,
+    )
+
+    mesh_t = make_mesh(4, axis="time")
+    sp = np.asarray(time_sharded_offline_outputs(mesh_t, spec, params, jnp.asarray(x)))
+    assert sp.shape == got.shape
+    if len(got):
+        np.testing.assert_allclose(sp, got, rtol=5e-3, atol=1e-3)
+
+    # tensor-parallel (bin-sharded, one psum) where the pattern allows
+    if fusable(spec) and len(got):
+        mesh_m = make_mesh(4, axis="model")
+        tp = np.asarray(
+            tensor_sharded_offline_outputs(mesh_m, spec, params, jnp.asarray(x))
+        )
+        assert tp.shape == got.shape
+        np.testing.assert_allclose(tp, got, rtol=5e-3, atol=1e-3)
