@@ -78,6 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "(optionally with --method fused for the Pallas kernel).",
     )
     p.add_argument(
+        "--batch-files",
+        type=int,
+        default=None,
+        metavar="N",
+        help="With --batched: scan the corpus in groups of N files "
+        "(bounds memory on huge corpora; output order unchanged).",
+    )
+    p.add_argument(
         "--mesh",
         action="store_true",
         help="Batched mode only: shard the file/channel lanes across all "
@@ -202,6 +210,7 @@ def main(argv=None) -> int:
             method=args.method,
             mesh=mesh,
             resample=not args.no_resample,
+            group_files=args.batch_files,
         )
         return 0
 

@@ -198,6 +198,7 @@ def scan_corpus_files(
     headers: Optional[bool] = None,
     mesh=None,
     resample: bool = True,
+    group_files: Optional[int] = None,
 ) -> None:
     """File-level corpus scan with the CLI's multi-file output contract.
     ``headers`` forces (or suppresses) per-file path header lines; None =
@@ -207,10 +208,24 @@ def scan_corpus_files(
     CLI runs one TrackDetector per audio track, main.swift:86-90). Within a
     file, detection lines are emitted grouped by channel in channel order —
     identical to sequential mode for files shorter than its chunk size.
+
+    ``group_files`` bounds memory on huge corpora: files are scanned in
+    groups of that many (output order and the CSV contract unchanged —
+    file-major), so one long file no longer forces every lane to its
+    padded bucket length and the whole corpus never sits in RAM at once.
     """
     import sys
 
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
+    if group_files and len(paths) > group_files:
+        forced = len(paths) > 1 if headers is None else headers
+        for i in range(0, len(paths), group_files):
+            scan_corpus_files(
+                cfg, paths[i : i + group_files],
+                debounce_seconds=debounce_seconds, emit=emit, err=err,
+                method=method, headers=forced, mesh=mesh, resample=resample,
+            )
+        return
     streams = []  # one entry per (file, channel) lane
     lanes = []  # (path index, channel)
     good_paths = []

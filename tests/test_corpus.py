@@ -163,3 +163,28 @@ def test_batched_resamples_mismatched_rate(sample_config, tmp_path):
     scan_corpus_files(sample_config, [str(p)], emit=lines.append, err=errs.append)
     assert any("Resampling" in e for e in errs)
     assert len(lines) > 0  # the band sweep survives 2x downsampling
+
+
+def test_scan_corpus_files_grouped_matches_ungrouped(sample_config, tmp_path):
+    """group_files chunking must preserve the exact CSV contract and order
+    (file-major, headers on every file)."""
+    from syllable_detector_tpu.corpus import scan_corpus_files
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(21)
+    paths = []
+    for i in range(5):
+        x = make_audio(rng, seconds=0.3)
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, x, 44100, dtype="float32")
+        paths.append(str(p))
+
+    def run(**kw):
+        lines = []
+        scan_corpus_files(
+            sample_config, paths, emit=lines.append, err=lambda s: None, **kw
+        )
+        return lines
+
+    assert run(group_files=2) == run()
+    assert run(group_files=1) == run()
