@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--debounce", type=float, default=None)
     p.add_argument("--method", choices=("matmul", "rfft", "fused"),
                    default="matmul")
+    p.add_argument("--batch-files", type=int, default=None, metavar="N",
+                   help="Scan each shard in groups of N files "
+                   "(bounds memory on huge corpora).")
     p.add_argument("--platform", default=None,
                    help="Force a jax platform (e.g. cpu) before init — the "
                    "container's sitecustomize ignores JAX_PLATFORMS.")
@@ -106,6 +109,7 @@ def main(argv=None) -> int:
         scan_corpus_files(
             cfg, mine, debounce_seconds=args.debounce, emit=emit,
             method=args.method, headers=len(args.audio) > 1,
+            group_files=args.batch_files,
         )
     tmp = shard_file + ".tmp"
     with open(tmp, "w") as f:
