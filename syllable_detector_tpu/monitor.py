@@ -211,7 +211,22 @@ def main(argv=None) -> int:
     )
     p.add_argument("-a", "--audio", help="WAV to stream (loops per channel).")
     p.add_argument("--channels", type=int, default=1)
-    p.add_argument("--output", choices=("audio", "arduino"), default="audio")
+    p.add_argument(
+        "--input",
+        default="sim",
+        metavar="sim|alsa[:DEV]|pulse[:DEV]",
+        help="Capture source: 'sim' streams the WAV/synthetic tone through "
+        "the simulated device; 'alsa[:DEV]' / 'pulse[:DEV]' capture REAL "
+        "audio (the reference's CoreAudio input selection, "
+        "ViewControllerMenu.swift:86-149).",
+    )
+    p.add_argument(
+        "--output",
+        choices=("audio", "arduino", "alsa", "pulse"),
+        default="audio",
+        help="TTL sink: simulated audio/arduino, or a REAL alsa/pulse "
+        "playback device rendering the TTL waveform.",
+    )
     p.add_argument("--duration", type=float, default=2.0, help="Seconds to run.")
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
@@ -263,7 +278,35 @@ def main(argv=None) -> int:
 
     rate = config.sampling_rate
     device_rate = rate  # the simulated device's sample rate
-    if args.audio:
+
+    kind, _, dev_name = args.input.partition(":")
+    if kind in ("alsa", "pulse"):
+        # real capture hardware: the lane resampler handles any rate
+        # mismatch; the stream runs until --duration wall time
+        try:
+            if kind == "alsa":
+                from syllable_detector_tpu.runtime.alsa import AlsaAudioInput
+
+                interface = AlsaAudioInput(
+                    device=dev_name or "default", channels=args.channels,
+                    sample_rate=rate,
+                )
+            else:
+                from syllable_detector_tpu.runtime.pulse import PulseAudioInput
+
+                interface = PulseAudioInput(
+                    device=dev_name or None, channels=args.channels,
+                    sample_rate=rate,
+                )
+        except Exception as e:
+            print(f"Unable to open {args.input}: {e}", file=sys.stderr)
+            return 1
+        args.realtime = True  # real capture is inherently wall-clock paced
+    elif kind != "sim":
+        print(f"Unknown --input {args.input!r}.", file=sys.stderr)
+        return 1
+
+    if args.audio and kind == "sim":
         try:
             wav, wav_rate = read_audio(args.audio)
         except (OSError, ValueError) as e:
@@ -282,7 +325,7 @@ def main(argv=None) -> int:
             idx = (start + np.arange(n)) % len(mono)
             return mono[idx]
 
-    else:
+    elif kind == "sim":
         rng = np.random.default_rng(0)
 
         def source(ch, start, n):
@@ -290,14 +333,15 @@ def main(argv=None) -> int:
             x = 0.4 * np.sin(2 * np.pi * (2500.0 + 700 * ch) * t)
             return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
 
-    total = int(args.duration * device_rate)
-    interface = SimulatedAudioInput(
-        source,
-        channels=args.channels,
-        sample_rate=device_rate,
-        realtime=args.realtime,
-        total_samples=total,
-    )
+    if kind == "sim":
+        total = int(args.duration * device_rate)
+        interface = SimulatedAudioInput(
+            source,
+            channels=args.channels,
+            sample_rate=device_rate,
+            realtime=args.realtime,
+            total_samples=total,
+        )
 
     # one network per channel, cycling when fewer nets than channels — the
     # processor window's per-row network loading
@@ -316,13 +360,48 @@ def main(argv=None) -> int:
     if args.output == "audio":
         out_interface = SimulatedAudioOutput(channels=args.channels, sample_rate=rate)
         output = AudioTTLOutput(out_interface)
-    else:
+    elif args.output == "arduino":
         arduino = ArduinoIO(SimulatedArduinoTransport(), startup_time=0.0)
         arduino.open()
         output = ArduinoTTLOutput(arduino)
+    else:
+        # real playback hardware renders the TTL waveform
+        # (AudioInterface.swift:13-40)
+        try:
+            if args.output == "alsa":
+                from syllable_detector_tpu.runtime.alsa import (
+                    AlsaAudioOutput,
+                    alsa_available,
+                )
+
+                if not alsa_available():
+                    raise RuntimeError("libasound.so.2 is not available")
+                out_interface = AlsaAudioOutput(
+                    channels=args.channels, sample_rate=rate
+                )
+            else:
+                from syllable_detector_tpu.runtime.pulse import (
+                    PulseAudioOutput,
+                    pulse_available,
+                )
+
+                if not pulse_available():
+                    raise RuntimeError("libpulse-simple.so.0 is not available")
+                out_interface = PulseAudioOutput(
+                    channels=args.channels, sample_rate=rate
+                )
+            output = AudioTTLOutput(out_interface)
+        except Exception as e:
+            print(f"Unable to open {args.output} output: {e}", file=sys.stderr)
+            return 1
 
     proc = Processor(interface, entries, output)
-    proc.set_up()
+    try:
+        proc.set_up()
+    except Exception as e:
+        # real device open failures (no card, busy PCM) exit cleanly
+        print(f"Unable to start audio: {e}", file=sys.stderr)
+        return 1
 
     last_rms = [0.0] * args.channels
     last_out = [0.0] * args.channels
@@ -358,7 +437,7 @@ def main(argv=None) -> int:
     print(f"detections per channel: {detections}")
     if args.output == "audio":
         print(f"TTL events: {len(output.interface.events)}")
-    else:
+    elif args.output == "arduino":
         events = output.arduino.transport.events
         print(f"Arduino events: {len(events)}")
     return 0

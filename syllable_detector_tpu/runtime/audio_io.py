@@ -92,6 +92,16 @@ class AudioInputInterface:
     def tear_down_audio(self) -> None:
         raise NotImplementedError
 
+    def wait_until_done(self, timeout: float | None = None) -> bool:
+        """Block up to ``timeout`` for a FINITE source to finish. Real
+        capture hardware never finishes: the default sleeps out the
+        timeout and reports False so polling loops keep running."""
+        import time as _t
+
+        if timeout:
+            _t.sleep(timeout)
+        return False
+
 
 class AudioOutputInterface:
     """TTL output: arm a high pulse of ``duration`` seconds on a channel."""

@@ -188,3 +188,38 @@ def test_monitor_empty_wav_errors(tmp_path, capsys):
     rc = monitor_main(["-n", NET, "-a", str(p), "--duration", "0.2"])
     assert rc == 1
     assert "no samples" in capsys.readouterr().err
+
+
+def test_monitor_real_input_via_fake_alsa(chirp_wav, capsys, monkeypatch):
+    """--input alsa drives the REAL capture path end to end against the
+    fake libasound (counter-ramp device) — the reference's live-hardware
+    flow without a sound card."""
+    import test_alsa
+    from syllable_detector_tpu.runtime import alsa as alsa_mod
+
+    fake = test_alsa.FakeAlsa(channels=1)
+    monkeypatch.setattr(alsa_mod, "_load_alsa", lambda: fake)
+    rc = monitor_main(
+        ["-n", NET, "--input", "alsa", "--channels", "1", "--duration", "0.5"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "detections per channel" in out
+    assert fake.pos > 0  # frames were actually read from the device
+
+
+def test_monitor_real_output_unavailable_errors(capsys, monkeypatch):
+    from syllable_detector_tpu.runtime import pulse as pulse_mod
+
+    monkeypatch.setattr(pulse_mod, "_load_pulse", lambda: None)
+    rc = monitor_main(
+        ["-n", NET, "--output", "pulse", "--duration", "0.1"]
+    )
+    assert rc == 1
+    assert "Unable to open pulse output" in capsys.readouterr().err
+
+
+def test_monitor_unknown_input_errors(capsys):
+    rc = monitor_main(["-n", NET, "--input", "bogus", "--duration", "0.1"])
+    assert rc == 1
+    assert "Unknown --input" in capsys.readouterr().err
