@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     p.add_argument("-a", "--audio", required=True, help="Input audio file.")
     p.add_argument("-o", "--output", required=True, help="Output WAV path.")
     p.add_argument("--channel", type=int, default=0, help="Input channel to use.")
-    p.add_argument("--method", choices=("matmul", "rfft"), default="matmul")
+    p.add_argument("--method", choices=("matmul", "rfft", "fused"), default="matmul")
     args = p.parse_args(argv)
 
     try:
