@@ -112,7 +112,14 @@ def sharded_batch_offline_outputs_shared(
         # the fused fold consumes them as numpy)
         return batch_offline_outputs_shared(spec, params, x, method=method)
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis))
+    # check_vma=False: the fused path's pallas_call declares plain
+    # ShapeDtypeStruct outputs without varying-mesh-axes metadata, which
+    # newer jax rejects under shard_map's default vma checking; lanes are
+    # fully independent here so the check adds nothing
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_vma=False,
+    )
     return jax.jit(fn)(xs)
 
 

@@ -188,3 +188,42 @@ def test_scan_corpus_files_grouped_matches_ungrouped(sample_config, tmp_path):
 
     assert run(group_files=2) == run()
     assert run(group_files=1) == run()
+
+
+def test_scan_grouped_mesh_fused_combination(sample_config, tmp_path):
+    """All batched options together (mesh sharding + file groups + fused
+    kernel) must still match the plain scan."""
+    from syllable_detector_tpu.corpus import scan_corpus_files
+    from syllable_detector_tpu.parallel.mesh import make_mesh
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    rng = np.random.default_rng(31)
+    paths = []
+    for i in range(3):
+        x = make_audio(rng, seconds=0.25)
+        p = tmp_path / f"g{i}.wav"
+        write_wav(p, x, 44100, dtype="float32")
+        paths.append(str(p))
+
+    def run(**kw):
+        lines = []
+        scan_corpus_files(
+            sample_config, paths, emit=lines.append, err=lambda s: None, **kw
+        )
+        return lines
+
+    plain = run()
+    combo = run(mesh=make_mesh(8), group_files=2, method="fused")
+    assert len(combo) == len(plain)
+    # float formatting may differ in the last ulp between kernels; compare
+    # the sample-accounting columns exactly and outputs numerically
+    for a, b in zip(plain, combo):
+        if "," not in a:
+            assert a == b
+            continue
+        ca, cb = a.split(","), b.split(",")
+        assert ca[:2] == cb[:2]
+        np.testing.assert_allclose(
+            [float(v) for v in ca[2:]], [float(v) for v in cb[2:]],
+            rtol=1e-3, atol=1e-3,
+        )
