@@ -285,21 +285,39 @@ def time_sharded_offline_outputs(
 
     perm = [((i + 1) % d, i) for i in range(d)]  # receive from right neighbor
 
-    def local(params, x_own, tail):
+    if method == "fused":
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fusable,
+            fused_offline_outputs,
+        )
+
+        if not fusable(spec):
+            method = "matmul"  # same fallback as the offline fused path
+
+    def local(x_own, tail):
+        # params ride in as host-side constants, not traced arguments: the
+        # fused constant fold consumes them as numpy, and these nets are a
+        # few KB so the embedded literals are harmless
         x_own = x_own[0]
         idx = jax.lax.axis_index(axis)
         from_right = jax.lax.ppermute(x_own[:halo], axis, perm)
         halo_recv = jnp.where(idx == d - 1, tail, from_right)
         seg = jnp.concatenate([x_own, halo_recv])
+        if method == "fused":
+            return fused_offline_outputs(spec, params, seg)
         return offline_outputs(spec, params, seg, method=method)
 
+    # check_vma=False: the fused path's pallas_call outputs carry no
+    # varying-mesh-axes metadata (newer jax rejects them under shard_map's
+    # default check); segments are fully independent after the halo exchange
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P()),
+        in_specs=(P(axis), P()),
         out_specs=P(axis),
+        check_vma=False,
     )
-    outs = jax.jit(fn)(params, xs, tail)  # [d*e_loc, outputs]
+    outs = jax.jit(fn)(xs, tail)  # [d*e_loc, outputs]
     return outs[:e_total]
 
 

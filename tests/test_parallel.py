@@ -177,3 +177,20 @@ def test_tensor_sharded_matches_offline(sample_config, scaling):
     want = np.asarray(offline_outputs(spec, params, x))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_time_sharded_fused_method(setup):
+    """Sequence parallelism with the fused Pallas kernel per shard (the
+    fast long-stream corpus scan shape)."""
+    from syllable_detector_tpu.parallel.mesh import time_sharded_offline_outputs
+
+    spec, params, _, _ = setup
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(make_audio(rng, seconds=2.0))
+    mesh = make_mesh(4, axis="time")
+    got = np.asarray(
+        time_sharded_offline_outputs(mesh, spec, params, x, method="fused")
+    )
+    want = np.asarray(offline_outputs(spec, params, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
