@@ -49,7 +49,15 @@ def _build_parser() -> argparse.ArgumentParser:
             "timestamp of the detection; 4+. the neural network outputs."
         ),
     )
-    p.add_argument("-n", "--net", required=True, help="Path to trained network file.")
+    p.add_argument(
+        "-n",
+        "--net",
+        action="append",
+        required=True,
+        help="Path to trained network file; repeat to give each audio "
+        "channel its own network (cycled per channel, like the GUI's "
+        "per-row loading; all nets must share the first net's geometry).",
+    )
     p.add_argument(
         "-a",
         "--audio",
@@ -108,6 +116,11 @@ def run_file(
     method: str = "matmul",
     resample: bool = True,
 ) -> bool:
+    """Sequential per-file scan. ``config`` may be a sequence of configs:
+    channel c uses ``configs[c % len(configs)]`` (the first net's rate
+    drives any resampling)."""
+    configs = list(config) if isinstance(config, (list, tuple)) else [config]
+    config = configs[0]
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
     try:
         samples, rate = read_audio(audio_path)
@@ -151,7 +164,7 @@ def run_file(
         )
 
     detectors = [
-        TrackDetector(config, channel=i, emit=emit, method=method)
+        TrackDetector(configs[i % len(configs)], channel=i, emit=emit, method=method)
         for i in range(channels)
     ]
     if debounce is not None:
@@ -190,10 +203,11 @@ def main(argv=None) -> int:
     _enable_persistent_compile_cache()
 
     try:
-        config = load_config(args.net)
+        configs = [load_config(n) for n in args.net]
     except ConfigError as e:
         print(f"Unable to load the network configuration: {e}", file=sys.stderr)
         return 1
+    config = configs if len(configs) > 1 else configs[0]
 
     if args.batched:
         from syllable_detector_tpu.corpus import scan_corpus_files

@@ -45,11 +45,23 @@ def _batch_unfused(spec: DetectorSpec, params, xs: jax.Array, method: str):
     )(xs)
 
 
+@partial(jax.jit, static_argnames=("spec", "method"))
+def _batch_unfused_distinct(
+    spec: DetectorSpec, stacked, xs: jax.Array, method: str
+):
+    return jax.vmap(
+        lambda p, x: offline_outputs(spec, p, x, method=method)
+    )(stacked, xs)
+
+
 def batch_offline_outputs_shared(
     spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
 ) -> jax.Array:
-    """[C, n] streams through ONE shared network -> [C, E, outputs].
+    """[C, n] streams -> [C, E, outputs].
 
+    ``params`` is ONE shared network (dict) or a sequence of C DISTINCT
+    per-lane networks sharing the spec's geometry (the reference's
+    one-net-per-channel deployment, Processor.swift:57-59).
     method='fused' routes through the Pallas kernel (one launch for all
     channels); 'matmul'/'rfft' use the unfused XLA pipeline. The fused
     dispatch must happen OUTSIDE jit: fold_constants consumes params as
@@ -61,6 +73,12 @@ def batch_offline_outputs_shared(
         )
 
         return fused_batch_offline_outputs(spec, params, xs)
+    if isinstance(params, (list, tuple)):
+        from syllable_detector_tpu.models.neural_net import stack_params
+
+        return _batch_unfused_distinct(
+            spec, stack_params(list(params)), xs, method
+        )
     return _batch_unfused(spec, params, xs, method)
 
 
@@ -99,11 +117,28 @@ def _bucket(n: int) -> int:
 def sharded_batch_offline_outputs_shared(
     mesh, spec: DetectorSpec, params, xs: jax.Array, method: str = "matmul"
 ) -> jax.Array:
-    """[C, n] streams sharded over the mesh's first axis, one shared net
-    replicated per device -> [C, E, outputs]. C must divide by the mesh
+    """[C, n] streams sharded over the mesh's first axis -> [C, E, outputs].
+    ``params``: one shared net (replicated per device) or C distinct
+    per-lane nets (sharded with their lanes). C must divide by the mesh
     size (scan_corpus pads). No cross-device communication — lanes are
     embarrassingly parallel (Processor.swift:57-59's fan-out, multi-chip)."""
     from jax.sharding import PartitionSpec as P
+
+    distinct = isinstance(params, (list, tuple))
+    if method == "fused":
+        # the flagship path: folded operands shard along the channel axis
+        from syllable_detector_tpu.parallel.mesh import (
+            sharded_fused_offline_outputs,
+        )
+
+        return sharded_fused_offline_outputs(mesh, spec, params, xs)
+    if distinct:
+        from syllable_detector_tpu.models.neural_net import stack_params
+        from syllable_detector_tpu.parallel.mesh import sharded_offline_outputs
+
+        return sharded_offline_outputs(
+            mesh, spec, stack_params(list(params)), xs, method=method
+        )
 
     axis = mesh.axis_names[0]
 
@@ -112,13 +147,8 @@ def sharded_batch_offline_outputs_shared(
         # the fused fold consumes them as numpy)
         return batch_offline_outputs_shared(spec, params, x, method=method)
 
-    # check_vma=False: the fused path's pallas_call declares plain
-    # ShapeDtypeStruct outputs without varying-mesh-axes metadata, which
-    # newer jax rejects under shard_map's default vma checking; lanes are
-    # fully independent here so the check adds nothing
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
-        check_vma=False,
     )
     return jax.jit(fn)(xs)
 
@@ -128,6 +158,7 @@ def scan_corpus(
     streams: Sequence[np.ndarray],
     method: str = "matmul",
     mesh=None,
+    lane_configs: Optional[Sequence[SyllableDetectorConfig]] = None,
 ) -> list[np.ndarray]:
     """Detect over many same-rate streams at once -> per-stream [E_i, outputs].
 
@@ -137,16 +168,43 @@ def scan_corpus(
     short stream sees padded zeros exactly as the reference sees silence.
     With ``mesh``, the lane axis is sharded across the mesh's devices
     (lanes padded to a multiple of the mesh size).
+
+    ``lane_configs`` gives each stream its own DISTINCT network (the
+    reference's one-net-per-channel deployment, Processor.swift:57-59) —
+    one config per stream, all sharing ``cfg``'s pipeline geometry
+    (thresholds may differ; they are applied later per lane). On the fused
+    method the distinct nets ride the flagship kernel via channel-stacked
+    folded operands.
     """
     spec, params = _spec_cache(cfg)
     if not streams:
         return []
+    if lane_configs is not None:
+        import dataclasses
+
+        if len(lane_configs) != len(streams):
+            raise ValueError(
+                f"{len(lane_configs)} lane networks for {len(streams)} streams"
+            )
+        base = dataclasses.replace(spec, thresholds=())
+        plist = []
+        for c in lane_configs:
+            s_i, p_i = _spec_cache(c)
+            if dataclasses.replace(s_i, thresholds=()) != base:
+                raise ValueError(
+                    "per-lane networks must share the first network's "
+                    "geometry (sampling rate, FFT/window, band, layer sizes)"
+                )
+            plist.append(p_i)
     streams = [np.asarray(s, np.float32).reshape(-1) for s in streams]
     bucket = _bucket(max(len(s) for s in streams))
     lanes = len(streams)
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
         lanes = -(-lanes // n_dev) * n_dev
+    if lane_configs is not None:
+        # padding lanes reuse net 0 (their outputs are sliced away)
+        params = plist + [plist[0]] * (lanes - len(streams))
     xs = np.zeros((lanes, bucket), np.float32)
     for i, s in enumerate(streams):
         xs[i, : len(s)] = s
@@ -220,15 +278,23 @@ def scan_corpus_files(
     groups of that many (output order and the CSV contract unchanged —
     file-major), so one long file no longer forces every lane to its
     padded bucket length and the whole corpus never sits in RAM at once.
+
+    ``cfg`` may be a sequence of configs: channel c of every file then uses
+    network ``cfgs[c % len(cfgs)]`` (cycled, like the GUI's per-row network
+    loading, ViewControllerProcessor.swift:222-276) — distinct nets ride
+    the fused kernel's channel-stacked operands under ``method='fused'``.
+    All nets must share the first network's pipeline geometry.
     """
     import sys
 
+    cfgs = list(cfg) if isinstance(cfg, (list, tuple)) else [cfg]
+    cfg = cfgs[0]
     err = err if err is not None else (lambda s: print(s, file=sys.stderr))
     if group_files and len(paths) > group_files:
         forced = len(paths) > 1 if headers is None else headers
         for i in range(0, len(paths), group_files):
             scan_corpus_files(
-                cfg, paths[i : i + group_files],
+                cfgs if len(cfgs) > 1 else cfg, paths[i : i + group_files],
                 debounce_seconds=debounce_seconds, emit=emit, err=err,
                 method=method, headers=forced, mesh=mesh, resample=resample,
             )
@@ -274,7 +340,12 @@ def scan_corpus_files(
             lanes.append((len(good_paths) - 1, c))
     if not streams:
         return
-    results = scan_corpus(cfg, streams, method=method, mesh=mesh)
+    lane_cfgs = (
+        [cfgs[c % len(cfgs)] for (_pi, c) in lanes] if len(cfgs) > 1 else None
+    )
+    results = scan_corpus(
+        cfg, streams, method=method, mesh=mesh, lane_configs=lane_cfgs
+    )
     debounce = int((debounce_seconds or 0.0) * cfg.sampling_rate)
     multiple = len(good_paths) > 1 if headers is None else headers
     by_file: dict[int, list] = {}
@@ -284,7 +355,8 @@ def scan_corpus_files(
         if multiple:
             emit(p)
         for c, outs in by_file.get(i, ()):
+            # per-lane thresholds: channel c's own network decides its lines
             for line in corpus_csv_lines(
-                cfg, outs, channel=c, debounce_frames=debounce
+                cfgs[c % len(cfgs)], outs, channel=c, debounce_frames=debounce
             ):
                 emit(line)

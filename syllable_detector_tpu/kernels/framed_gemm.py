@@ -72,7 +72,10 @@ def framed_gemm(
 
     gap, hop, rows2d, parts = _geometry(window, window_overlap, tile)
     m = g.shape[1]
-    assert g.shape[0] == window, (g.shape, window)
+    if g.shape[0] != window:
+        # a plain assert vanishes under python -O and a mismatched filter
+        # matrix would then silently contract against the wrong slab slices
+        raise ValueError(f"g rows {g.shape[0]} != window {window}")
 
     grid = max(1, -(-n_frames // tile))
     total_rows = (grid - 1) * tile + rows2d

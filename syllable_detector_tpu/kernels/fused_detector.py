@@ -45,8 +45,8 @@ from syllable_detector_tpu.models.detector import WINDOW, DetectorSpec
 from syllable_detector_tpu.ops.stft import band_dft_matrices, frame_signal, num_frames
 
 __all__ = [
-    "fusable", "fused_offline_outputs", "fold_constants",
-    "fused_input_samples",
+    "fusable", "fused_offline_outputs", "fused_batch_offline_outputs",
+    "fold_constants", "fold_constants_stacked", "fused_input_samples",
 ]
 
 LANE = 128
@@ -240,7 +240,15 @@ def _make_kernel(
     ch_rows: int | None = None,
     pipelined: bool = False,
     out3d: bool = False,
+    per_channel: bool = False,
 ):
+    # per_channel: each channel of the batch grid runs a DISTINCT network —
+    # the reference's one-net-per-audio-channel deployment
+    # (Processor.swift:57-59, ViewControllerProcessor.swift:222-276). The
+    # net operands arrive channel-stacked through BlockSpec-managed refs
+    # (block (1, ...) indexed by the channel grid dim); the shared DFT
+    # matrix stays whole. ``rd`` reads an operand either way.
+    rd = (lambda r: r[0]) if per_channel else (lambda r: r[:])
     t_range = spec.time_range
     halo = t_range - 1
     scaling = spec.scaling
@@ -324,11 +332,11 @@ def _make_kernel(
         if split_conv:
             w1g_hi, w1g_lo = args[idx : idx + 2]
             idx += 2
-            w1g_full = lambda: (w1g_hi[:], w1g_lo[:])
+            w1g_full = lambda: (rd(w1g_hi), rd(w1g_lo))
         else:
             w1g = args[idx]
             idx += 1
-            w1g_full = lambda: w1g[:]
+            w1g_full = lambda: rd(w1g)
         c1 = args[idx]
         rest = args[idx + 1 :]
         mids = [(rest[2 * i], rest[2 * i + 1]) for i in range(n_mids)]
@@ -440,18 +448,18 @@ def _make_kernel(
 
         if meta.has_l2:
             acc = acc / jnp.sqrt(norm)
-        h = _transfer(acc + c1[:], transfers[0])
+        h = _transfer(acc + rd(c1), transfers[0])
 
         for (w, bb), name in zip(mids, transfers[1:]):
             h = _transfer(
                 jnp.dot(
-                    h, w[:], preferred_element_type=jnp.float32, precision=prec
+                    h, rd(w), preferred_element_type=jnp.float32, precision=prec
                 )
-                + bb[:],
+                + rd(bb),
                 name,
             )
 
-        result = h * out_a[:] + out_c[:]
+        result = h * rd(out_a) + rd(out_c)
         if batched:
             out_ref[0, :, :] = result
         else:
@@ -464,13 +472,14 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "spec", "meta", "grid", "tile", "n_evals", "interpret", "input_mode",
-        "channels", "ch_rows",
+        "channels", "ch_rows", "per_channel",
     ),
 )
 def _fused_call(
     spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode,
-    channels=None, ch_rows=None,
+    channels=None, ch_rows=None, per_channel=False,
 ):
+    assert not per_channel or channels is not None
     halo = spec.time_range - 1
     window = spec.window_length
 
@@ -498,6 +507,9 @@ def _fused_call(
             c_ops = [operands[0]]
         w_ops = list(hi_lo(operands[1])) if split_conv else [operands[1]]
         operands = (*c_ops, *w_ops, *operands[2:])
+        n_shared = len(c_ops)
+    else:
+        n_shared = 1  # only the spec-derived DFT matrix is channel-shared
 
     # raw path: BlockSpec-pipelined slab (Mosaic double-buffers the
     # HBM->VMEM traffic across grid programs — 1.17x over manual DMA).
@@ -514,8 +526,24 @@ def _fused_call(
     kernel = _make_kernel(
         spec, meta, tile, input_mode,
         ch_rows=None if pipe else ch_rows, pipelined=pipe,
-        out3d=channels is not None,
+        out3d=channels is not None, per_channel=per_channel,
     )
+
+    # operand specs: channel-stacked net operands (everything after the
+    # shared DFT matrices when per_channel) ride BlockSpec blocks of
+    # (1, ...) indexed by the channel grid dim — Mosaic re-fetches only
+    # when the channel changes (the tile dim iterates innermost)
+    def _op_spec(j, op):
+        if per_channel and j >= n_shared:
+            zeros = (0,) * (op.ndim - 1)
+            return pl.BlockSpec(
+                (1, *op.shape[1:]),
+                lambda ch, i, _z=zeros: (ch, *_z),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    op_specs = [_op_spec(j, op) for j, op in enumerate(operands)]
     if input_mode == "raw":
         _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
         lanes = hop if pipe else hop_pad
@@ -540,12 +568,10 @@ def _fused_call(
             pl.BlockSpec(
                 (halo_rows, hop), halo_map, memory_space=pltpu.VMEM
             ),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands]
+        ] + op_specs
         inputs = (data, data, *operands)
     else:
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands
-        ]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + op_specs
         inputs = (data, *operands)
 
     if channels is not None:
@@ -603,6 +629,53 @@ def _folded(spec: DetectorSpec, params: dict, pack: bool | None = None):
     key = (spec, id(params), pack)
     if key not in _fold_cache or _fold_cache[key][2] is not params:
         _fold_cache[key] = (*fold_constants(spec, params, pack=pack), params)
+        while len(_fold_cache) > _FOLD_CACHE_MAX:
+            _fold_cache.popitem(last=False)
+    else:
+        _fold_cache.move_to_end(key)
+    operands, meta, _ = _fold_cache[key]
+    return operands, meta
+
+
+def fold_constants_stacked(
+    spec: DetectorSpec, params_list, pack: bool | None = None
+):
+    """Fold DISTINCT per-channel networks into channel-stacked kernel
+    operands: (shared DFT matrix, then each net operand with a leading
+    channel axis). All nets must fit ``spec`` (one geometry — the same
+    contract as models.neural_net.stack_params); the folded operands then
+    ride the flagship fused kernel with per-channel BlockSpec indexing,
+    the reference's one-net-per-audio-channel deployment
+    (Processor.swift:57-59, ViewControllerProcessor.swift:222-276)."""
+    if not params_list:
+        raise ValueError("params_list must contain at least one network")
+    folds = [fold_constants(spec, p, pack=pack) for p in params_list]
+    meta = folds[0][1]
+    if any(f[1] != meta for f in folds[1:]):
+        raise ValueError(
+            "per-channel networks must share one fused geometry "
+            "(same layer sizes / processing chain under one DetectorSpec)"
+        )
+    shared = folds[0][0][0]  # DFT matrix: spec-derived, identical per net
+    stacked = tuple(
+        np.stack([f[0][j] for f in folds])
+        for j in range(1, len(folds[0][0]))
+    )
+    return (shared, *stacked), meta
+
+
+def _folded_stacked(spec: DetectorSpec, params_list, pack: bool | None = None):
+    """Memoized fold_constants_stacked (same LRU as :func:`_folded`)."""
+    params_list = tuple(params_list)
+    key = (spec, tuple(id(p) for p in params_list), pack)
+    hit = _fold_cache.get(key)
+    if hit is None or len(hit[2]) != len(params_list) or any(
+        a is not b for a, b in zip(hit[2], params_list)
+    ):
+        _fold_cache[key] = (
+            *fold_constants_stacked(spec, params_list, pack=pack),
+            params_list,
+        )
         while len(_fold_cache) > _FOLD_CACHE_MAX:
             _fold_cache.popitem(last=False)
     else:
@@ -711,72 +784,20 @@ def fused_offline_outputs(
     )
 
 
-def fused_batch_offline_outputs(
+def _batch_core(
     spec: DetectorSpec,
-    params: dict,
+    meta: FusedMeta,
+    operands,
     xs: jax.Array,
-    tile: int = 256,
-    interpret: bool | None = None,
-    fast: bool = False,
-    split: bool | None = None,
-    packed: bool | None = None,
-    n_evals: int | None = None,
-    slab_channels: int | None = 64,
+    tile: int,
+    interpret: bool,
+    n_evals: int,
+    per_channel: bool = False,
 ) -> jax.Array:
-    """[C, n] streams through one shared net -> [C, E, outputs].
-
-    The channel axis becomes a leading grid dimension of the same kernel, so
-    all channels run in one launch — the 1024+-concurrent-detector-channels
-    deployment shape. (A plain vmap fails Mosaic's ANY-memory-space blocking
-    rule, so the batching is native.)
-
-    Channel counts above ``slab_channels`` run as ``lax.map`` over slabs of
-    one compiled ``slab_channels``-wide kernel: very wide native shapes blow
-    the remote Mosaic compiler's request-size limit, only ONE compile is
-    ever needed, and the map measured as fast as (often faster than) a
-    single wide launch. ``slab_channels=None`` disables the slabbing.
-    """
-    if not fusable(spec):
-        from syllable_detector_tpu.models.detector import offline_outputs
-
-        return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
-    if interpret is None:
-        interpret = jax.local_devices()[0].platform == "cpu"
-
-    operands, meta = _folded(spec, params, pack=packed)
-    if fast:
-        meta = meta._replace(fast=True)
-    if split is not None:
-        meta = meta._replace(split=split)
-
+    """Slab layout + kernel launch for a [C, n] batch. Fully traceable
+    (plain jnp ops into the jitted ``_fused_call``), so it can run under
+    ``lax.map`` / ``shard_map`` with traced ``operands``/``xs``."""
     c, n = xs.shape
-    f = num_frames(n, spec.window_length, spec.window_overlap)
-    max_evals = f - spec.time_range + 1
-    if n_evals is None:
-        n_evals = max_evals
-    elif n_evals > max_evals:
-        raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
-    if n_evals <= 0:
-        return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
-
-    if slab_channels is not None and c > slab_channels:
-        s = slab_channels
-        c_pad = _round_up(c, s)
-        xs = jnp.asarray(xs, jnp.float32)
-        if c_pad > c:
-            xs = jnp.concatenate(
-                [xs, jnp.zeros((c_pad - c, n), jnp.float32)]
-            )
-        outs = jax.lax.map(
-            lambda sl: fused_batch_offline_outputs(
-                spec, params, sl, tile=tile, interpret=interpret, fast=fast,
-                split=split, packed=packed, n_evals=n_evals,
-                slab_channels=None,
-            ),
-            xs.reshape(c_pad // s, s, n),
-        )
-        return outs.reshape(c_pad, *outs.shape[2:])[:c]
-
     grid = max(1, -(-n_evals // tile))
     _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
     total_rows = (grid - 1) * tile + rows2d
@@ -801,5 +822,136 @@ def fused_batch_offline_outputs(
 
     return _fused_call(
         spec, meta, data, operands, grid, n_evals, tile, interpret, "raw",
-        channels=c, ch_rows=ch_rows,
+        channels=c, ch_rows=ch_rows, per_channel=per_channel,
     )
+
+
+def fused_batch_offline_outputs(
+    spec: DetectorSpec,
+    params,
+    xs: jax.Array,
+    tile: int = 256,
+    interpret: bool | None = None,
+    fast: bool = False,
+    split: bool | None = None,
+    packed: bool | None = None,
+    n_evals: int | None = None,
+    slab_channels: int | None = 64,
+) -> jax.Array:
+    """[C, n] streams -> [C, E, outputs] through the fused kernel.
+
+    ``params`` is either ONE shared net (a params dict) or a sequence of C
+    DISTINCT per-channel nets — the reference's deployment loads a different
+    network per audio channel (Processor.swift:57-59,
+    ViewControllerProcessor.swift:222-276); distinct nets must share one
+    geometry (the stack_params contract). Either way the channel axis is a
+    leading grid dimension of the same kernel, so all channels run in one
+    launch — the 1024+-concurrent-detector-channels deployment shape. (A
+    plain vmap fails Mosaic's ANY-memory-space blocking rule, so the
+    batching is native.)
+
+    Channel counts above ``slab_channels`` run as ``lax.map`` over slabs of
+    one compiled ``slab_channels``-wide kernel: very wide native shapes blow
+    the remote Mosaic compiler's request-size limit, only ONE compile is
+    ever needed, and the map measured as fast as (often faster than) a
+    single wide launch. ``slab_channels=None`` disables the slabbing.
+    """
+    distinct = isinstance(params, (list, tuple))
+    c, n = xs.shape
+    if distinct and len(params) != c:
+        raise ValueError(
+            f"{len(params)} per-channel networks for {c} channels"
+        )
+    if not fusable(spec):
+        from syllable_detector_tpu.models.detector import offline_outputs
+
+        if distinct:
+            from syllable_detector_tpu.models.neural_net import stack_params
+
+            return jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
+                stack_params(list(params)), xs
+            )
+        return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform == "cpu"
+
+    if distinct:
+        operands, meta = _folded_stacked(spec, params, pack=packed)
+    else:
+        operands, meta = _folded(spec, params, pack=packed)
+    if fast:
+        meta = meta._replace(fast=True)
+    if split is not None:
+        meta = meta._replace(split=split)
+
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    max_evals = f - spec.time_range + 1
+    if n_evals is None:
+        n_evals = max_evals
+    elif n_evals > max_evals:
+        raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
+    if n_evals <= 0:
+        return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    return _batch_core_slabbed(
+        spec, meta, operands, xs, tile, interpret, n_evals,
+        per_channel=distinct, slab_channels=slab_channels,
+    )
+
+
+def _batch_core_slabbed(
+    spec: DetectorSpec,
+    meta: FusedMeta,
+    operands,
+    xs: jax.Array,
+    tile: int,
+    interpret: bool,
+    n_evals: int,
+    per_channel: bool = False,
+    slab_channels: int | None = 64,
+) -> jax.Array:
+    """:func:`_batch_core` with channel slabbing: counts above
+    ``slab_channels`` run as ``lax.map`` over slabs of the ONE compiled
+    slab-wide kernel (with per_channel, the channel-stacked operands slab
+    along with the streams; padding channels reuse net 0's operands and
+    their outputs are sliced away). Traceable — used directly by the
+    mesh-sharded fused path with traced shard operands."""
+    c, n = xs.shape
+    if slab_channels is None or c <= slab_channels:
+        return _batch_core(
+            spec, meta, operands, xs, tile, interpret, n_evals,
+            per_channel=per_channel,
+        )
+    s = slab_channels
+    c_pad = _round_up(c, s)
+    xs = jnp.asarray(xs, jnp.float32)
+    if c_pad > c:
+        xs = jnp.concatenate([xs, jnp.zeros((c_pad - c, n), jnp.float32)])
+    shared = operands[0]
+    if per_channel:
+        st = [
+            jnp.concatenate(
+                [op, jnp.broadcast_to(op[:1], (c_pad - c, *op.shape[1:]))]
+            )
+            if c_pad > c
+            else jnp.asarray(op)
+            for op in operands[1:]
+        ]
+        st_slabs = tuple(
+            op.reshape(c_pad // s, s, *op.shape[1:]) for op in st
+        )
+        outs = jax.lax.map(
+            lambda args: _batch_core(
+                spec, meta, (shared, *args[1]), args[0], tile, interpret,
+                n_evals, per_channel=True,
+            ),
+            (xs.reshape(c_pad // s, s, n), st_slabs),
+        )
+    else:
+        outs = jax.lax.map(
+            lambda sl: _batch_core(
+                spec, meta, operands, sl, tile, interpret, n_evals,
+            ),
+            xs.reshape(c_pad // s, s, n),
+        )
+    return outs.reshape(c_pad, *outs.shape[2:])[:c]

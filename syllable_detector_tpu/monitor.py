@@ -103,8 +103,7 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
             interface.wait_until_done(timeout=5.0)
         proc.drain_pending()
         proc.tear_down()
-        out(f"stopped; detections per channel: "
-            f"{[lane.detections for lane in proc._lanes]}")
+        out(f"stopped; detections per channel: {proc.lane_detections()}")
         proc = None
 
     out("interactive monitor — load CH NET | start | stop | table | devices | quit")
@@ -302,6 +301,14 @@ def main(argv=None) -> int:
             print(f"Unable to open {args.input}: {e}", file=sys.stderr)
             return 1
         args.realtime = True  # real capture is inherently wall-clock paced
+        if args.audio:
+            # the WAV branch below is sim-only; don't let a user think the
+            # file is being streamed into the real capture device
+            print(
+                f"warning: --audio {args.audio} is ignored with "
+                f"--input {args.input} (real capture streams the device)",
+                file=sys.stderr,
+            )
     elif kind != "sim":
         print(f"Unknown --input {args.input!r}.", file=sys.stderr)
         return 1
@@ -433,8 +440,7 @@ def main(argv=None) -> int:
     print_table()  # final levels after the stream ends
     proc.tear_down()
 
-    detections = [lane.detections for lane in proc._lanes]
-    print(f"detections per channel: {detections}")
+    print(f"detections per channel: {proc.lane_detections()}")
     if args.output == "audio":
         print(f"TTL events: {len(output.interface.events)}")
     elif args.output == "arduino":

@@ -29,6 +29,7 @@ __all__ = [
     "make_mesh",
     "batch_offline_outputs",
     "sharded_offline_outputs",
+    "sharded_fused_offline_outputs",
     "sharded_detection_counts",
     "sharded_streaming_step",
     "time_sharded_offline_outputs",
@@ -78,6 +79,95 @@ def sharded_offline_outputs(
         out_specs=P(axis),
     )
     return jax.jit(fn)(stacked_params, xs)
+
+
+def sharded_fused_offline_outputs(
+    mesh: Mesh,
+    spec: DetectorSpec,
+    params,
+    xs: jax.Array,
+    tile: int = 256,
+    n_evals: int | None = None,
+    slab_channels: int | None = 64,
+) -> jax.Array:
+    """Channel-sharded detection on the FLAGSHIP fused kernel: [C, n]
+    streams -> [C, E, outputs] with the channel axis split across the mesh
+    and each device running its local channels through one fused Pallas
+    launch (slabbed above ``slab_channels``).
+
+    ``params`` is ONE shared net (dict) or C DISTINCT per-channel nets
+    (sequence) — the reference's one-net-per-channel deployment
+    (Processor.swift:57-59) on the fused path across chips. The networks
+    are folded host-side ONCE (fold_constants consumes numpy); the folded
+    operands are then sharded along the channel axis like the streams, so
+    the shard_map body stays fully traceable. C must divide by the mesh
+    size (pad channels and slice, as scan_corpus does).
+    """
+    from syllable_detector_tpu.kernels.fused_detector import (
+        _batch_core_slabbed,
+        _folded,
+        _folded_stacked,
+        fusable,
+    )
+
+    axis = mesh.axis_names[0]
+    d = int(mesh.shape[axis])
+    c, n = xs.shape
+    if c % d != 0:
+        raise ValueError(f"channels {c} must divide by mesh size {d}")
+    distinct = isinstance(params, (list, tuple))
+    if distinct and len(params) != c:
+        raise ValueError(f"{len(params)} per-channel networks for {c} channels")
+    if not fusable(spec):
+        if distinct:
+            from syllable_detector_tpu.models.neural_net import stack_params
+
+            return sharded_offline_outputs(
+                mesh, spec, stack_params(list(params)), xs
+            )
+        from syllable_detector_tpu.models.neural_net import stack_params
+
+        return sharded_offline_outputs(
+            mesh, spec, stack_params([params] * c), xs
+        )
+
+    interpret = jax.local_devices()[0].platform == "cpu"
+    if distinct:
+        operands, meta = _folded_stacked(spec, tuple(params))
+    else:
+        operands, meta = _folded(spec, params)
+
+    from syllable_detector_tpu.ops.stft import num_frames
+
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    max_evals = f - spec.time_range + 1
+    if n_evals is None:
+        n_evals = max_evals
+    elif n_evals > max_evals:
+        raise ValueError(f"n_evals={n_evals} needs more than {n} samples")
+    if n_evals <= 0:
+        return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    def local(shared_op, st_ops, x):
+        return _batch_core_slabbed(
+            spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,
+            per_channel=distinct, slab_channels=slab_channels,
+        )
+
+    # distinct: net operands shard with their channels; shared: replicate
+    st_spec = P(axis) if distinct else P()
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), tuple(st_spec for _ in operands[1:]), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,  # pallas outputs carry no vma metadata
+    )
+    return jax.jit(fn)(
+        jnp.asarray(operands[0]),
+        tuple(jnp.asarray(op) for op in operands[1:]),
+        jnp.asarray(xs, jnp.float32),
+    )
 
 
 def sharded_detection_counts(

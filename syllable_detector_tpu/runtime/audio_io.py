@@ -95,11 +95,12 @@ class AudioInputInterface:
     def wait_until_done(self, timeout: float | None = None) -> bool:
         """Block up to ``timeout`` for a FINITE source to finish. Real
         capture hardware never finishes: the default sleeps out the
-        timeout and reports False so polling loops keep running."""
+        timeout and reports False so polling loops keep running. A
+        None/0 timeout still sleeps a small minimum — status loops like
+        ``monitor --refresh 0`` must not busy-spin against a live device."""
         import time as _t
 
-        if timeout:
-            _t.sleep(timeout)
+        _t.sleep(max(timeout or 0.0, 0.01))
         return False
 
 

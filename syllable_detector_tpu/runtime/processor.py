@@ -326,3 +326,23 @@ class Processor:
             return None
         i = self._channels[channel]
         return i if i >= 0 else None
+
+    def lane_detections(self) -> list[int]:
+        """Per-lane detection counts (lane order == ``entries`` order)."""
+        return [lane.detections for lane in self._lanes]
+
+    def lane_stats(self) -> list[dict]:
+        """Per-lane counters for UIs: detections / overflows / channels.
+
+        The public surface for what the reference's channel table reads off
+        its detector array (ViewControllerProcessor.swift:278-284).
+        """
+        return [
+            {
+                "input_channel": lane.entry.input_channel,
+                "output_channel": lane.entry.output_channel,
+                "detections": lane.detections,
+                "overflows": lane.overflows,
+            }
+            for lane in self._lanes
+        ]

@@ -227,3 +227,100 @@ def test_scan_grouped_mesh_fused_combination(sample_config, tmp_path):
             [float(v) for v in ca[2:]], [float(v) for v in cb[2:]],
             rtol=1e-3, atol=1e-3,
         )
+
+
+# ---------------------------------------------------------------------------
+# distinct per-lane networks (one net per channel, Processor.swift:57-59)
+# ---------------------------------------------------------------------------
+
+
+def _perturbed_cfg(cfg, seed, threshold_scale=0.9):
+    import copy
+
+    c2 = copy.deepcopy(cfg)
+    r = np.random.default_rng(seed)
+    for l in c2.layers:
+        l.weights = (
+            l.weights * (1.0 + 0.05 * r.standard_normal(l.weights.shape))
+        ).astype(np.float32)
+    c2.thresholds = [t * threshold_scale for t in cfg.thresholds]
+    return c2
+
+
+def test_scan_corpus_distinct_lane_nets(sample_config):
+    import pytest
+
+    rng = np.random.default_rng(21)
+    streams = [make_audio(rng, seconds=0.4) for _ in range(3)]
+    cfg2 = _perturbed_cfg(sample_config, 1)
+    lane_cfgs = [sample_config, cfg2, sample_config]
+    for method in ("matmul", "fused"):
+        results = scan_corpus(
+            sample_config, streams, method=method, lane_configs=lane_cfgs
+        )
+        for s, c, outs in zip(streams, lane_cfgs, results):
+            want = ref.detect_offline(c, s)
+            np.testing.assert_allclose(outs, want, rtol=1e-3, atol=2e-4)
+    # lane 1's outputs genuinely came from the distinct net
+    assert np.abs(results[0][: len(results[1])] - results[1]).max() > 0
+
+
+def test_scan_corpus_distinct_geometry_mismatch(sample_config):
+    import dataclasses
+
+    import pytest
+
+    rng = np.random.default_rng(22)
+    streams = [make_audio(rng, seconds=0.3)] * 2
+    bad = dataclasses.replace(sample_config, scaling="log")
+    with pytest.raises(ValueError, match="geometry"):
+        scan_corpus(
+            sample_config, streams, lane_configs=[sample_config, bad]
+        )
+
+
+def test_scan_corpus_files_multi_net(sample_config, tmp_path):
+    """A stereo file with nets cycled per channel: each channel's events
+    must match the single-net oracle for ITS network (including its own
+    thresholds)."""
+    rng = np.random.default_rng(23)
+    left = make_audio(rng, seconds=0.5)
+    right = make_audio(rng, seconds=0.5)
+    p = tmp_path / "stereo.wav"
+    write_wav(p, np.stack([left, right], axis=1), 44100, dtype="float32")
+    cfg2 = _perturbed_cfg(sample_config, 2)
+
+    for method in ("matmul", "fused"):
+        lines = []
+        scan_corpus_files(
+            [sample_config, cfg2], [str(p)], emit=lines.append,
+            err=lambda s: None, method=method,
+        )
+        ch0 = [l for l in lines if l.startswith("0,")]
+        ch1 = [l for l in lines if l.startswith("1,")]
+        want0 = ref.cli_lines(sample_config, left)
+        want1 = [
+            l.replace("0,", "1,", 1) for l in ref.cli_lines(cfg2, right)
+        ]
+        assert_csv_close(ch0, want0)
+        assert_csv_close(ch1, want1)
+
+
+def test_scan_corpus_distinct_mesh(sample_config):
+    """Distinct lane nets + mesh sharding (the fused flagship path across
+    devices) with lane padding to the mesh size."""
+    from syllable_detector_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(24)
+    streams = [make_audio(rng, seconds=0.3) for _ in range(3)]  # pads to 4
+    cfg2 = _perturbed_cfg(sample_config, 3)
+    lane_cfgs = [sample_config, cfg2, cfg2]
+    mesh = make_mesh(4)
+    for method in ("matmul", "fused"):
+        results = scan_corpus(
+            sample_config, streams, method=method, mesh=mesh,
+            lane_configs=lane_cfgs,
+        )
+        for s, c, outs in zip(streams, lane_cfgs, results):
+            want = ref.detect_offline(c, s)
+            np.testing.assert_allclose(outs, want, rtol=1e-3, atol=2e-4)

@@ -260,3 +260,137 @@ def test_split4_interpret_algebra(sample_config, audio):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# per-channel DISTINCT networks on the fused path (the reference loads one
+# net per audio channel: Processor.swift:57-59,
+# ViewControllerProcessor.swift:222-276)
+# ---------------------------------------------------------------------------
+
+
+def _perturbed_params(params, seed, scale=0.05):
+    import jax
+
+    r = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda a: jnp.asarray(
+            np.asarray(a) * (1.0 + scale * r.standard_normal(np.asarray(a).shape))
+        ),
+        params,
+    )
+
+
+def test_fold_constants_stacked_shapes(sample_config):
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fold_constants,
+        fold_constants_stacked,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    plist = [_perturbed_params(params, i) for i in range(3)]
+    operands, meta = fold_constants_stacked(spec, plist)
+    single, meta1 = fold_constants(spec, params)
+    assert meta == meta1
+    # DFT matrix stays shared (spec-derived); every net operand gains a
+    # leading channel axis
+    assert operands[0].shape == single[0].shape
+    for op, s in zip(operands[1:], single[1:]):
+        assert op.shape == (3, *s.shape)
+    np.testing.assert_allclose(operands[0], single[0])
+
+
+def test_fused_batch_distinct_nets(sample_config, audio):
+    import jax
+
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import offline_outputs
+    from syllable_detector_tpu.models.neural_net import stack_params
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 8000
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(3)])
+    plist = [_perturbed_params(params, i) for i in range(3)]
+    got = np.asarray(
+        fused_batch_offline_outputs(spec, plist, xs, tile=64, interpret=True)
+    )
+    want = np.asarray(
+        jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
+            stack_params(plist), xs
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+    # the channels genuinely differ (distinct nets produce distinct outputs
+    # even though every input column here overlaps heavily)
+    assert np.abs(got[0] - got[1]).max() > 1e-4
+
+
+def test_fused_batch_distinct_slabbed(sample_config, audio):
+    import jax
+
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import offline_outputs
+    from syllable_detector_tpu.models.neural_net import stack_params
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 8000
+    c = 5
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(c)])
+    plist = [_perturbed_params(params, 10 + i) for i in range(c)]
+    slabbed = np.asarray(
+        fused_batch_offline_outputs(
+            spec, plist, xs, tile=64, interpret=True, slab_channels=2
+        )
+    )
+    want = np.asarray(
+        jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
+            stack_params(plist), xs
+        )
+    )
+    np.testing.assert_allclose(slabbed, want, rtol=1e-3, atol=2e-4)
+
+
+def test_fused_batch_distinct_wrong_count(sample_config, audio):
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:8000])] * 3)
+    with pytest.raises(ValueError, match="per-channel networks"):
+        fused_batch_offline_outputs(
+            spec, [params, params], xs, tile=64, interpret=True
+        )
+
+
+def test_fused_batch_distinct_split_tier(sample_config, audio):
+    # the bf16 split precision ladder composes with per-channel operands
+    # (stacked hi/lo halves ride the same BlockSpec indexing)
+    import jax
+
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import offline_outputs
+    from syllable_detector_tpu.models.neural_net import stack_params
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 8000
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(3)])
+    plist = [_perturbed_params(params, 20 + i) for i in range(3)]
+    got = np.asarray(
+        fused_batch_offline_outputs(
+            spec, plist, xs, tile=64, interpret=True, split=True
+        )
+    )
+    want = np.asarray(
+        jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
+            stack_params(plist), xs
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)

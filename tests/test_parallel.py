@@ -157,7 +157,7 @@ def test_time_sharded_short_stream_falls_back(setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("scaling", ["linear", "log"])
+@pytest.mark.parametrize("scaling", ["linear", "log", "db"])
 def test_tensor_sharded_matches_offline(sample_config, scaling):
     """Tensor parallelism: the feature/bin axis sharded over 8 devices with
     one psum must match the single-device detector (29 bins -> 4-bin shards
@@ -193,4 +193,58 @@ def test_time_sharded_fused_method(setup):
     )
     want = np.asarray(offline_outputs(spec, params, x))
     assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def _perturbed(params, seed, scale=0.05):
+    r = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda a: jnp.asarray(
+            np.asarray(a) * (1.0 + scale * r.standard_normal(np.asarray(a).shape))
+        ),
+        params,
+    )
+
+
+@pytest.mark.parametrize("distinct", [False, True])
+def test_sharded_fused_matches_vmap(setup, distinct):
+    """The flagship fused kernel, channel-sharded over the mesh, with shared
+    or DISTINCT per-channel nets (Processor.swift:57-59's deployment)."""
+    from syllable_detector_tpu.parallel.mesh import (
+        sharded_fused_offline_outputs,
+    )
+
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(4)
+    if distinct:
+        plist = [_perturbed(params, i) for i in range(xs.shape[0])]
+        got = np.asarray(
+            sharded_fused_offline_outputs(mesh, spec, plist, xs, tile=128)
+        )
+        want = np.asarray(
+            batch_offline_outputs(spec, stack_params(plist), xs)
+        )
+    else:
+        got = np.asarray(
+            sharded_fused_offline_outputs(mesh, spec, params, xs, tile=128)
+        )
+        want = np.asarray(batch_offline_outputs(spec, stacked, xs))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_sharded_fused_distinct_slabbed(setup):
+    from syllable_detector_tpu.parallel.mesh import (
+        sharded_fused_offline_outputs,
+    )
+
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(2)  # 4 local channels per device, slab 2 inside each
+    plist = [_perturbed(params, 100 + i) for i in range(xs.shape[0])]
+    got = np.asarray(
+        sharded_fused_offline_outputs(
+            mesh, spec, plist, xs, tile=128, slab_channels=2
+        )
+    )
+    want = np.asarray(batch_offline_outputs(spec, stack_params(plist), xs))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
