@@ -118,55 +118,69 @@ SWEEP_SLAB = 64  # channels per kernel launch; larger native-batched shapes
 # lax.map over slabs of the one compiled [SLAB, n] kernel
 
 
+def _perturbed_params(params, seed, scale=0.05):
+    """A genuinely distinct network with the same geometry (for the
+    per-channel-distinct-nets deployment measurements)."""
+    r = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda a: jnp.asarray(
+            np.asarray(a) * (1.0 + scale * r.standard_normal(np.asarray(a).shape))
+        ),
+        params,
+    )
+
+
+def batched_throughput(spec, params, dev, c, tile=512, n_evals=1 << 11):
+    """Windows/s for a c-channel batched fused scan (the multi-detector
+    deployment shape). ``params`` may be a list of c DISTINCT nets. tile
+    512 measured best for the channel-grid kernel (2048 halves it)."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+        fused_input_samples,
+    )
+
+    n = fused_input_samples(spec, n_evals, tile=tile, batched=True)
+
+    # the streams MUST flow through the function argument: a closed-over
+    # device array is lifted into the HLO as a literal constant, and a
+    # [1024, n] constant blows the remote compiler's request-size limit
+    # (the real cause of the r1 sweep failures)
+    def make_fn():
+        def fn(x, carry):
+            # c > SWEEP_SLAB runs as lax.map over slabs of the one
+            # compiled kernel inside fused_batch_offline_outputs itself
+            outs = fused_batch_offline_outputs(
+                spec, params, x, tile=tile, n_evals=n_evals,
+                slab_channels=SWEEP_SLAB,
+            )
+            return outs[-1, -1, 0] + carry
+
+        return fn
+
+    xs = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).standard_normal((c, n)).astype(np.float32)
+        ),
+        dev,
+    )
+    dt = time_scanned(make_fn, xs)
+    return c * n_evals / dt
+
+
 def channel_sweep(spec, params, dev):
     """Optional (--sweep): many-channel batched throughput via the
     channel-grid fused kernel — the 1024+-concurrent-detectors deployment
     shape (BASELINE config 5). c <= SWEEP_SLAB launches natively; larger
     counts reuse the compiled [SWEEP_SLAB, n] kernel via lax.map so only one
     Mosaic compile is ever needed."""
-    from syllable_detector_tpu.kernels.fused_detector import (
-        fused_batch_offline_outputs,
-        fused_input_samples,
-    )
-
-    n_evals = 1 << 11  # per channel
     hop = spec.hop
-    tile = 512  # measured: the batched kernel wants MANY grid programs
-    # (tile 2048 = one program per channel halved throughput; tile 512's
-    # 4 programs/channel pipeline DMA against compute)
-    n = fused_input_samples(spec, n_evals, tile=tile, batched=True)
+    n_evals = 1 << 11
     for c in (8, 64, 256, 1024):
-        # the streams MUST flow through the function argument: a closed-over
-        # device array is lifted into the HLO as a literal constant, and a
-        # [1024, n] constant blows the remote compiler's request-size limit
-        # (the real cause of the r1 sweep failures)
-        def make_fn(c=c):
-            def fn(x, carry):
-                # c > SWEEP_SLAB runs as lax.map over slabs of the one
-                # compiled kernel inside fused_batch_offline_outputs itself
-                outs = fused_batch_offline_outputs(
-                    spec, params, x, tile=tile, n_evals=n_evals,
-                    slab_channels=SWEEP_SLAB,
-                )
-                return outs[-1, -1, 0] + carry
-
-            return fn
-
         try:
-            xs = jax.device_put(
-                jnp.asarray(
-                    np.random.default_rng(0)
-                    .standard_normal((c, n))
-                    .astype(np.float32)
-                ),
-                dev,
-            )
-            dt = time_scanned(make_fn, xs)
-            total = c * n_evals
+            wps = batched_throughput(spec, params, dev, c, n_evals=n_evals)
             log(
-                f"sweep c={c:5d}: {dt*1e3:8.2f} ms/iter -> "
-                f"{total/dt:,.0f} windows/s "
-                f"({total/dt/spec.sampling_rate*hop:,.0f} realtime channels)"
+                f"sweep c={c:5d}: {wps:,.0f} windows/s "
+                f"({wps/spec.sampling_rate*hop:,.0f} realtime channels)"
             )
         except Exception as e:
             log(f"sweep c={c} failed: {type(e).__name__}: {str(e)[:120]}")
@@ -300,6 +314,7 @@ def _run(cfg, spec, params, dev):
         log(f"unfused baseline failed: {e}")
         wps_unfused = 0.0
 
+    latency_ms = {}
     # secondary diagnostic: per-hop streaming latency, 1 hop per step (the
     # real-time closed-loop path; deadline = hop/fs ~= 3 ms). Device-side
     # time is MEASURED with the same scan-slope method as the throughput
@@ -379,11 +394,13 @@ def _run(cfg, spec, params, dev):
             return max(t_big - t_small, 1e-9) / (k_big - k_small)
 
         deadline_ms = hop / spec.sampling_rate * 1e3
-        lat_channels = (1, 256) if on_tpu else (1, 8)
-        if on_tpu and "--sweep" in sys.argv:
-            lat_channels += (1024,)  # flagship deployment scale (~5 min compile)
+        # 1024 ch = the flagship deployment scale; its XLA compile is large
+        # but rides the persistent cache, so the driver-run default includes
+        # it (VERDICT r2: the multi-channel story must land in the JSON)
+        lat_channels = (1, 256, 1024) if on_tpu else (1, 8)
         for c in lat_channels:
             dt_hop = device_hop_latency(c)
+            latency_ms[c] = dt_hop * 1e3
             log(
                 f"streaming per-hop device-side latency ({c} ch, scan-slope): "
                 f"{dt_hop*1e3:.4f} ms/hop (deadline {deadline_ms:.2f} ms, "
@@ -392,25 +409,61 @@ def _run(cfg, spec, params, dev):
     except Exception as e:  # pragma: no cover
         log(f"streaming latency measurement failed: {type(e).__name__}: {str(e)[:150]}")
 
+    # deployment-shape numbers for the JSON line: c=1024 batched (the
+    # "multiple detectors" claim, /root/reference/README.md:8-9) and c=64
+    # with DISTINCT per-channel nets (Processor.swift:57-59's semantics on
+    # the flagship fused path)
+    batched_c1024 = None
+    batched_c64_distinct = None
+    if on_tpu:
+        try:
+            batched_c1024 = batched_throughput(spec, params, dev, 1024)
+            log(
+                f"batched c=1024: {batched_c1024:,.0f} windows/s "
+                f"({batched_c1024/spec.sampling_rate*hop:,.0f} realtime channels)"
+            )
+        except Exception as e:
+            log(f"batched c=1024 failed: {type(e).__name__}: {str(e)[:120]}")
+        try:
+            plist = [_perturbed_params(params, i) for i in range(64)]
+            batched_c64_distinct = batched_throughput(spec, plist, dev, 64)
+            log(f"batched c=64 DISTINCT nets: {batched_c64_distinct:,.0f} windows/s")
+        except Exception as e:
+            log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
+
     if "--sweep" in sys.argv and on_tpu:
         channel_sweep(spec, params, dev)
 
     # headline = best full-fidelity (fp32-precision) path; fused and unfused
     # are reported separately so the label is honest about which path won
     value = max(wps_fused, wps_unfused)
-    print(
-        json.dumps(
-            {
-                "metric": "stft_mlp_detection_throughput_per_chip",
-                "value": round(value, 1),
-                "unit": "windows/s",
-                "vs_baseline": round(value / NORTH_STAR, 4),
-                "fused": round(wps_fused, 1),
-                "unfused": round(wps_unfused, 1),
-                "parity_max_rel_err": max_rel,
-            }
-        )
-    )
+    payload = {
+        "metric": "stft_mlp_detection_throughput_per_chip",
+        "value": round(value, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(value / NORTH_STAR, 4),
+        "fused": round(wps_fused, 1),
+        "unfused": round(wps_unfused, 1),
+        "parity_max_rel_err": max_rel,
+        "batched_c1024": (
+            round(batched_c1024, 1) if batched_c1024 else None
+        ),
+        "realtime_channels_c1024": (
+            round(batched_c1024 / spec.sampling_rate * hop)
+            if batched_c1024
+            else None
+        ),
+        "batched_c64_distinct_nets": (
+            round(batched_c64_distinct, 1) if batched_c64_distinct else None
+        ),
+        "latency_ms_per_hop_1ch": (
+            round(latency_ms[1], 5) if 1 in latency_ms else None
+        ),
+        "latency_ms_per_hop_1024ch": (
+            round(latency_ms[1024], 5) if 1024 in latency_ms else None
+        ),
+    }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

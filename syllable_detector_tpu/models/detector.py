@@ -444,6 +444,53 @@ class Detector:
             self.last_outputs = outs[-1]
         return outs
 
+    def warm_up(self, buckets: tuple = _FRAME_BUCKETS) -> int:
+        """Eagerly compile every drain shape this detector can hit.
+
+        Each distinct frame bucket is one compiled device computation; on
+        TPU a COLD fused bucket is a 5-10 minute remote Mosaic compile, so
+        a live session that first meets a bucket mid-stream would stall
+        that long. Calling ``warm_up()`` (optionally with a subset of
+        ``_FRAME_BUCKETS``) moves every compile to session start; the
+        persistent compile cache (see cli._enable_persistent_compile_cache)
+        makes subsequent processes fast. Returns the number of shapes
+        compiled. After a full warm_up, ``drain()`` never triggers a new
+        trace (tested via the jit cache-size contract).
+        """
+        spec = self.spec
+        gap, _ = normalize_overlap(spec.window_overlap)
+        n = 0
+        for b in buckets:
+            if self.method == "fused":
+                from syllable_detector_tpu.kernels.fused_detector import (
+                    fused_offline_outputs,
+                )
+
+                # _drain_fused evaluates `b` hops from a sample buffer of
+                # exactly this size (see its bucket arithmetic)
+                need = (
+                    (b + spec.time_range - 2) * spec.hop
+                    + gap
+                    + spec.window_length
+                )
+                out = fused_offline_outputs(
+                    spec, self.params, jnp.zeros(need, jnp.float32)
+                )
+            else:
+                need = (b - 1) * spec.hop + gap + spec.window_length
+                out, _ = _drain_step(
+                    spec,
+                    self.params,
+                    jnp.zeros(need, jnp.float32),
+                    jnp.zeros((spec.history, spec.n_bins), jnp.float32),
+                    jnp.int32(0),
+                    b,
+                    self.method,
+                )
+            jax.block_until_ready(out)
+            n += 1
+        return n
+
     def seen_syllable(self) -> bool:
         """Drain and OR detections on output 0
         (SyllableDetector.swift:220-230)."""

@@ -178,8 +178,10 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
     """Read any supported audio container -> ([n, channels] float32, rate).
 
     Sniffs the magic bytes: RIFF/WAVE (native parser), FORM/AIFF+AIFC
-    (stdlib aifc), .snd/AU (stdlib sunau). The multi-container surface of
-    the reference CLI's AVAssetReader ingest (main.swift:63-76).
+    (stdlib aifc), .snd/AU (stdlib sunau), OggS (libvorbisfile via ctypes),
+    ID3/MPEG-sync (libmpg123 via ctypes), fLaC and anything else via the
+    optional ``soundfile`` package when installed. The multi-container
+    surface of the reference CLI's AVAssetReader ingest (main.swift:63-76).
     """
     with open(path, "rb") as fh:
         magic = fh.read(4)
@@ -189,6 +191,36 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
         return _read_stdlib(path, "aifc")
     if magic == b".snd":
         return _read_stdlib(path, "sunau")
+
+    from syllable_detector_tpu.utils import codecs
+
+    if magic == b"OggS":
+        if codecs.ogg_vorbis_available():
+            return codecs.read_ogg_vorbis(path)
+        if codecs.soundfile_available():
+            return codecs.read_soundfile(path)
+        raise ValueError(
+            f"{path}: OGG container but neither libvorbisfile nor the "
+            f"soundfile package is available"
+        )
+    if magic[:3] == b"ID3" or (
+        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+    ):
+        # MP3: ID3v2 tag or a bare MPEG audio frame sync
+        if codecs.mp3_available():
+            return codecs.read_mp3(path)
+        if codecs.soundfile_available():
+            return codecs.read_soundfile(path)
+        raise ValueError(
+            f"{path}: MPEG audio but neither libmpg123 nor the soundfile "
+            f"package is available"
+        )
+    if codecs.soundfile_available():
+        # FLAC/CAF/anything libsndfile knows (the AVFoundation-width route)
+        try:
+            return codecs.read_soundfile(path)
+        except ValueError:
+            pass
     raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
 
 

@@ -182,3 +182,34 @@ def test_streaming_scan_partial_tail(sample_config, rng):
         want = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_warm_up_compiles_all_drain_shapes(sample_config):
+    """After warm_up, a streaming drain hits only pre-compiled shapes — the
+    compile-budget contract for live sessions (a cold fused bucket is a
+    5-10 min remote Mosaic compile on TPU)."""
+    import jax
+
+    from syllable_detector_tpu.kernels import fused_detector
+    from syllable_detector_tpu.models import detector as detector_mod
+
+    rng = np.random.default_rng(31)
+
+    # fused streaming detector: _fused_call must not trace again
+    det = Detector(sample_config, method="fused")
+    n = det.warm_up(buckets=(8, 32))
+    assert n == 2
+    size0 = fused_detector._fused_call._cache_size()
+    det.append_audio_data(make_audio(rng, seconds=0.05))
+    det.drain()
+    det.append_audio_data(make_audio(rng, seconds=0.08))
+    det.drain()
+    assert fused_detector._fused_call._cache_size() == size0
+
+    # unfused detector: _drain_step must not trace again
+    det2 = Detector(sample_config)
+    det2.warm_up(buckets=(8, 32))
+    size1 = detector_mod._drain_step._cache_size()
+    det2.append_audio_data(make_audio(rng, seconds=0.05))
+    det2.drain()
+    assert detector_mod._drain_step._cache_size() == size1
