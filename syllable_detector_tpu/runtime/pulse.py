@@ -45,6 +45,7 @@ from syllable_detector_tpu.runtime.audio_io import (
 __all__ = [
     "pulse_available",
     "register_pulse_devices",
+    "enumerate_pulse_devices",
     "PulseAudioInput",
     "PulseAudioOutput",
 ]
@@ -140,15 +141,170 @@ def _strerror(lib, err: int) -> str:
     return str(msg) if msg else f"error {err}"
 
 
+# ---------------------------------------------------------------------------
+# per-card enumeration via the ASYNC mainloop API (libpulse.so.0)
+# ---------------------------------------------------------------------------
+# The simple API (above) has no introspection calls; the reference
+# enumerates every device with UID/name/streams
+# (AudioInterface.swift:97-232). This is the libpulse equivalent: a
+# throwaway pa_mainloop + pa_context, iterated synchronously until the
+# source/sink info lists drain.
+
+# pulse/context.h states; pulse/operation.h states
+PA_CONTEXT_READY = 4
+PA_CONTEXT_FAILED = 5
+PA_CONTEXT_TERMINATED = 6
+PA_OPERATION_RUNNING = 0
+
+
+class PaDeviceInfoHead(ctypes.Structure):
+    """Leading fields shared by pa_source_info and pa_sink_info
+    (pulse/introspect.h) — the callbacks only read these."""
+
+    _fields_ = [
+        ("name", ctypes.c_char_p),
+        ("index", ctypes.c_uint32),
+        ("description", ctypes.c_char_p),
+        ("sample_spec", PaSampleSpec),
+    ]
+
+
+_INFO_CB = ctypes.CFUNCTYPE(
+    None, ctypes.c_void_p, ctypes.POINTER(PaDeviceInfoHead), ctypes.c_int,
+    ctypes.c_void_p,
+)
+
+_pulse_async = None
+_pulse_async_tried = False
+
+
+def _load_pulse_async():
+    """dlopen libpulse (the full async API) once; None when absent."""
+    global _pulse_async, _pulse_async_tried
+    if _pulse_async_tried:
+        return _pulse_async
+    _pulse_async_tried = True
+    try:
+        lib = ctypes.CDLL("libpulse.so.0")
+    except OSError:
+        _pulse_async = None
+        return None
+    lib.pa_mainloop_new.restype = ctypes.c_void_p
+    lib.pa_mainloop_get_api.restype = ctypes.c_void_p
+    lib.pa_mainloop_get_api.argtypes = [ctypes.c_void_p]
+    lib.pa_context_new.restype = ctypes.c_void_p
+    lib.pa_context_new.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_context_connect.restype = ctypes.c_int
+    lib.pa_context_connect.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.pa_context_get_state.restype = ctypes.c_int
+    lib.pa_context_get_state.argtypes = [ctypes.c_void_p]
+    lib.pa_mainloop_iterate.restype = ctypes.c_int
+    lib.pa_mainloop_iterate.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ]
+    for fn in ("pa_context_get_source_info_list", "pa_context_get_sink_info_list"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_void_p
+        f.argtypes = [ctypes.c_void_p, _INFO_CB, ctypes.c_void_p]
+    lib.pa_operation_get_state.restype = ctypes.c_int
+    lib.pa_operation_get_state.argtypes = [ctypes.c_void_p]
+    lib.pa_operation_unref.argtypes = [ctypes.c_void_p]
+    lib.pa_context_disconnect.argtypes = [ctypes.c_void_p]
+    lib.pa_context_unref.argtypes = [ctypes.c_void_p]
+    lib.pa_mainloop_free.argtypes = [ctypes.c_void_p]
+    _pulse_async = lib
+    return lib
+
+
+def enumerate_pulse_devices(lib=None, timeout: float = 2.0) -> list[dict]:
+    """Enumerate every PulseAudio source and sink via the async
+    introspection API -> [{kind, name, description, rate, channels}, ...].
+
+    Spins a private pa_mainloop until the context is READY, drains the
+    source and sink info lists, and tears everything down. Returns [] when
+    libpulse or the daemon is unavailable (no daemon in CI containers).
+    """
+    import time as _t
+
+    lib = lib if lib is not None else _load_pulse_async()
+    if lib is None:
+        return []
+    results: list[dict] = []
+    m = lib.pa_mainloop_new()
+    if not m:
+        return []
+    ctx = None
+    try:
+        api = lib.pa_mainloop_get_api(m)
+        ctx = lib.pa_context_new(api, b"syllable_detector_tpu")
+        if not ctx:
+            return []
+        if lib.pa_context_connect(ctx, None, 0, None) < 0:
+            return []
+        deadline = _t.monotonic() + timeout
+        while True:
+            state = lib.pa_context_get_state(ctx)
+            if state == PA_CONTEXT_READY:
+                break
+            if state in (PA_CONTEXT_FAILED, PA_CONTEXT_TERMINATED):
+                return []
+            if _t.monotonic() > deadline:
+                return []
+            lib.pa_mainloop_iterate(m, 1, None)
+
+        def drain(kind: str, getlist):
+            def on_info(_ctx, info, eol, _ud):
+                if eol or not info:
+                    return
+                i = info.contents
+                results.append(
+                    {
+                        "kind": kind,
+                        "name": (i.name or b"").decode(errors="replace"),
+                        "description": (i.description or b"").decode(
+                            errors="replace"
+                        ),
+                        "rate": int(i.sample_spec.rate),
+                        "channels": int(i.sample_spec.channels),
+                    }
+                )
+
+            cb = _INFO_CB(on_info)  # keep alive until the operation ends
+            op = getlist(ctx, cb, None)
+            if not op:
+                return
+            while lib.pa_operation_get_state(op) == PA_OPERATION_RUNNING:
+                if _t.monotonic() > deadline:
+                    break
+                lib.pa_mainloop_iterate(m, 1, None)
+            lib.pa_operation_unref(op)
+
+        drain("source", lib.pa_context_get_source_info_list)
+        drain("sink", lib.pa_context_get_sink_info_list)
+        return results
+    finally:
+        if ctx:
+            lib.pa_context_disconnect(ctx)
+            lib.pa_context_unref(ctx)
+        lib.pa_mainloop_free(m)
+
+
 _registered_uids: set = set()
 _next_device_id = [2000]  # distinct id block from the ALSA enumerator
 
 
-def register_pulse_devices(lib=None) -> list[AudioDevice]:
-    """Register the PulseAudio default source/sink (and the
-    ``PULSE_SOURCE``/``PULSE_SINK`` env overrides the daemon itself honors)
-    into the shared device registry — the CoreAudio devices() counterpart
-    (AudioInterface.swift:236-254) for daemon-routed audio.
+def register_pulse_devices(lib=None, introspect_lib=None) -> list[AudioDevice]:
+    """Register PulseAudio devices into the shared registry — the CoreAudio
+    devices() counterpart (AudioInterface.swift:236-254) for daemon-routed
+    audio.
+
+    Every per-card source/sink the async introspection API reports
+    (:func:`enumerate_pulse_devices`) is registered with its daemon name as
+    UID; the daemon's default source/sink (plus ``PULSE_SOURCE``/
+    ``PULSE_SINK`` env overrides) are always present as fallbacks — the
+    simple-API streams open by those names either way.
 
     Idempotent; returns newly registered devices, empty when libpulse is
     unavailable.
@@ -156,18 +312,31 @@ def register_pulse_devices(lib=None) -> list[AudioDevice]:
     lib = lib if lib is not None else _load_pulse()
     if lib is None:
         return []
-    entries = [
-        ("pulse:default-source", "PulseAudio default source", 1, 0),
-        ("pulse:default-sink", "PulseAudio default sink", 0, 1),
+    entries = []
+    for info in enumerate_pulse_devices(lib=introspect_lib):
+        n_in = info["channels"] if info["kind"] == "source" else 0
+        n_out = info["channels"] if info["kind"] == "sink" else 0
+        entries.append(
+            (
+                f"pulse:{info['name']}",
+                info["description"] or f"PulseAudio {info['kind']} {info['name']}",
+                n_in,
+                n_out,
+                float(info["rate"]) or 44100.0,
+            )
+        )
+    entries += [
+        ("pulse:default-source", "PulseAudio default source", 1, 0, 44100.0),
+        ("pulse:default-sink", "PulseAudio default sink", 0, 1, 44100.0),
     ]
     src = os.environ.get("PULSE_SOURCE")
     if src:
-        entries.append((f"pulse:{src}", f"PulseAudio source {src}", 1, 0))
+        entries.append((f"pulse:{src}", f"PulseAudio source {src}", 1, 0, 44100.0))
     sink = os.environ.get("PULSE_SINK")
     if sink:
-        entries.append((f"pulse:{sink}", f"PulseAudio sink {sink}", 0, 1))
+        entries.append((f"pulse:{sink}", f"PulseAudio sink {sink}", 0, 1, 44100.0))
     devices = []
-    for uid, name, n_in, n_out in entries:
+    for uid, name, n_in, n_out, rate in entries:
         if uid in _registered_uids:
             continue
         dev = AudioDevice(
@@ -177,6 +346,8 @@ def register_pulse_devices(lib=None) -> list[AudioDevice]:
             device_manufacturer="PulseAudio",
             streams_input=n_in,
             streams_output=n_out,
+            sample_rate_input=rate,
+            sample_rate_output=rate,
         )
         _next_device_id[0] += 1
         _registered_uids.add(uid)

@@ -190,3 +190,130 @@ def test_open_failure_raises():
 def test_real_registration_smoke():
     # where libpulse exists, registration must not crash
     register_pulse_devices()
+
+
+# ---------------------------------------------------------------------------
+# per-card enumeration via a fake async libpulse (no daemon needed)
+# ---------------------------------------------------------------------------
+
+
+class FakePulseAsync:
+    """Emulates the pa_mainloop/pa_context introspection API: two sources
+    and one sink, delivered through the real ctypes callback type."""
+
+    def __init__(self, fail_connect=False):
+        self.fail_connect = fail_connect
+        self.freed = False
+        self._infos = {
+            "source": [
+                (b"alsa_input.card0", b"Built-in Microphone", 44100, 2),
+                (b"alsa_input.usb1", b"USB Audio CODEC", 48000, 1),
+            ],
+            "sink": [
+                (b"alsa_output.card0", b"Built-in Speakers", 44100, 2),
+            ],
+        }
+
+    # mainloop / context lifecycle
+    def pa_mainloop_new(self):
+        return 1
+
+    def pa_mainloop_get_api(self, m):
+        return 2
+
+    def pa_context_new(self, api, name):
+        return 3
+
+    def pa_context_connect(self, ctx, server, flags, spawn):
+        return -1 if self.fail_connect else 0
+
+    def pa_context_get_state(self, ctx):
+        return pulse.PA_CONTEXT_FAILED if self.fail_connect else pulse.PA_CONTEXT_READY
+
+    def pa_mainloop_iterate(self, m, block, retval):
+        return 0
+
+    def _deliver(self, kind, ctx, cb, ud):
+        for name, desc, rate, ch in self._infos[kind]:
+            info = pulse.PaDeviceInfoHead(
+                name=name, index=0, description=desc,
+                sample_spec=pulse.PaSampleSpec(5, rate, ch),
+            )
+            cb(ctx, ctypes.pointer(info), 0, ud)
+        cb(ctx, None, 1, ud)  # eol
+        return 7  # operation handle
+
+    def pa_context_get_source_info_list(self, ctx, cb, ud):
+        return self._deliver("source", ctx, cb, ud)
+
+    def pa_context_get_sink_info_list(self, ctx, cb, ud):
+        return self._deliver("sink", ctx, cb, ud)
+
+    def pa_operation_get_state(self, op):
+        return 1  # PA_OPERATION_DONE
+
+    def pa_operation_unref(self, op):
+        pass
+
+    def pa_context_disconnect(self, ctx):
+        pass
+
+    def pa_context_unref(self, ctx):
+        pass
+
+    def pa_mainloop_free(self, m):
+        self.freed = True
+
+
+def test_enumerate_pulse_devices_fake():
+    fake = FakePulseAsync()
+    infos = pulse.enumerate_pulse_devices(lib=fake)
+    assert len(infos) == 3
+    sources = [i for i in infos if i["kind"] == "source"]
+    assert len(sources) == 2  # more than one source enumerated
+    assert sources[0]["name"] == "alsa_input.card0"
+    assert sources[0]["description"] == "Built-in Microphone"
+    assert sources[1]["rate"] == 48000 and sources[1]["channels"] == 1
+    sinks = [i for i in infos if i["kind"] == "sink"]
+    assert sinks[0]["name"] == "alsa_output.card0"
+    assert fake.freed  # mainloop torn down
+
+
+def test_enumerate_connect_failure_graceful():
+    fake = FakePulseAsync(fail_connect=True)
+    assert pulse.enumerate_pulse_devices(lib=fake) == []
+    assert fake.freed
+
+
+def test_register_enumerated_devices(monkeypatch):
+    """register_pulse_devices folds the enumerated per-card devices into
+    the shared registry (plus the default source/sink fallbacks)."""
+    monkeypatch.setattr(pulse, "_registered_uids", set())
+    fake_simple = object()  # truthy: simple API "available"
+    devices = register_pulse_devices(
+        lib=fake_simple, introspect_lib=FakePulseAsync()
+    )
+    uids = {d.device_uid for d in devices}
+    assert "pulse:alsa_input.card0" in uids
+    assert "pulse:alsa_input.usb1" in uids
+    assert "pulse:alsa_output.card0" in uids
+    assert "pulse:default-source" in uids
+    usb = next(d for d in devices if d.device_uid == "pulse:alsa_input.usb1")
+    assert usb.streams_input == 1 and usb.streams_output == 0
+    assert usb.sample_rate_input == 48000.0
+    card0 = next(d for d in devices if d.device_uid == "pulse:alsa_output.card0")
+    assert card0.streams_output == 2 and card0.streams_input == 0
+
+
+def test_monitor_list_devices_shows_enumerated(monkeypatch, capsys):
+    """monitor --list-devices surfaces the enumerated pulse devices."""
+    from syllable_detector_tpu import monitor
+
+    monkeypatch.setattr(pulse, "_registered_uids", set())
+    monkeypatch.setattr(pulse, "_load_pulse", lambda: object())
+    monkeypatch.setattr(pulse, "_load_pulse_async", lambda: FakePulseAsync())
+    rc = monitor.main(["--list-devices"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pulse:alsa_input.usb1" in out
+    assert "USB Audio CODEC" in out
