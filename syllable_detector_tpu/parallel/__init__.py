@@ -16,6 +16,7 @@ from syllable_detector_tpu.parallel.mesh import (
     make_mesh,
     batch_offline_outputs,
     sharded_offline_outputs,
+    sharded_fused_offline_outputs,
     sharded_detection_counts,
     sharded_streaming_step,
     time_sharded_offline_outputs,
@@ -26,6 +27,7 @@ __all__ = [
     "make_mesh",
     "batch_offline_outputs",
     "sharded_offline_outputs",
+    "sharded_fused_offline_outputs",
     "sharded_detection_counts",
     "sharded_streaming_step",
     "time_sharded_offline_outputs",

@@ -192,44 +192,45 @@ def sharded_detection_counts(
     return jax.jit(fn)(stacked_params, xs)
 
 
-def tensor_sharded_offline_outputs(
-    mesh: Mesh,
-    spec: DetectorSpec,
-    params,
-    x: jax.Array,
-) -> jax.Array:
-    """One detector's FEATURE axis sharded across the mesh — tensor
-    parallelism for this workload: each device computes the band DFT for its
-    shard of frequency bins and its columns of the (affine-folded) first
-    layer, and ONE ``psum`` reduces the partial layer-1 products (plus the
-    l2-norm partial sums) over ICI. Everything after layer 1 is a few
-    hundred FLOPs and runs replicated.
+from collections import OrderedDict
 
-    The algebra: with the input chain folded to ``x*scale + shift``
-    (ops.processing.fold_input_affines) and l2normalize linear in the
-    contraction, ``W1 @ chain(feat) = psum_d(W1_d' @ feat_d)/||feat|| +
-    (b1 + W1 @ shift)``. Numerically matches
-    :func:`~syllable_detector_tpu.models.detector.offline_outputs`; falls
-    back to it for unsupported processing chains. Real nets here are tiny —
-    this exists to exercise the tp sharding shape, not for speed.
-    """
-    from syllable_detector_tpu.kernels.fused_detector import fusable
+# memoized per-(spec, params, mesh) setups: the numpy constant folds and
+# the jitted shard_map callables both survive across calls (a fresh
+# jax.jit(shard_map(...)) per invocation would retrace every time).
+# Bounded LRU; values hold a strong params reference so ids stay valid.
+_tp_const_cache: "OrderedDict" = OrderedDict()
+_sharded_fn_cache: "OrderedDict" = OrderedDict()
+_SHARDED_CACHE_MAX = 32
+
+
+def _lru_get(cache, key, build, params_ref):
+    hit = cache.get(key)
+    if hit is not None and hit[1] is params_ref:
+        cache.move_to_end(key)
+        return hit[0]
+    value = build()
+    cache[key] = (value, params_ref)
+    while len(cache) > _SHARDED_CACHE_MAX:
+        cache.popitem(last=False)
+    return value
+
+
+def _params_nbytes(params) -> int:
+    return sum(
+        np.asarray(leaf).nbytes for leaf in jax.tree.leaves(params)
+    )
+
+
+def _tp_constants(spec: DetectorSpec, params, d: int):
+    """Device-sharded constants for tensor_sharded_offline_outputs
+    (numpy fold; memoized — the triple loop only ever runs once per
+    (spec, params, mesh size))."""
     from syllable_detector_tpu.ops.processing import (
         fold_input_affines,
         fold_output_affines,
     )
-    from syllable_detector_tpu.ops.stft import (
-        band_dft_matrices,
-        num_frames,
-        stack_features,
-    )
-    from syllable_detector_tpu.ops.transfer import apply_transfer
+    from syllable_detector_tpu.ops.stft import band_dft_matrices
 
-    if not fusable(spec):
-        return offline_outputs(spec, params, x)
-
-    axis = mesh.axis_names[0]
-    d = int(mesh.shape[axis])
     b = spec.n_bins
     t_range = spec.time_range
     bp = -(-b // d)  # bins per device (zero-padded shards)
@@ -270,9 +271,53 @@ def tensor_sharded_offline_outputs(
     out_a, out_c = fold_output_affines(
         spec.net.output_processing, params["process_outputs"], spec.net.outputs
     )
-    out_a = out_a.astype(np.float32)
-    out_c = out_c.astype(np.float32)
-    b_eff32 = b_eff.astype(np.float32)
+    return (
+        c_re_s, c_im_s, w1_s, mask, has_l2, tuple(mids),
+        out_a.astype(np.float32), out_c.astype(np.float32),
+        b_eff.astype(np.float32),
+    )
+
+
+def tensor_sharded_offline_outputs(
+    mesh: Mesh,
+    spec: DetectorSpec,
+    params,
+    x: jax.Array,
+) -> jax.Array:
+    """One detector's FEATURE axis sharded across the mesh — tensor
+    parallelism for this workload: each device computes the band DFT for its
+    shard of frequency bins and its columns of the (affine-folded) first
+    layer, and ONE ``psum`` reduces the partial layer-1 products (plus the
+    l2-norm partial sums) over ICI. Everything after layer 1 is a few
+    hundred FLOPs and runs replicated.
+
+    The algebra: with the input chain folded to ``x*scale + shift``
+    (ops.processing.fold_input_affines) and l2normalize linear in the
+    contraction, ``W1 @ chain(feat) = psum_d(W1_d' @ feat_d)/||feat|| +
+    (b1 + W1 @ shift)``. Numerically matches
+    :func:`~syllable_detector_tpu.models.detector.offline_outputs`; falls
+    back to it for unsupported processing chains. The constant fold and the
+    jitted shard_map callable are memoized per (spec, params, mesh, frame
+    count) — repeated calls do no numpy work and no retracing.
+    """
+    from syllable_detector_tpu.kernels.fused_detector import fusable
+    from syllable_detector_tpu.ops.stft import num_frames, stack_features
+    from syllable_detector_tpu.ops.transfer import apply_transfer
+
+    if not fusable(spec):
+        return offline_outputs(spec, params, x)
+
+    axis = mesh.axis_names[0]
+    d = int(mesh.shape[axis])
+    t_range = spec.time_range
+
+    consts = _lru_get(
+        _tp_const_cache,
+        (spec, id(params), d),
+        lambda: _tp_constants(spec, params, d),
+        params,
+    )
+    (c_re_s, c_im_s, w1_s, mask, has_l2, mids, out_a, out_c, b_eff32) = consts
 
     n = int(x.shape[0])
     f = num_frames(n, spec.window_length, spec.window_overlap)
@@ -284,43 +329,53 @@ def tensor_sharded_offline_outputs(
     scaling = spec.scaling
     transfers = spec.net.transfers
 
-    def local(c_re_l, c_im_l, w1_l, mask_l, x):
-        c_re_l, c_im_l = c_re_l[0], c_im_l[0]
-        w1_l, mask_l = w1_l[0], mask_l[0]
-        from syllable_detector_tpu.ops.stft import frame_signal
+    def build_fn():
+        def local(c_re_l, c_im_l, w1_l, mask_l, x):
+            c_re_l, c_im_l = c_re_l[0], c_im_l[0]
+            w1_l, mask_l = w1_l[0], mask_l[0]
+            from syllable_detector_tpu.ops.stft import frame_signal
 
-        frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
-        re = jnp.matmul(frames, c_re_l, precision=hi_prec)
-        im = jnp.matmul(frames, c_im_l, precision=hi_prec)
-        mag = jnp.sqrt(re * re + im * im)
-        if scaling == "db":
-            s = jnp.where(mask_l > 0, 20.0 * jnp.log10(mag), 0.0)
-        elif scaling == "log":
-            s = jnp.where(mask_l > 0, jnp.log(mag), 0.0)
-        else:
-            s = mag
-        feats = stack_features(s, t_range)  # [E, T*bp]
-        z = jnp.matmul(feats, w1_l, precision=hi_prec)  # local partial
-        z = jax.lax.psum(z, axis)  # the ONE tp collective
-        if has_l2:
-            rowsq = jax.lax.psum(
-                jnp.sum(feats * feats, axis=1, keepdims=True), axis
-            )
-            z = z / jnp.sqrt(rowsq)
-        h = apply_transfer(z + b_eff32, transfers[0])
-        for (w, bb), name in zip(mids, transfers[1:]):
-            h = apply_transfer(
-                jnp.matmul(h, w, precision=hi_prec) + bb, name
-            )
-        return h * out_a + out_c
+            frames = frame_signal(x, f, spec.window_length, spec.window_overlap)
+            re = jnp.matmul(frames, c_re_l, precision=hi_prec)
+            im = jnp.matmul(frames, c_im_l, precision=hi_prec)
+            mag = jnp.sqrt(re * re + im * im)
+            if scaling == "db":
+                s = jnp.where(mask_l > 0, 20.0 * jnp.log10(mag), 0.0)
+            elif scaling == "log":
+                s = jnp.where(mask_l > 0, jnp.log(mag), 0.0)
+            else:
+                s = mag
+            feats = stack_features(s, t_range)  # [E, T*bp]
+            z = jnp.matmul(feats, w1_l, precision=hi_prec)  # local partial
+            z = jax.lax.psum(z, axis)  # the ONE tp collective
+            if has_l2:
+                rowsq = jax.lax.psum(
+                    jnp.sum(feats * feats, axis=1, keepdims=True), axis
+                )
+                z = z / jnp.sqrt(rowsq)
+            h = apply_transfer(z + b_eff32, transfers[0])
+            for (w, bb), name in zip(mids, transfers[1:]):
+                h = apply_transfer(
+                    jnp.matmul(h, w, precision=hi_prec) + bb, name
+                )
+            return h * out_a + out_c
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
+        return jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                out_specs=P(),
+            )
+        )
+
+    fn = _lru_get(
+        _sharded_fn_cache,
+        ("tp", spec, id(params), mesh, f),
+        build_fn,
+        params,
     )
-    return jax.jit(fn)(
+    return fn(
         jnp.asarray(c_re_s), jnp.asarray(c_im_s), jnp.asarray(w1_s),
         jnp.asarray(mask), jnp.asarray(x, jnp.float32),
     )
@@ -384,30 +439,55 @@ def time_sharded_offline_outputs(
         if not fusable(spec):
             method = "matmul"  # same fallback as the offline fused path
 
-    def local(x_own, tail):
-        # params ride in as host-side constants, not traced arguments: the
-        # fused constant fold consumes them as numpy, and these nets are a
-        # few KB so the embedded literals are harmless
-        x_own = x_own[0]
-        idx = jax.lax.axis_index(axis)
-        from_right = jax.lax.ppermute(x_own[:halo], axis, perm)
-        halo_recv = jnp.where(idx == d - 1, tail, from_right)
-        seg = jnp.concatenate([x_own, halo_recv])
-        if method == "fused":
-            return fused_offline_outputs(spec, params, seg)
-        return offline_outputs(spec, params, seg, method=method)
+    if method == "fused":
+        # the fused fold consumes params as host numpy, so they embed as
+        # HLO literals; that is only safe for small nets (a large embedded
+        # constant can blow a remote compiler's request limit — the r1
+        # "413" failure class). Guard loudly instead of failing weirdly.
+        nbytes = _params_nbytes(params)
+        if nbytes > 4 << 20:
+            raise ValueError(
+                f"time_sharded_offline_outputs(method='fused') embeds the "
+                f"network as compile-time constants; this net is "
+                f"{nbytes/2**20:.1f} MiB (> 4 MiB). Use method='matmul' "
+                f"(traced params) for large nets."
+            )
 
-    # check_vma=False: the fused path's pallas_call outputs carry no
-    # varying-mesh-axes metadata (newer jax rejects them under shard_map's
-    # default check); segments are fully independent after the halo exchange
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(axis),
-        check_vma=False,
+    def build_fn():
+        def local(x_own, tail, p):
+            x_own = x_own[0]
+            idx = jax.lax.axis_index(axis)
+            from_right = jax.lax.ppermute(x_own[:halo], axis, perm)
+            halo_recv = jnp.where(idx == d - 1, tail, from_right)
+            seg = jnp.concatenate([x_own, halo_recv])
+            if method == "fused":
+                # params as host constants (size-guarded above)
+                return fused_offline_outputs(spec, params, seg)
+            # non-fused: params ride as TRACED replicated arguments — no
+            # literal embedding regardless of net size
+            return offline_outputs(spec, p, seg, method=method)
+
+        # check_vma=False: the fused path's pallas_call outputs carry no
+        # varying-mesh-axes metadata (newer jax rejects them under
+        # shard_map's default check); segments are fully independent after
+        # the halo exchange
+        return jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(axis), P(), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+
+    fn = _lru_get(
+        _sharded_fn_cache,
+        ("sp", spec, id(params), mesh, method, e_loc),
+        build_fn,
+        params,
     )
-    outs = jax.jit(fn)(xs, tail)  # [d*e_loc, outputs]
+    outs = fn(xs, tail, params)  # [d*e_loc, outputs]
     return outs[:e_total]
 
 

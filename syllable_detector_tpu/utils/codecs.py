@@ -271,13 +271,13 @@ def write_ogg_vorbis(
                 m = min(chunk, n - start)
                 buf = vorbis.vorbis_analysis_buffer(vd, ctypes.c_int(m))
                 for c in range(channels):
-                    ctypes.memmove(
-                        buf[c],
-                        np.ascontiguousarray(
-                            samples[start : start + m, c]
-                        ).ctypes.data,
-                        m * 4,
-                    )
+                    # the contiguous copy MUST stay referenced through the
+                    # memmove: `.ctypes.data` yields a bare int, so a
+                    # temporary array would be freed before the copy reads
+                    # it (heap-state-dependent garbage audio)
+                    col = np.ascontiguousarray(samples[start : start + m, c])
+                    ctypes.memmove(buf[c], col.ctypes.data, m * 4)
+                    del col
                 vorbis.vorbis_analysis_wrote(vd, ctypes.c_int(m))
                 drain(eos=False)
             vorbis.vorbis_analysis_wrote(vd, 0)  # end of stream
