@@ -226,6 +226,13 @@ def main(argv=None) -> int:
         help="TTL sink: simulated audio/arduino, or a REAL alsa/pulse "
         "playback device rendering the TTL waveform.",
     )
+    p.add_argument(
+        "--batched-drain",
+        action="store_true",
+        help="Drain ALL channels in one fused DetectorBank device call per "
+        "round (per-channel distinct nets ride the batched kernel) instead "
+        "of per-lane drains; requires all nets to share one geometry.",
+    )
     p.add_argument("--duration", type=float, default=2.0, help="Seconds to run.")
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
@@ -402,7 +409,7 @@ def main(argv=None) -> int:
             print(f"Unable to open {args.output} output: {e}", file=sys.stderr)
             return 1
 
-    proc = Processor(interface, entries, output)
+    proc = Processor(interface, entries, output, batched=args.batched_drain)
     try:
         proc.set_up()
     except Exception as e:

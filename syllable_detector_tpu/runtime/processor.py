@@ -137,7 +137,7 @@ class CallbackOutput(OutputBackend):
 @dataclass
 class _Lane:
     entry: ProcessorEntry
-    detector: Detector
+    detector: Optional[Detector]  # None in batched-drain mode
     ring: RingBuffer
     resampler: Optional[LinearResamplerState]
     stat_input: SummaryStat
@@ -148,7 +148,16 @@ class _Lane:
 
 
 class Processor:
-    """ProcessorBase equivalent (Processor.swift:34-185)."""
+    """ProcessorBase equivalent (Processor.swift:34-185).
+
+    ``batched=True`` replaces the per-lane Detector drains with ONE
+    :class:`~syllable_detector_tpu.models.detector_bank.DetectorBank` call
+    evaluating every lane's new hops together on the fused kernel (with
+    per-channel distinct networks) — the TPU-native shape for many live
+    channels, where the reference drains detectors serially on its GCD
+    queue (Processor.swift:128-149). All lane configs must share one
+    pipeline geometry (the DetectorBank contract).
+    """
 
     def __init__(
         self,
@@ -156,10 +165,20 @@ class Processor:
         entries: list[ProcessorEntry],
         output: OutputBackend,
         ring_seconds: float = 10.0,
+        batched: bool = False,
+        method: Optional[str] = None,
     ):
         self.entries = [e for e in entries if e.config is not None]
         self.output = output
         self.interface_input = interface_input
+
+        self._bank = None
+        if batched and self.entries:
+            from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+            self._bank = DetectorBank(
+                [e.config for e in self.entries], method=method or "fused"
+            )
 
         self._lanes: list[_Lane] = []
         for e in self.entries:
@@ -173,7 +192,7 @@ class Processor:
             self._lanes.append(
                 _Lane(
                     entry=e,
-                    detector=Detector(e.config),
+                    detector=None if self._bank else Detector(e.config),
                     ring=ring,
                     resampler=resampler,
                     stat_input=SummaryStat(StatMax()),
@@ -249,7 +268,10 @@ class Processor:
                 if index < 0:
                     continue
                 try:
-                    self._drain_lane(index, self._lanes[index])
+                    if self._bank is not None:
+                        self._drain_all()
+                    else:
+                        self._drain_lane(index, self._lanes[index])
                 except Exception as e:
                     # a transient device/compile error on one drain must not
                     # kill the sole worker thread (capture would keep filling
@@ -294,6 +316,37 @@ class Processor:
         except Exception:
             pass  # output backend errors are logged, not fatal
             # (Processor.swift:272-276 logs and continues)
+
+    def _drain_all(self) -> None:
+        """Batched-drain mode: move every lane's ring into the bank and
+        evaluate ALL lanes' new hops in one fused device call."""
+        t_start = _time_ns()
+        for i, lane in enumerate(self._lanes):
+            samples = lane.ring.peek()
+            if len(samples):
+                lane.ring.consume(len(samples))
+                self._bank.append_audio_data(i, samples)
+        outs = self._bank.drain()  # [n_lanes, n_new, outputs]
+        Time.save_with_name(
+            "process" if outs.shape[1] else "skip", _time_ns() - t_start
+        )
+        for i, lane in enumerate(self._lanes):
+            o = outs[i]
+            seen = False
+            if o.shape[0]:
+                lane.stat_output.write_value(float(np.max(o[:, 0])))
+                thr = self._bank.thresholds[i]
+                n_hits = int(np.sum(o[:, 0].astype(np.float64) >= thr))
+                if n_hits:
+                    seen = True
+                    lane.detections += n_hits
+            # called per drain even without new outputs — the Arduino hold
+            # counter decrements on quiet drains (Processor.swift:147,
+            # 277-293)
+            try:
+                self.output.prepare_output(i, lane.entry, seen)
+            except Exception:
+                pass  # output backend errors are logged, not fatal
 
     def drain_pending(self, timeout: float = 10.0) -> None:
         """Block until all queued work has been PROCESSED (not merely

@@ -1,0 +1,121 @@
+"""DetectorBank: batched multi-lane streaming drain must equal a bank of
+independent Detectors fed the same streams (distinct nets, odd chunkings)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from syllable_detector_tpu.models.detector import Detector
+from syllable_detector_tpu.models.detector_bank import DetectorBank
+from test_detector import make_audio
+
+
+def _perturbed_cfg(cfg, seed, threshold_scale=1.0):
+    c2 = copy.deepcopy(cfg)
+    r = np.random.default_rng(seed)
+    for l in c2.layers:
+        l.weights = (
+            l.weights * (1.0 + 0.05 * r.standard_normal(l.weights.shape))
+        ).astype(np.float32)
+    c2.thresholds = [t * threshold_scale for t in cfg.thresholds]
+    return c2
+
+
+@pytest.mark.parametrize("method", ["fused", "matmul"])
+def test_bank_matches_independent_detectors(sample_config, method):
+    cfgs = [
+        sample_config,
+        _perturbed_cfg(sample_config, 1, 0.9),
+        _perturbed_cfg(sample_config, 2, 1.1),
+    ]
+    bank = DetectorBank(cfgs, method=method)
+    # oracle: independent streaming Detectors (host path, proven vs the
+    # reference oracle in test_detector.py)
+    singles = [Detector(c) for c in cfgs]
+
+    rng = np.random.default_rng(5)
+    streams = [make_audio(rng, seconds=0.5) for _ in cfgs]
+
+    # feed in odd-sized chunks and drain at irregular points
+    bank_outs = [[] for _ in cfgs]
+    single_outs = [[] for _ in cfgs]
+    pos = 0
+    for chunk_len in (700, 133, 4096, 51, 9000, 10**9):
+        end = min(pos + chunk_len, len(streams[0]))
+        for i in range(len(cfgs)):
+            bank.append_audio_data(i, streams[i][pos:end])
+            singles[i].append_audio_data(streams[i][pos:end])
+        outs = bank.drain()
+        for i in range(len(cfgs)):
+            if outs.shape[1]:
+                bank_outs[i].append(outs[i])
+            s = singles[i].drain()
+            if len(s):
+                single_outs[i].append(s)
+        pos = end
+        if pos >= len(streams[0]):
+            break
+
+    for i in range(len(cfgs)):
+        got = np.concatenate(bank_outs[i], axis=0)
+        want = np.concatenate(single_outs[i], axis=0)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+    # distinct nets genuinely produced distinct outputs
+    a = np.concatenate(bank_outs[0], axis=0)
+    b = np.concatenate(bank_outs[1], axis=0)
+    assert np.abs(a - b).max() > 1e-4
+
+    # last_outputs mirrors the final drained row per lane
+    np.testing.assert_allclose(
+        bank.last_outputs[0], np.concatenate(bank_outs[0], axis=0)[-1]
+    )
+
+
+def test_bank_lockstep_waits_for_slow_lane(sample_config):
+    bank = DetectorBank([sample_config, sample_config])
+    rng = np.random.default_rng(6)
+    x = make_audio(rng, seconds=0.2)
+    bank.append_audio_data(0, x)  # lane 1 has nothing yet
+    outs = bank.drain()
+    assert outs.shape == (2, 0, 1)  # waits for the slow lane
+    bank.append_audio_data(1, x)
+    outs = bank.drain()
+    assert outs.shape[1] > 0
+    # lane parity after catch-up
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_bank_seen_syllables_per_lane_thresholds(sample_config):
+    low = _perturbed_cfg(sample_config, 0, threshold_scale=1.0)
+    high = copy.deepcopy(sample_config)
+    high.thresholds = [2.0]  # unreachable: outputs map to [0, 1]
+    bank = DetectorBank([low, high])
+    rng = np.random.default_rng(7)
+    x = make_audio(rng, seconds=0.5)
+    bank.append_audio_data(0, x)
+    bank.append_audio_data(1, x)
+    seen = bank.seen_syllables()
+    assert seen[0] and not seen[1]
+
+
+def test_bank_geometry_mismatch_rejected(sample_config):
+    import dataclasses
+
+    bad = dataclasses.replace(sample_config, scaling="log")
+    with pytest.raises(ValueError, match="geometry"):
+        DetectorBank([sample_config, bad])
+
+
+def test_bank_warm_up_no_new_traces(sample_config):
+    from syllable_detector_tpu.kernels import fused_detector
+
+    bank = DetectorBank([sample_config, _perturbed_cfg(sample_config, 9)])
+    bank.warm_up(buckets=(8, 32))
+    size0 = fused_detector._fused_call._cache_size()
+    rng = np.random.default_rng(8)
+    bank.append_audio_data(0, make_audio(rng, seconds=0.05))
+    bank.append_audio_data(1, make_audio(rng, seconds=0.05))
+    bank.drain()
+    assert fused_detector._fused_call._cache_size() == size0

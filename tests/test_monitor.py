@@ -223,3 +223,19 @@ def test_monitor_unknown_input_errors(capsys):
     rc = monitor_main(["-n", NET, "--input", "bogus", "--duration", "0.1"])
     assert rc == 1
     assert "Unknown --input" in capsys.readouterr().err
+
+
+def test_monitor_batched_drain(chirp_wav, capsys):
+    """--batched-drain routes all channels through one DetectorBank call;
+    detections still fire per channel."""
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "2", "--duration", "1.0",
+         "--batched-drain"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    det_line = next(
+        l for l in out.splitlines() if l.startswith("detections per channel")
+    )
+    dets = eval(det_line.split(":", 1)[1])
+    assert len(dets) == 2 and all(d > 0 for d in dets)

@@ -441,3 +441,43 @@ def test_simulated_arduino_startup_delay():
     assert arduino.state == ArduinoState.OPENED and arduino.sketch == 3
     assert arduino.transport.pins[8] == "output"
     arduino.close()
+
+
+def test_processor_batched_drain(sample_config):
+    """batched=True drains every lane in ONE fused DetectorBank call; the
+    detections and TTL behavior must match the per-lane mode."""
+    rng = np.random.default_rng(3)
+    audio = make_audio(rng, seconds=0.6)
+
+    def source(ch, start, n):
+        if ch == 0:
+            return audio[start : start + n]
+        return 0.001 * np.ones(n, np.float32)
+
+    out_interface = SimulatedAudioOutput(channels=2)
+    interface = SimulatedAudioInput(
+        source, channels=2, total_samples=len(audio), frame_size=512
+    )
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=sample_config)
+        for i in range(2)
+    ]
+    proc = Processor(
+        interface, entries, AudioTTLOutput(out_interface), batched=True
+    )
+    assert proc._bank is not None
+    assert proc._lanes[0].detector is None  # no per-lane detectors built
+    proc.set_up()
+    assert interface.wait_until_done(timeout=60)
+    proc.drain_pending(timeout=30)
+    time.sleep(0.3)
+    proc.tear_down()
+
+    # chirp lane detects, silent lane does not; TTL fired only on channel 0
+    det = proc.lane_detections()
+    assert det[0] > 0 and det[1] == 0
+    assert {ch for _, ch, _ in out_interface.events} == {0}
+
+    # detection count matches the per-lane (unbatched) processor exactly
+    ref = run_processor(sample_config, AudioTTLOutput(SimulatedAudioOutput(channels=2)))
+    assert det[0] == ref.lane_detections()[0]
