@@ -180,3 +180,37 @@ def test_random_config_pipeline(seed):
         )
         assert tp.shape == got.shape
         np.testing.assert_allclose(tp, got, rtol=5e-3, atol=1e-3)
+
+    # per-channel DISTINCT nets on the fused batched path for every random
+    # geometry: channel-stacked folded operands vs the vmap oracle
+    if fusable(spec) and len(got):
+        import jax
+
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fused_batch_offline_outputs,
+        )
+        from syllable_detector_tpu.models.neural_net import stack_params
+
+        def _perturb(p, s):
+            r2 = np.random.default_rng(s)
+            return jax.tree.map(
+                lambda a: jnp.asarray(
+                    np.asarray(a)
+                    * (1.0 + 0.05 * r2.standard_normal(np.asarray(a).shape))
+                ),
+                p,
+            )
+
+        plist = [params, _perturb(params, seed), _perturb(params, seed + 99)]
+        xs = jnp.stack([jnp.asarray(x)] * 3)
+        fb = np.asarray(
+            fused_batch_offline_outputs(
+                spec, plist, xs, tile=64, interpret=True
+            )
+        )
+        vb = np.asarray(
+            jax.vmap(lambda p, xx: offline_outputs(spec, p, xx))(
+                stack_params(plist), xs
+            )
+        )
+        np.testing.assert_allclose(fb, vb, rtol=5e-3, atol=1e-3)
