@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import make_audio, time_scanned
+from bench import _perturbed_params as perturb_params, make_audio, time_scanned
 from syllable_detector_tpu.config.model_format import load_config
 from syllable_detector_tpu.kernels.fused_detector import (
     fused_batch_offline_outputs,
@@ -39,14 +39,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def perturb(params, seed, scale=0.05):
-    r = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda a: jnp.asarray(
-            np.asarray(a) * (1.0 + scale * r.standard_normal(np.asarray(a).shape))
-        ),
-        params,
-    )
+perturb = perturb_params  # single home: bench._perturbed_params
 
 
 def main():

@@ -209,6 +209,36 @@ def main(argv=None) -> int:
         return 1
     config = configs if len(configs) > 1 else configs[0]
 
+    if len(configs) > 1:
+        # all nets must share the first net's geometry — the sequential path
+        # would otherwise silently run a wrong-rate net per channel, and the
+        # batched path would raise mid-scan; fail fast with a clean message
+        import dataclasses
+
+        from syllable_detector_tpu.models.detector import (
+            detector_spec_from_config,
+        )
+
+        try:
+            base = dataclasses.replace(
+                detector_spec_from_config(configs[0])[0], thresholds=()
+            )
+            for path, c in zip(args.net[1:], configs[1:]):
+                spec_i = dataclasses.replace(
+                    detector_spec_from_config(c)[0], thresholds=()
+                )
+                if spec_i != base:
+                    print(
+                        f"Network {path} does not share the first network's "
+                        f"geometry (sampling rate, FFT/window, band, layer "
+                        f"sizes).",
+                        file=sys.stderr,
+                    )
+                    return 1
+        except ValueError as e:
+            print(f"Invalid network configuration: {e}", file=sys.stderr)
+            return 1
+
     if args.batched:
         from syllable_detector_tpu.corpus import scan_corpus_files
 

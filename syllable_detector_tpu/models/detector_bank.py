@@ -44,9 +44,21 @@ class DetectorBank:
     ``method='fused'`` (default) uses the flagship Pallas kernel with
     channel-stacked distinct nets; ``'matmul'`` uses the unfused XLA
     pipeline via vmap (same batching, slower kernel).
+
+    ``max_buffer_seconds`` bounds each lane's sample buffer: the lockstep
+    drain waits for the slowest lane, so a dead/starved capture channel
+    would otherwise grow every OTHER lane's buffer without bound. Appends
+    beyond the cap are counted in ``overflows[lane]`` and dropped — the
+    same count-and-drop contract as the Processor ring (the reference
+    fatalErrors instead, CircularShortTimeFourierTransform.swift:199).
     """
 
-    def __init__(self, configs: list[SyllableDetectorConfig], method: str = "fused"):
+    def __init__(
+        self,
+        configs: list[SyllableDetectorConfig],
+        method: str = "fused",
+        max_buffer_seconds: float = 30.0,
+    ):
         if not configs:
             raise ValueError("DetectorBank needs at least one lane")
         self.configs = list(configs)
@@ -70,6 +82,12 @@ class DetectorBank:
                 method = "matmul"
         self.method = method
         self.n_lanes = len(configs)
+        self.max_buffer_samples = int(
+            max_buffer_seconds * self.spec.sampling_rate
+        )
+        self.overflows = [0] * self.n_lanes
+        self._matmul_fn = None  # built once; a per-drain jit would retrace
+        self._stacked = None
         self._residuals = [np.zeros(0, np.float32) for _ in configs]
         # lockstep hop counter (the first timeRange-1 frames emit nothing,
         # which the raw-sample evaluation handles inherently — an eval needs
@@ -83,6 +101,11 @@ class DetectorBank:
 
     def append_audio_data(self, lane: int, samples: np.ndarray) -> None:
         samples = np.asarray(samples, np.float32).reshape(-1)
+        if len(self._residuals[lane]) + len(samples) > self.max_buffer_samples:
+            # count-and-drop like the Processor ring on overflow; keeps a
+            # starved lockstep from growing active lanes without bound
+            self.overflows[lane] += 1
+            return
         self._residuals[lane] = np.concatenate([self._residuals[lane], samples])
 
     # -- draining -----------------------------------------------------------
@@ -144,14 +167,20 @@ class DetectorBank:
         # unfused vmap fallback (when method == 'matmul' we force it)
         if self.method == "fused":
             return fused_batch_offline_outputs(self.spec, self.params_list, xs)
-        import jax
+        if self._matmul_fn is None:
+            # built exactly once: a fresh jit wrapper per drain would be
+            # cached by function identity and retrace every call
+            import jax
 
-        from syllable_detector_tpu.models.detector import offline_outputs
-        from syllable_detector_tpu.models.neural_net import stack_params
+            from syllable_detector_tpu.models.detector import offline_outputs
+            from syllable_detector_tpu.models.neural_net import stack_params
 
-        return jax.jit(
-            jax.vmap(lambda p, x: offline_outputs(self.spec, p, x)),
-        )(stack_params(self.params_list), xs)
+            spec = self.spec
+            self._stacked = stack_params(self.params_list)
+            self._matmul_fn = jax.jit(
+                jax.vmap(lambda p, x: offline_outputs(spec, p, x))
+            )
+        return self._matmul_fn(self._stacked, xs)
 
     def seen_syllables(self) -> np.ndarray:
         """Drain and OR detections per lane (output 0 vs each lane's own
@@ -160,8 +189,10 @@ class DetectorBank:
         outs = self.drain()
         if not outs.shape[1]:
             return np.zeros(self.n_lanes, bool)
+        # float32 comparison, like Detector.seen_syllable
         return np.any(
-            outs[:, :, 0] >= self.thresholds[:, None], axis=1
+            outs[:, :, 0] >= self.thresholds.astype(np.float32)[:, None],
+            axis=1,
         )
 
     def warm_up(self, buckets: tuple = _FRAME_BUCKETS) -> int:

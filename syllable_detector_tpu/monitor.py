@@ -409,7 +409,13 @@ def main(argv=None) -> int:
             print(f"Unable to open {args.output} output: {e}", file=sys.stderr)
             return 1
 
-    proc = Processor(interface, entries, output, batched=args.batched_drain)
+    try:
+        proc = Processor(interface, entries, output, batched=args.batched_drain)
+    except ValueError as e:
+        # --batched-drain with mismatched-geometry nets: clean error, not a
+        # traceback (the DetectorBank constructor validates lane geometry)
+        print(f"Unable to build the detector bank: {e}", file=sys.stderr)
+        return 1
     try:
         proc.set_up()
     except Exception as e:

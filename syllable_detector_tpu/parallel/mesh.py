@@ -148,22 +148,47 @@ def sharded_fused_offline_outputs(
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 
-    def local(shared_op, st_ops, x):
-        return _batch_core_slabbed(
-            spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,
-            per_channel=distinct, slab_channels=slab_channels,
+    def build_fn():
+        def local(shared_op, st_ops, x):
+            return _batch_core_slabbed(
+                spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,
+                per_channel=distinct, slab_channels=slab_channels,
+            )
+
+        # distinct: net operands shard with their channels; shared: replicate
+        st_spec = P(axis) if distinct else P()
+        return jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), tuple(st_spec for _ in operands[1:]), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,  # pallas outputs carry no vma metadata
+            )
         )
 
-    # distinct: net operands shard with their channels; shared: replicate
-    st_spec = P(axis) if distinct else P()
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), tuple(st_spec for _ in operands[1:]), P(axis)),
-        out_specs=P(axis),
-        check_vma=False,  # pallas outputs carry no vma metadata
+    # memoize the jitted callable (a fresh jax.jit(shard_map(...)) per
+    # invocation would retrace every call — same fix as the tp/sp paths);
+    # params pinned by identity so recycled ids cannot alias
+    pin = tuple(params) if distinct else params
+    key = (
+        "cf", spec, mesh, tile, slab_channels, n_evals, c, distinct,
+        tuple(id(p) for p in pin) if distinct else id(pin),
     )
-    return jax.jit(fn)(
+    hit = _sharded_fn_cache.get(key)
+    fresh = hit is None or (
+        not all(a is b for a, b in zip(hit[1], pin))
+        if distinct
+        else hit[1] is not pin
+    )
+    if fresh:
+        _sharded_fn_cache[key] = (build_fn(), pin)
+        while len(_sharded_fn_cache) > _SHARDED_CACHE_MAX:
+            _sharded_fn_cache.popitem(last=False)
+    else:
+        _sharded_fn_cache.move_to_end(key)
+    fn = _sharded_fn_cache[key][0]
+    return fn(
         jnp.asarray(operands[0]),
         tuple(jnp.asarray(op) for op in operands[1:]),
         jnp.asarray(xs, jnp.float32),

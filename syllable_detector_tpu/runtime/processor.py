@@ -264,8 +264,21 @@ class Processor:
                 index = self._work.get(timeout=0.1)
             except queue.Empty:
                 continue
+            # batched mode: coalesce every already-queued work item into ONE
+            # bank drain — each lane's callback enqueues an item per round,
+            # and a drain per item would call prepare_output n_lanes times
+            # per round, decaying the Arduino 20-drain TTL hold n_lanes
+            # times too fast (Processor.swift:233 counts capture rounds)
+            extra = 0
+            if self._bank is not None:
+                while True:
+                    try:
+                        self._work.get_nowait()
+                        extra += 1
+                    except queue.Empty:
+                        break
             try:
-                if index < 0:
+                if index < 0 and extra == 0:
                     continue
                 try:
                     if self._bank is not None:
@@ -288,6 +301,8 @@ class Processor:
                         )
             finally:
                 self._work.task_done()
+                for _ in range(extra):
+                    self._work.task_done()
 
     def _drain_lane(self, index: int, lane: _Lane) -> None:
         # per-drain latency stats (the reference instruments the same
@@ -335,8 +350,10 @@ class Processor:
             seen = False
             if o.shape[0]:
                 lane.stat_output.write_value(float(np.max(o[:, 0])))
-                thr = self._bank.thresholds[i]
-                n_hits = int(np.sum(o[:, 0].astype(np.float64) >= thr))
+                # float32 comparison, exactly like the per-lane drain — the
+                # two modes must agree at threshold boundaries
+                thr = np.float32(self._bank.thresholds[i])
+                n_hits = int(np.sum(o[:, 0] >= thr))
                 if n_hits:
                     seen = True
                     lane.detections += n_hits

@@ -361,6 +361,8 @@ def read_mp3(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
         chunks = []
         buf = ctypes.create_string_buffer(65536)
         done = ctypes.c_size_t(0)
+        first_rate = rate.value
+        first_channels = channels.value
         while True:
             rc = lib.mpg123_read(h, buf, len(buf.raw), ctypes.byref(done))
             if done.value:
@@ -373,6 +375,25 @@ def read_mp3(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
                 lib.mpg123_getformat(
                     h, ctypes.byref(rate), ctypes.byref(channels),
                     ctypes.byref(enc),
+                )
+                if chunks and (
+                    rate.value != first_rate
+                    or channels.value != first_channels
+                ):
+                    # concatenated streams with a mid-stream rate/channel
+                    # change cannot be represented as one (samples, rate)
+                    # result; fail loudly instead of silently truncating
+                    raise ValueError(
+                        f"{path}: sample rate/channel change mid-stream "
+                        f"({first_rate} Hz/{first_channels}ch -> "
+                        f"{rate.value} Hz/{channels.value}ch) is unsupported"
+                    )
+                first_rate = rate.value
+                first_channels = channels.value
+                # re-enable float32 output for the (possibly new) format
+                lib.mpg123_format_none(h)
+                lib.mpg123_format(
+                    h, rate.value, channels.value, _MPG123_ENC_FLOAT_32
                 )
                 continue
             if rc != _MPG123_OK:

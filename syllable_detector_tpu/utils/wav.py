@@ -203,12 +203,27 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
             f"{path}: OGG container but neither libvorbisfile nor the "
             f"soundfile package is available"
         )
-    if magic[:3] == b"ID3" or (
-        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
-    ):
+    # MPEG audio frame sync: 0xFF + top 3 bits of byte 1, with the fields a
+    # real MPEG *audio* header cannot zero out — layer != 00 (ADTS AAC has
+    # layer 00), bitrate index != 1111, sampling index != 11. A stray
+    # 0xFF-leading file (UTF-16 BOM etc.) still cannot be fully excluded
+    # from 4 bytes, so decoder failures fall through to soundfile below.
+    is_mpeg_sync = (
+        len(magic) >= 4
+        and magic[0] == 0xFF
+        and (magic[1] & 0xE0) == 0xE0
+        and (magic[1] >> 1) & 0x3 != 0  # layer
+        and (magic[2] >> 4) != 0xF  # bitrate index
+        and (magic[2] >> 2) & 0x3 != 0x3  # sampling index
+    )
+    if magic[:3] == b"ID3" or is_mpeg_sync:
         # MP3: ID3v2 tag or a bare MPEG audio frame sync
         if codecs.mp3_available():
-            return codecs.read_mp3(path)
+            try:
+                return codecs.read_mp3(path)
+            except ValueError:
+                if not codecs.soundfile_available():
+                    raise
         if codecs.soundfile_available():
             return codecs.read_soundfile(path)
         raise ValueError(

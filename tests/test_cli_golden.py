@@ -292,3 +292,27 @@ def test_read_audio_decode_errors_are_valueerror(tmp_path):
     q.write_bytes(b".snd\x00\x00\x00\x18")  # header cut short
     with pytest.raises(ValueError, match="decode failed|unsupported"):
         read_audio(q)
+
+
+def test_cli_multi_net_geometry_mismatch(sample_config, tmp_path, capsys):
+    """Repeatable -n with a geometry-mismatched second net fails fast with
+    a clean stderr message on BOTH the sequential and batched paths."""
+    import dataclasses
+
+    from syllable_detector_tpu.config.model_format import dumps_config
+
+    other = dataclasses.replace(sample_config, scaling="log")
+    p_net = tmp_path / "other.txt"
+    p_net.write_text(dumps_config(other))
+    wav = tmp_path / "x.wav"
+    rng = np.random.default_rng(9)
+    write_wav(wav, make_audio(rng, seconds=0.2), 44100, dtype="float32")
+
+    for extra in ([], ["--batched"]):
+        rc = cli_main(
+            ["-n", "/root/reference/sample.txt", "-n", str(p_net),
+             "-a", str(wav)] + extra
+        )
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "geometry" in err

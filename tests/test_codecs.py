@@ -222,3 +222,49 @@ def test_mp3_decode_real_lib(tmp_path):
     assert y.shape[0] >= 1152
     assert y.shape[0] % 1152 == 0
     assert np.abs(y).max() == 0.0
+
+
+def test_mp3_midstream_rate_change_rejected(monkeypatch, tmp_path):
+    """A concatenated stream whose rate changes mid-decode fails loudly
+    instead of silently truncating."""
+
+    class _RateChanger(_FakeMpg123):
+        def _read(self, h, buf, size, done_ref):
+            self._read_calls += 1
+            if self._read_calls == 1:
+                ctypes.memmove(buf, self._payload, len(self._payload))
+                done_ref._obj.value = len(self._payload)
+                return 0
+            if self._read_calls == 2:
+                self._rate = 22050  # next getformat reports the new rate
+                done_ref._obj.value = 0
+                return -11  # MPG123_NEW_FORMAT
+            done_ref._obj.value = 0
+            return -12
+
+    pcm = np.zeros((64, 1), np.float32)
+    fake = _RateChanger(pcm, 44100)
+    monkeypatch.setitem(codecs._libs, "mpg123", fake)
+    p = tmp_path / "multi.mp3"
+    p.write_bytes(b"ID3" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="mid-stream"):
+        read_audio(p)
+
+
+def test_mpeg_sniff_rejects_adts_and_free_bitrate(tmp_path, monkeypatch):
+    """ADTS AAC (layer bits 00) and invalid bitrate/sampling fields do not
+    route to the MP3 decoder."""
+    monkeypatch.setattr(codecs, "mp3_available", lambda: False)
+    monkeypatch.setattr(codecs, "ogg_vorbis_available", lambda: False)
+    monkeypatch.setattr(codecs, "soundfile_available", lambda: False)
+    for name, head in (
+        ("adts.aac", b"\xff\xf1\x50\x80"),  # MPEG-4 ADTS: layer 00
+        ("badbr.bin", b"\xff\xfb\xf0\x00"),  # bitrate index 1111
+        ("badsr.bin", b"\xff\xfb\x9c\x00"),  # sampling index 11
+    ):
+        p = tmp_path / name
+        p.write_bytes(head + b"\x00" * 32)
+        # none of these are "MPEG audio" per the sniff; the generic
+        # unsupported-container error fires instead of the MP3 route
+        with pytest.raises(ValueError, match="unsupported audio container"):
+            read_audio(p)

@@ -119,3 +119,41 @@ def test_bank_warm_up_no_new_traces(sample_config):
     bank.append_audio_data(1, make_audio(rng, seconds=0.05))
     bank.drain()
     assert fused_detector._fused_call._cache_size() == size0
+
+
+def test_bank_starved_lane_bounds_memory(sample_config):
+    """A dead capture lane must not grow the active lanes' buffers without
+    bound: appends beyond max_buffer_seconds are counted and dropped."""
+    bank = DetectorBank(
+        [sample_config, sample_config], max_buffer_seconds=0.1
+    )
+    cap = bank.max_buffer_samples
+    x = np.zeros(2048, np.float32)
+    for _ in range(200):  # lane 1 never fed
+        bank.append_audio_data(0, x)
+        bank.drain()
+    assert len(bank._residuals[0]) <= cap
+    assert bank.overflows[0] > 0
+    assert bank.overflows[1] == 0
+
+
+def test_bank_matmul_fn_built_once(sample_config):
+    """The matmul fallback jits exactly once (a per-drain jit would retrace
+    every call)."""
+    bank = DetectorBank([sample_config, sample_config], method="matmul")
+    rng = np.random.default_rng(10)
+    bank.append_audio_data(0, make_audio(rng, seconds=0.1))
+    bank.append_audio_data(1, make_audio(rng, seconds=0.1))
+    bank.drain()
+    fn = bank._matmul_fn
+    assert fn is not None
+    size0 = fn._cache_size()
+    # exactly one bucket's worth of new hops: same drain shape as before,
+    # so the SAME compiled computation must serve it (no retrace)
+    hop = bank.spec.hop
+    more = make_audio(rng, seconds=1.0)[: 32 * hop]
+    bank.append_audio_data(0, more)
+    bank.append_audio_data(1, more)
+    bank.drain()
+    assert bank._matmul_fn is fn
+    assert fn._cache_size() == size0

@@ -239,3 +239,24 @@ def test_monitor_batched_drain(chirp_wav, capsys):
     )
     dets = eval(det_line.split(":", 1)[1])
     assert len(dets) == 2 and all(d > 0 for d in dets)
+
+
+def test_monitor_batched_drain_geometry_mismatch(tmp_path, capsys):
+    """--batched-drain with mismatched nets exits cleanly (no traceback)."""
+    import dataclasses
+
+    from syllable_detector_tpu.config.model_format import (
+        dumps_config,
+        load_config,
+    )
+
+    cfg = load_config(NET)
+    other = dataclasses.replace(cfg, scaling="log")
+    p_net = tmp_path / "other.txt"
+    p_net.write_text(dumps_config(other))
+    rc = monitor_main(
+        ["-n", NET, "-n", str(p_net), "--channels", "2",
+         "--duration", "0.2", "--batched-drain"]
+    )
+    assert rc == 1
+    assert "detector bank" in capsys.readouterr().err
