@@ -82,6 +82,25 @@ def main():
 
     monitor_main(["-n", net, "-a", wav, "--channels", "2", "--duration", "2"])
 
+    print("== per-channel DISTINCT nets: batched corpus + batched live drain ==")
+    # a second net (the reference sample) cycled onto channel 1, all lanes
+    # evaluated in ONE fused device call (sample.txt has a different
+    # geometry than the trained net, so train a sibling net instead)
+    net2 = os.path.join(workdir, "net2.txt")
+    settings2 = TrainSettings(epochs=250, batch_size=256, learning_rate=3e-3, seed=7)
+    feats2, labels2 = features_and_labels(settings2, audio, intervals)
+    net_spec2, params2, threshold2 = train(settings2, feats2, labels2)
+    save_config(
+        export_trained_config(settings2, net_spec2, params2, threshold2), net2
+    )
+    stereo = os.path.join(workdir, "stereo.wav")
+    write_wav(stereo, np.stack([audio, audio], axis=1), 44100, dtype="float32")
+    cli_main(["-n", net, "-n", net2, "-a", stereo, "--batched"])
+    monitor_main(
+        ["-n", net, "-n", net2, "-a", wav, "--channels", "2",
+         "--duration", "2", "--batched-drain"]
+    )
+
 
 if __name__ == "__main__":
     main()
