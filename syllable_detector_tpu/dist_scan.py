@@ -47,7 +47,9 @@ def main(argv=None) -> int:
                    help="host:port of process 0's coordination service.")
     p.add_argument("--num-processes", type=int, required=True)
     p.add_argument("--process-id", type=int, required=True)
-    p.add_argument("-n", "--net", required=True)
+    p.add_argument("-n", "--net", action="append", required=True,
+                   help="Network file; repeat to give each audio channel "
+                   "its own network (cycled per channel).")
     p.add_argument("-a", "--audio", action="append", default=[],
                    help="Corpus file (repeatable); the FULL list, identical "
                    "on every process — sharding is internal.")
@@ -80,10 +82,11 @@ def main(argv=None) -> int:
     from syllable_detector_tpu.corpus import scan_corpus_files
 
     try:
-        cfg = load_config(args.net)
+        cfgs = [load_config(n) for n in args.net]
     except ConfigError as e:
         print(f"Unable to load the network configuration: {e}", file=sys.stderr)
         return 1
+    cfg = cfgs if len(cfgs) > 1 else cfgs[0]
 
     mine = shard_paths(args.audio, args.process_id, args.num_processes)
     os.makedirs(args.out, exist_ok=True)

@@ -195,6 +195,55 @@ class DetectorBank:
             axis=1,
         )
 
+    # -- state checkpoint / resume (mirrors Detector.get_state/set_state) ---
+
+    def get_state(self) -> dict:
+        """Snapshot every lane's streaming state as plain numpy arrays."""
+        return {
+            "residuals": [r.copy() for r in self._residuals],
+            "frames_seen": int(self._frames_seen),
+            "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
+            "overflows": list(self.overflows),
+        }
+
+    def set_state(self, state: dict) -> None:
+        """Restore a :meth:`get_state` snapshot (possibly in a different
+        process); continuing the streams afterwards produces exactly the
+        outputs an uninterrupted bank would."""
+        residuals = [np.asarray(r, np.float32) for r in state["residuals"]]
+        if len(residuals) != self.n_lanes:
+            raise ValueError(
+                f"state has {len(residuals)} lanes, bank has {self.n_lanes}"
+            )
+        self._residuals = [r.copy() for r in residuals]
+        self._frames_seen = int(state["frames_seen"])
+        self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
+        self.overflows = list(state.get("overflows", [0] * self.n_lanes))
+
+    def save_state(self, path) -> None:
+        state = self.get_state()
+        np.savez(
+            path,
+            frames_seen=state["frames_seen"],
+            last_outputs=state["last_outputs"],
+            overflows=np.asarray(state["overflows"], np.int64),
+            **{f"residual_{i}": r for i, r in enumerate(state["residuals"])},
+        )
+
+    def load_state(self, path) -> None:
+        with np.load(path) as data:
+            n_saved = sum(1 for k in data.files if k.startswith("residual_"))
+            self.set_state(
+                {
+                    "residuals": [
+                        data[f"residual_{i}"] for i in range(n_saved)
+                    ],
+                    "frames_seen": int(data["frames_seen"]),
+                    "last_outputs": data["last_outputs"],
+                    "overflows": list(data["overflows"]),
+                }
+            )
+
     def warm_up(self, buckets: tuple = _FRAME_BUCKETS) -> int:
         """Eagerly compile every batched drain shape (one per bucket)."""
         spec = self.spec

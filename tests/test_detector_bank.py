@@ -157,3 +157,33 @@ def test_bank_matmul_fn_built_once(sample_config):
     bank.drain()
     assert bank._matmul_fn is fn
     assert fn._cache_size() == size0
+
+
+def test_bank_state_checkpoint_resume(sample_config, tmp_path):
+    """Snapshot mid-stream, restore into a FRESH bank, outputs continue
+    exactly as the uninterrupted bank's."""
+    cfgs = [sample_config, _perturbed_cfg(sample_config, 3)]
+    rng = np.random.default_rng(11)
+    streams = [make_audio(rng, seconds=0.5) for _ in cfgs]
+
+    a = DetectorBank(cfgs)
+    for i in range(2):
+        a.append_audio_data(i, streams[i][:9000])
+    out1 = a.drain()
+    p = tmp_path / "bank.npz"
+    a.save_state(p)
+    for i in range(2):
+        a.append_audio_data(i, streams[i][9000:])
+    cont = a.drain()
+
+    b = DetectorBank(cfgs)
+    b.load_state(p)
+    for i in range(2):
+        b.append_audio_data(i, streams[i][9000:])
+    resumed = b.drain()
+    np.testing.assert_allclose(resumed, cont, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.last_outputs, a.last_outputs)
+
+    wrong = DetectorBank([sample_config])
+    with pytest.raises(ValueError, match="lanes"):
+        wrong.load_state(p)
