@@ -214,3 +214,40 @@ def test_random_config_pipeline(seed):
             )
         )
         np.testing.assert_allclose(fb, vb, rtol=5e-3, atol=1e-3)
+
+    # DetectorBank (batched live drain) equals independent Detectors for
+    # every random geometry, fused or matmul-fallback alike
+    if len(got):
+        from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+        bank = DetectorBank([cfg, cfg])
+        det_b = Detector(cfg)
+        bank_outs, det_outs = [], []
+        pos = 0
+        while pos < n:
+            c = int(rng.integers(400, 6000))
+            bank.append_audio_data(0, x[pos : pos + c])
+            bank.append_audio_data(1, x[pos : pos + c])
+            det_b.append_audio_data(x[pos : pos + c])
+            bo = bank.drain()
+            if bo.shape[1]:
+                bank_outs.append(bo[0])
+            do = det_b.drain()
+            if len(do):
+                det_outs.append(do)
+            pos += c
+        bank_cat = (
+            np.concatenate(bank_outs)
+            if bank_outs
+            else np.zeros((0, got.shape[1]), np.float32)
+        )
+        det_cat = (
+            np.concatenate(det_outs)
+            if det_outs
+            else np.zeros((0, got.shape[1]), np.float32)
+        )
+        assert bank_cat.shape == det_cat.shape
+        if len(det_cat):
+            np.testing.assert_allclose(
+                bank_cat, det_cat, rtol=5e-3, atol=1e-3
+            )
