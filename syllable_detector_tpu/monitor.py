@@ -233,6 +233,13 @@ def main(argv=None) -> int:
         "round (per-channel distinct nets ride the batched kernel) instead "
         "of per-lane drains; requires all nets to share one geometry.",
     )
+    p.add_argument(
+        "--warm-up",
+        action="store_true",
+        help="Compile every drain shape BEFORE starting capture (on TPU a "
+        "cold compile is minutes; the persistent cache makes later runs "
+        "fast). Strongly recommended for live TPU sessions.",
+    )
     p.add_argument("--duration", type=float, default=2.0, help="Seconds to run.")
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
@@ -416,6 +423,29 @@ def main(argv=None) -> int:
         # traceback (the DetectorBank constructor validates lane geometry)
         print(f"Unable to build the detector bank: {e}", file=sys.stderr)
         return 1
+    # device compiles must not stall the live worker mid-stream; on
+    # non-CPU backends give the final drain a compile-sized grace window
+    try:
+        import jax
+
+        on_accel = jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        on_accel = False
+    drain_timeout = 900.0 if on_accel else 10.0
+
+    if args.warm_up:
+        print("warming up drain shapes (first time can take minutes on TPU)…",
+              file=sys.stderr)
+        n = proc.warm_up()
+        print(f"warm-up compiled {n} drain shapes", file=sys.stderr)
+    elif on_accel:
+        print(
+            "note: running on an accelerator without --warm-up; the first "
+            "drain of each new shape compiles on the fly (minutes when the "
+            "compile cache is cold).",
+            file=sys.stderr,
+        )
+
     try:
         proc.set_up()
     except Exception as e:
@@ -449,7 +479,7 @@ def main(argv=None) -> int:
             print_table()
     except KeyboardInterrupt:
         pass
-    proc.drain_pending()
+    proc.drain_pending(timeout=drain_timeout)
     print_table()  # final levels after the stream ends
     proc.tear_down()
 

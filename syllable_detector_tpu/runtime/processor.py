@@ -365,6 +365,22 @@ class Processor:
             except Exception:
                 pass  # output backend errors are logged, not fatal
 
+    def warm_up(self, buckets=None) -> int:
+        """Eagerly compile every drain shape this processor can hit (the
+        bank's batched buckets, or each lane's Detector buckets). Call
+        BEFORE set_up() on TPU: a cold fused bucket is a 5-10 minute remote
+        Mosaic compile, which would otherwise stall the live worker
+        mid-stream (and outlive drain_pending's timeout). Returns the
+        number of shapes compiled."""
+        from syllable_detector_tpu.models.detector import _FRAME_BUCKETS
+
+        buckets = tuple(buckets) if buckets is not None else _FRAME_BUCKETS
+        if self._bank is not None:
+            return self._bank.warm_up(buckets=buckets)
+        return sum(
+            lane.detector.warm_up(buckets=buckets) for lane in self._lanes
+        )
+
     def drain_pending(self, timeout: float = 10.0) -> None:
         """Block until all queued work has been PROCESSED (not merely
         dequeued) — queue.join with a timeout, so a caller reading

@@ -260,3 +260,13 @@ def test_monitor_batched_drain_geometry_mismatch(tmp_path, capsys):
     )
     assert rc == 1
     assert "detector bank" in capsys.readouterr().err
+
+
+def test_monitor_warm_up_flag(chirp_wav, capsys):
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "1", "--duration", "0.5",
+         "--warm-up", "--batched-drain"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "warm-up compiled" in err
