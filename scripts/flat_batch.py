@@ -187,5 +187,97 @@ def main():
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--iso" not in sys.argv:
     main()
+
+
+def iso():
+    """Isolate WHERE the flat-batch throughput goes at tile 2048:
+    A) headline single-stream (same total windows) — the ~104M reference
+    B) flat-batch from a 1-D input (in-fn 2-D view), with the gather
+    C) same but consuming the raw kernel output (no per-channel gather)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bench import log, make_audio, time_scanned
+    from syllable_detector_tpu.config.model_format import load_config
+    from syllable_detector_tpu.kernels.fused_detector import (
+        _folded,
+        _fused_call,
+        _raw_geometry,
+        fused_input_samples,
+        fused_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import detector_spec_from_config
+
+    cfg = load_config("/root/reference/sample.txt")
+    spec, params = detector_spec_from_config(cfg)
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    tile = 2048
+    c = 64
+    n_evals = 1 << 11  # per channel; c*n_evals = 131072 = headline's count
+
+    # A) headline single-stream
+    nA = fused_input_samples(spec, c * n_evals, tile=tile)
+    xA = jax.device_put(jnp.asarray(make_audio(nA)), dev)
+
+    def make_A():
+        def fn(x, carry):
+            out = fused_offline_outputs(
+                spec, params, x, tile=tile, n_evals=c * n_evals
+            )
+            return out[-1, 0] + carry
+
+        return fn
+
+    dt = time_scanned(make_A, xA)
+    log(f"A single-stream 131072 evals: {dt*1e3:8.2f} ms/iter -> "
+        f"{c*n_evals/dt:,.0f} windows/s")
+
+    # B/C) flat-batch from a 1-D input
+    operands, meta = _folded(spec, params)
+    grid = max(1, -(-n_evals // tile))
+    _, hop, _, _, _, rows2d, _ = _raw_geometry(spec, tile)
+    R = (grid - 1) * tile + rows2d
+    grid_total = -(-(c * R) // tile)
+    need_rows = (grid_total - 1) * tile + rows2d
+    xB = jax.device_put(jnp.asarray(make_audio(need_rows * hop)), dev)
+
+    def run_flat(x, do_gather):
+        data = x.reshape(need_rows, hop)
+        out = _fused_call(
+            spec, meta, data, operands, grid_total, grid_total * tile,
+            tile, False, "raw",
+        )
+        if not do_gather:
+            return out
+        starts = jnp.arange(c, dtype=jnp.int32) * R
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(out, (s, 0), (n_evals, out.shape[1]))
+        )(starts)
+
+    def make_B():
+        def fn(x, carry):
+            return run_flat(x, True)[-1, -1, 0] + carry
+
+        return fn
+
+    def make_C():
+        def fn(x, carry):
+            return run_flat(x, False)[-1, 0] + carry
+
+        return fn
+
+    for name, mk in (("B flat+gather", make_B), ("C flat raw", make_C)):
+        dt = time_scanned(mk, xB)
+        log(f"{name}: {dt*1e3:8.2f} ms/iter -> "
+            f"{c*n_evals/dt:,.0f} windows/s")
+
+
+if __name__ == "__main__":
+    if "--iso" in sys.argv:
+        iso()
+    else:
+        main()

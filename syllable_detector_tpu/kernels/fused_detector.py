@@ -46,6 +46,7 @@ from syllable_detector_tpu.ops.stft import band_dft_matrices, frame_signal, num_
 
 __all__ = [
     "fusable", "fused_offline_outputs", "fused_batch_offline_outputs",
+    "fused_flat_batch_offline_outputs", "flat_batch_input_samples",
     "fold_constants", "fold_constants_stacked", "fused_input_samples",
 ]
 
@@ -472,14 +473,17 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "spec", "meta", "grid", "tile", "n_evals", "interpret", "input_mode",
-        "channels", "ch_rows", "per_channel",
+        "channels", "ch_rows", "per_channel", "flat_blocks_per_ch",
     ),
 )
 def _fused_call(
     spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode,
-    channels=None, ch_rows=None, per_channel=False,
+    channels=None, ch_rows=None, per_channel=False, flat_blocks_per_ch=None,
 ):
-    assert not per_channel or channels is not None
+    # per_channel operands index either the channel grid dim (channels
+    # mode) or, in FLAT layout, the 1-D grid position divided by the
+    # channel's block count (flat_blocks_per_ch)
+    assert not per_channel or channels is not None or flat_blocks_per_ch
     halo = spec.time_range - 1
     window = spec.window_length
 
@@ -536,10 +540,14 @@ def _fused_call(
     def _op_spec(j, op):
         if per_channel and j >= n_shared:
             zeros = (0,) * (op.ndim - 1)
+            if flat_blocks_per_ch is not None:
+                idx = (
+                    lambda i, _z=zeros, _b=flat_blocks_per_ch: (i // _b, *_z)
+                )
+            else:
+                idx = lambda ch, i, _z=zeros: (ch, *_z)
             return pl.BlockSpec(
-                (1, *op.shape[1:]),
-                lambda ch, i, _z=zeros: (ch, *_z),
-                memory_space=pltpu.VMEM,
+                (1, *op.shape[1:]), idx, memory_space=pltpu.VMEM
             )
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -955,3 +963,145 @@ def _batch_core_slabbed(
             xs.reshape(c_pad // s, s, n),
         )
     return outs.reshape(c_pad, *outs.shape[2:])[:c]
+
+
+# ---------------------------------------------------------------------------
+# FLAT batched layout: channels as consecutive row ranges of ONE slab,
+# processed by the single-stream kernel (no channel grid dimension)
+# ---------------------------------------------------------------------------
+# Measured r3 (tile 2048, c=64): the flat kernel runs 115M windows/s — the
+# full single-stream rate — where the (c, grid) channel-grid kernel
+# plateaus at ~50M and lax.map slabbing at ~69M. The plateau was never
+# per-program overhead of the batched kernel body; it was the layout.
+# Channel boundaries need NO tile alignment for shared nets: each
+# channel's valid evals live at rows [ch*R, ch*R + n_evals) and the
+# boundary evals whose windows read into the next channel's head are
+# exactly the rows sliced away (<2% waste). Distinct nets need R to be a
+# multiple of tile (so a program never straddles two channels' operands;
+# the per-program operand block index is i // (R/tile)) — choose larger
+# n_evals per channel to amortize the alignment pad.
+
+
+def _flat_geometry(spec: DetectorSpec, n_evals: int, tile: int, distinct: bool):
+    grid = max(1, -(-n_evals // tile))
+    _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
+    halo_rows = rows2d - tile
+    r = grid * tile + halo_rows  # per-channel rows incl. own sliding halo
+    if distinct:
+        r = _round_up(r, tile)
+    return grid, hop, hop_pad, rows2d, halo_rows, r
+
+
+def flat_batch_input_samples(
+    spec: DetectorSpec,
+    n_evals: int,
+    channels: int,
+    tile: int = 2048,
+    distinct: bool = False,
+) -> tuple[int, int]:
+    """(per_channel_samples, total_flat_samples) for a ZERO-COPY flat
+    batched call: pack channel ch's samples at offset
+    ``ch * per_channel_samples`` of a flat float32 buffer of
+    ``total_flat_samples`` (zero-fill the tail) and pass it 1-D with
+    ``channels=channels``."""
+    _, hop, _, rows2d, halo_rows, r = _flat_geometry(
+        spec, n_evals, tile, distinct
+    )
+    grid_total = max(1, -(-(channels * r - halo_rows) // tile))
+    need_rows = (grid_total - 1) * tile + rows2d
+    return r * hop, need_rows * hop
+
+
+def fused_flat_batch_offline_outputs(
+    spec: DetectorSpec,
+    params,
+    xs: jax.Array,
+    tile: int = 2048,
+    interpret: bool | None = None,
+    n_evals: int | None = None,
+    channels: int | None = None,
+) -> jax.Array:
+    """[C, n] streams -> [C, E, outputs] through the single-stream kernel
+    over one flat slab — the FAST batched layout (shared or distinct nets).
+
+    ``xs`` is either [C, n] (one per-channel repack copy) or a flat 1-D
+    buffer laid out by :func:`flat_batch_input_samples` with
+    ``channels=C`` (zero-copy view straight into the kernel).
+    """
+    distinct = isinstance(params, (list, tuple))
+    if xs.ndim == 1:
+        if channels is None:
+            raise ValueError("flat 1-D input needs channels=C")
+        c = channels
+    else:
+        c, n_in = xs.shape
+    if distinct and len(params) != c:
+        raise ValueError(f"{len(params)} per-channel networks for {c} channels")
+    if not fusable(spec):
+        return fused_batch_offline_outputs(
+            spec, params, xs if xs.ndim == 2 else xs.reshape(c, -1),
+            tile=min(tile, 512), interpret=interpret, n_evals=n_evals,
+        )
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform == "cpu"
+
+    if distinct:
+        operands, meta = _folded_stacked(spec, tuple(params))
+    else:
+        operands, meta = _folded(spec, params)
+
+    if n_evals is None:
+        if xs.ndim == 1:
+            raise ValueError("flat 1-D input needs an explicit n_evals")
+        f = num_frames(n_in, spec.window_length, spec.window_overlap)
+        n_evals = f - spec.time_range + 1
+    if n_evals <= 0:
+        return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    grid, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
+        spec, n_evals, tile, distinct
+    )
+    if grid * tile < n_evals:
+        grid = -(-n_evals // tile)
+    grid_total = max(1, -(-(c * r - halo_rows) // tile))
+    need_rows = (grid_total - 1) * tile + rows2d
+
+    xs = jnp.asarray(xs, jnp.float32)
+    if xs.ndim == 1:
+        per_ch, total = r * hop, need_rows * hop
+        if xs.shape[0] != total:
+            raise ValueError(
+                f"flat input must have exactly {total} samples "
+                f"(= flat_batch_input_samples(...)[1]); got {xs.shape[0]}"
+            )
+        data = xs.reshape(need_rows, hop)
+    else:
+        want = r * hop
+        if want > n_in:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
+            )
+        data = xs[:, :want].reshape(c * r, hop)
+        if need_rows > c * r:
+            data = jnp.concatenate(
+                [data, jnp.zeros((need_rows - c * r, hop), jnp.float32)]
+            )
+    if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
+        data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
+
+    out = _fused_call(
+        spec, meta, data, operands, grid_total, grid_total * tile, tile,
+        interpret, "raw", per_channel=distinct,
+        flat_blocks_per_ch=(r // tile) if distinct else None,
+    )  # [grid_total*tile, o_pad-trimmed to outputs]
+
+    # channel ch's evals are CONTIGUOUS at rows [ch*r, ch*r + n_evals):
+    # pad to c*r rows (the final halo rows produce no evals) and view as
+    # [c, r, outputs] — a static pad + reshape, never a gather (a
+    # materialized gather is ~1000x slower on this hardware)
+    pad = c * r - out.shape[0]
+    if pad > 0:
+        out = jnp.concatenate(
+            [out, jnp.zeros((pad, out.shape[1]), out.dtype)]
+        )
+    return out[: c * r].reshape(c, r, -1)[:, :n_evals]

@@ -394,3 +394,93 @@ def test_fused_batch_distinct_split_tier(sample_config, audio):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# FLAT batched layout (single-stream kernel over concatenated channel slabs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("distinct", [False, True])
+def test_flat_batch_matches_vmap(sample_config, audio, distinct):
+    import jax
+
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import offline_outputs
+    from syllable_detector_tpu.models.neural_net import stack_params
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 9000
+    c = 3
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(c)])
+    if distinct:
+        p = [_perturbed_params(params, 30 + i) for i in range(c)]
+        want = np.asarray(
+            jax.vmap(lambda pp, x: offline_outputs(spec, pp, x))(
+                stack_params(p), xs
+            )
+        )
+    else:
+        p = params
+        want = np.asarray(
+            jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+        )
+    got = np.asarray(
+        fused_flat_batch_offline_outputs(spec, p, xs, tile=64, interpret=True)
+    )
+    assert got.shape[0] == c and got.shape[2] == want.shape[2]
+    np.testing.assert_allclose(
+        got, want[:, : got.shape[1]], rtol=1e-3, atol=2e-4
+    )
+
+
+def test_flat_batch_zero_copy_input(sample_config, audio):
+    """The flat 1-D packed input form (flat_batch_input_samples layout)
+    equals the 2-D form exactly."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        flat_batch_input_samples,
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    c, n_evals, tile = 3, 128, 64
+    per_ch, total = flat_batch_input_samples(spec, n_evals, c, tile=tile)
+    flat = np.zeros(total, np.float32)
+    for ch in range(c):
+        m = min(per_ch, len(audio) - ch)
+        flat[ch * per_ch : ch * per_ch + m] = audio[ch : ch + m]
+    got = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, jnp.asarray(flat), tile=tile, n_evals=n_evals,
+            channels=c, interpret=True,
+        )
+    )
+    xs2d = jnp.asarray(
+        np.stack([flat[ch * per_ch : (ch + 1) * per_ch] for ch in range(c)])
+    )
+    want = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, xs2d, tile=tile, n_evals=n_evals, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_flat_batch_input_validation(sample_config, audio):
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    flat = jnp.zeros(1000, jnp.float32)
+    with pytest.raises(ValueError, match="channels"):
+        fused_flat_batch_offline_outputs(
+            spec, params, flat, tile=64, n_evals=64, interpret=True
+        )
+    with pytest.raises(ValueError, match="exactly"):
+        fused_flat_batch_offline_outputs(
+            spec, params, flat, tile=64, n_evals=64, channels=2,
+            interpret=True,
+        )
