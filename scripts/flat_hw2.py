@@ -57,7 +57,10 @@ def main():
         flat = np.zeros(total, np.float32)
         for ch in range(c):
             flat[ch * per_ch : (ch + 1) * per_ch] = np.roll(base, 13 * ch)
-        xs = jax.device_put(jnp.asarray(flat), dev)
+        # pre-slabbed 2-D form: device-puts in the kernel's tiled layout
+        # (the 1-D form costs an in-graph layout copy that DOUBLES peak
+        # HBM — it OOM'd the c=1024 distinct case)
+        xs = jax.device_put(jnp.asarray(flat.reshape(-1, spec.hop)), dev)
 
         # parity vs the (c,grid) batched kernel on a short prefix
         got = np.asarray(

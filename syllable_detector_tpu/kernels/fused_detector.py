@@ -1002,8 +1002,10 @@ def flat_batch_input_samples(
     """(per_channel_samples, total_flat_samples) for a ZERO-COPY flat
     batched call: pack channel ch's samples at offset
     ``ch * per_channel_samples`` of a flat float32 buffer of
-    ``total_flat_samples`` (zero-fill the tail) and pass it 1-D with
-    ``channels=channels``."""
+    ``total_flat_samples`` (zero-fill the tail). For the fastest path,
+    reshape it host-side to ``[total_flat_samples // hop, hop]`` and pass
+    that 2-D array with ``channels=channels`` (device-puts directly in the
+    kernel's tiled layout — no in-graph copy)."""
     _, hop, _, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
     )
@@ -1024,22 +1026,36 @@ def fused_flat_batch_offline_outputs(
     """[C, n] streams -> [C, E, outputs] through the single-stream kernel
     over one flat slab — the FAST batched layout (shared or distinct nets).
 
-    ``xs`` is either [C, n] (one per-channel repack copy) or a flat 1-D
-    buffer laid out by :func:`flat_batch_input_samples` with
-    ``channels=C`` (zero-copy view straight into the kernel).
+    ``xs`` forms (fastest first):
+      * pre-slabbed 2-D ``[need_rows, hop]`` with ``channels=C`` and an
+        explicit ``n_evals`` (the :func:`flat_batch_input_samples` layout
+        reshaped host-side) — TRUE zero copy: the array device-puts in the
+        kernel's tiled layout, so no in-graph copy and no doubled HBM;
+      * flat 1-D of ``total_flat_samples`` with ``channels=C`` — the
+        in-graph reshape to the tiled 2-D layout materializes ONE copy
+        (fine for small batches, doubles peak HBM at 1024-channel scale);
+      * ``[C, n]`` — one per-channel repack copy.
     """
     distinct = isinstance(params, (list, tuple))
-    if xs.ndim == 1:
+    pre_slabbed = channels is not None and xs.ndim == 2
+    if xs.ndim == 1 or pre_slabbed:
         if channels is None:
             raise ValueError("flat 1-D input needs channels=C")
         c = channels
+        if n_evals is None:
+            raise ValueError("flat/pre-slabbed input needs an explicit n_evals")
     else:
         c, n_in = xs.shape
     if distinct and len(params) != c:
         raise ValueError(f"{len(params)} per-channel networks for {c} channels")
     if not fusable(spec):
+        if xs.ndim == 1 or pre_slabbed:
+            raise ValueError(
+                "flat/pre-slabbed input requires a fusable spec; use the "
+                "[C, n] form for the unfused fallback"
+            )
         return fused_batch_offline_outputs(
-            spec, params, xs if xs.ndim == 2 else xs.reshape(c, -1),
+            spec, params, xs,
             tile=min(tile, 512), interpret=interpret, n_evals=n_evals,
         )
     if interpret is None:
@@ -1051,8 +1067,6 @@ def fused_flat_batch_offline_outputs(
         operands, meta = _folded(spec, params)
 
     if n_evals is None:
-        if xs.ndim == 1:
-            raise ValueError("flat 1-D input needs an explicit n_evals")
         f = num_frames(n_in, spec.window_length, spec.window_overlap)
         n_evals = f - spec.time_range + 1
     if n_evals <= 0:
@@ -1067,7 +1081,14 @@ def fused_flat_batch_offline_outputs(
     need_rows = (grid_total - 1) * tile + rows2d
 
     xs = jnp.asarray(xs, jnp.float32)
-    if xs.ndim == 1:
+    if pre_slabbed:
+        if xs.shape != (need_rows, hop):
+            raise ValueError(
+                f"pre-slabbed input must have shape ({need_rows}, {hop}) "
+                f"(= flat_batch_input_samples layout); got {xs.shape}"
+            )
+        data = xs
+    elif xs.ndim == 1:
         per_ch, total = r * hop, need_rows * hop
         if xs.shape[0] != total:
             raise ValueError(

@@ -484,3 +484,33 @@ def test_flat_batch_input_validation(sample_config, audio):
             spec, params, flat, tile=64, n_evals=64, channels=2,
             interpret=True,
         )
+
+
+def test_flat_batch_pre_slabbed_input(sample_config, audio):
+    """The pre-slabbed 2-D [need_rows, hop] form (true zero copy) equals
+    the flat 1-D form exactly."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        flat_batch_input_samples,
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    c, n_evals, tile = 3, 128, 64
+    per_ch, total = flat_batch_input_samples(spec, n_evals, c, tile=tile)
+    flat = np.zeros(total, np.float32)
+    for ch in range(c):
+        m = min(per_ch, len(audio) - ch)
+        flat[ch * per_ch : ch * per_ch + m] = audio[ch : ch + m]
+    a = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, jnp.asarray(flat), tile=tile, n_evals=n_evals,
+            channels=c, interpret=True,
+        )
+    )
+    b = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, jnp.asarray(flat.reshape(-1, spec.hop)),
+            tile=tile, n_evals=n_evals, channels=c, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
