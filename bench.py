@@ -130,39 +130,82 @@ def _perturbed_params(params, seed, scale=0.05):
     )
 
 
-def batched_throughput(spec, params, dev, c, tile=512, n_evals=1 << 11):
+def batched_throughput(
+    spec, params, dev, c, tile=None, n_evals=None, layout="flat"
+):
     """Windows/s for a c-channel batched fused scan (the multi-detector
-    deployment shape). ``params`` may be a list of c DISTINCT nets. tile
-    512 measured best for the channel-grid kernel (2048 halves it)."""
-    from syllable_detector_tpu.kernels.fused_detector import (
-        fused_batch_offline_outputs,
-        fused_input_samples,
-    )
+    deployment shape). ``params`` may be a list of c DISTINCT nets.
 
-    n = fused_input_samples(spec, n_evals, tile=tile, batched=True)
+    layout='flat' (default, r3): channels as consecutive row ranges of one
+    slab through the single-stream kernel, pre-slabbed zero-copy input —
+    measured 122M w/s shared / ~100M distinct at c=64-1024.
+    layout='grid': the legacy channel-grid kernel (tile 512, lax.map slabs
+    above SWEEP_SLAB channels) for A/B comparison.
+    """
+    distinct = isinstance(params, (list, tuple))
 
     # the streams MUST flow through the function argument: a closed-over
     # device array is lifted into the HLO as a literal constant, and a
     # [1024, n] constant blows the remote compiler's request-size limit
     # (the real cause of the r1 sweep failures)
-    def make_fn():
-        def fn(x, carry):
-            # c > SWEEP_SLAB runs as lax.map over slabs of the one
-            # compiled kernel inside fused_batch_offline_outputs itself
-            outs = fused_batch_offline_outputs(
-                spec, params, x, tile=tile, n_evals=n_evals,
-                slab_channels=SWEEP_SLAB,
-            )
-            return outs[-1, -1, 0] + carry
+    if layout == "flat":
+        from syllable_detector_tpu.kernels.fused_detector import (
+            flat_batch_input_samples,
+            fused_flat_batch_offline_outputs,
+        )
 
-        return fn
+        tile = tile or (512 if distinct else 2048)
+        n_evals = n_evals or ((1 << 13) if distinct else (1 << 11))
+        per_ch, total = flat_batch_input_samples(
+            spec, n_evals, c, tile=tile, distinct=distinct
+        )
+        base = make_audio(per_ch)
+        flat = np.zeros(total, np.float32)
+        for ch in range(c):
+            flat[ch * per_ch : (ch + 1) * per_ch] = np.roll(base, 13 * ch)
+        xs = jax.device_put(
+            jnp.asarray(flat.reshape(-1, spec.hop)), dev
+        )  # pre-slabbed: no in-graph relayout copy
 
-    xs = jax.device_put(
-        jnp.asarray(
-            np.random.default_rng(0).standard_normal((c, n)).astype(np.float32)
-        ),
-        dev,
-    )
+        def make_fn():
+            def fn(x, carry):
+                outs = fused_flat_batch_offline_outputs(
+                    spec, params, x, tile=tile, n_evals=n_evals, channels=c
+                )
+                return outs[-1, -1, 0] + carry
+
+            return fn
+
+    else:
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fused_batch_offline_outputs,
+            fused_input_samples,
+        )
+
+        tile = tile or 512
+        n_evals = n_evals or (1 << 11)
+        n = fused_input_samples(spec, n_evals, tile=tile, batched=True)
+        xs = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0)
+                .standard_normal((c, n))
+                .astype(np.float32)
+            ),
+            dev,
+        )
+
+        def make_fn():
+            def fn(x, carry):
+                # c > SWEEP_SLAB runs as lax.map over slabs of the one
+                # compiled kernel inside fused_batch_offline_outputs itself
+                outs = fused_batch_offline_outputs(
+                    spec, params, x, tile=tile, n_evals=n_evals,
+                    slab_channels=SWEEP_SLAB, layout="grid",
+                )
+                return outs[-1, -1, 0] + carry
+
+            return fn
+
     dt = time_scanned(make_fn, xs)
     return c * n_evals / dt
 
@@ -232,17 +275,26 @@ def _run(cfg, spec, params, dev):
     n_samples = fused_input_samples(spec, n_evals, tile=tile)
     log(f"generating {n_samples} samples (~{n_samples/44100:.0f}s of audio), "
         f"{n_evals} windows/call (slab-exact, no tail pad)")
-    x = jnp.asarray(make_audio(n_samples))
-    x = jax.device_put(x, dev)
+    audio = make_audio(n_samples)
+    x = jax.device_put(jnp.asarray(audio), dev)  # 1-D: unfused + oracle
+    # pre-slabbed [rows, hop] for the fused paths: device-put lays it out
+    # in the kernel's tiled layout, so the per-iteration 1-D->2-D relayout
+    # copy disappears (r3: 104 -> ~120M windows/s at the headline shape)
+    x2d = jax.device_put(
+        jnp.asarray(audio.reshape(-1, spec.hop)), dev
+    )
 
     # --- on-hardware fused-vs-unfused parity (before any timing) -----------
     # a Mosaic lowering bug must fail the bench loudly, not ship silently
     max_rel = None
     try:
         got = np.asarray(
-            fused_offline_outputs(spec, params, x, tile=tile, input_mode="raw")
+            fused_offline_outputs(
+                spec, params, x2d, tile=tile, input_mode="raw",
+                n_evals=n_evals,
+            )
         )
-        want = np.asarray(offline_outputs(spec, params, x))
+        want = np.asarray(offline_outputs(spec, params, x))[:n_evals]
         err = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
         max_rel = float(err.max())
         log(f"fused-vs-unfused parity on device: max rel err {max_rel:.2e} "
@@ -266,7 +318,7 @@ def _run(cfg, spec, params, dev):
 
             return fn
 
-        dt_fused = time_scanned(make_fused, x)
+        dt_fused = time_scanned(make_fused, x2d)
         wps_fused = n_evals / dt_fused
         log(f"fused:   {dt_fused*1e3:8.2f} ms/iter -> {wps_fused:,.0f} windows/s")
     except Exception as e:  # pragma: no cover - fall back to unfused number
@@ -288,7 +340,7 @@ def _run(cfg, spec, params, dev):
 
                     return fn
 
-                dt_tier = time_scanned(make_tier, x)
+                dt_tier = time_scanned(make_tier, x2d)
                 log(
                     f"fused {name}: {dt_tier*1e3:8.2f} ms/iter -> "
                     f"{n_evals/dt_tier:,.0f} windows/s ({err_note}; "

@@ -738,6 +738,10 @@ def fused_offline_outputs(
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
 
+        if x.ndim == 2:
+            raise ValueError(
+                "pre-slabbed input requires a fusable spec; pass 1-D samples"
+            )
         return offline_outputs(spec, params, x)
     if interpret is None:
         interpret = jax.local_devices()[0].platform == "cpu"
@@ -748,7 +752,19 @@ def fused_offline_outputs(
     if split is not None:
         meta = meta._replace(split=split)
 
-    n = x.shape[0]
+    pre_slabbed = x.ndim == 2
+    if pre_slabbed:
+        # [total_rows, hop] input (the fused_input_samples layout reshaped
+        # host-side): device-puts directly in the kernel's tiled layout, so
+        # the in-graph 1-D->2-D relayout COPY disappears (measured ~15% of
+        # iteration time at the headline shape)
+        if input_mode != "raw":
+            raise ValueError("pre-slabbed input requires input_mode='raw'")
+        if n_evals is None:
+            raise ValueError("pre-slabbed input needs an explicit n_evals")
+        n = x.shape[0] * x.shape[1]
+    else:
+        n = x.shape[0]
     f = num_frames(n, spec.window_length, spec.window_overlap)
     max_evals = f - spec.time_range + 1
     if n_evals is None:
@@ -770,9 +786,17 @@ def fused_offline_outputs(
         total_rows = (grid - 1) * tile + rows2d
         total = total_rows * hop
         x = jnp.asarray(x, jnp.float32)
-        if total > n:
-            x = jnp.concatenate([x, jnp.zeros(total - n, jnp.float32)])
-        data = x[:total].reshape(total_rows, hop)
+        if pre_slabbed:
+            if x.shape != (total_rows, hop):
+                raise ValueError(
+                    f"pre-slabbed input must have shape ({total_rows}, {hop})"
+                    f" (= fused_input_samples reshaped); got {x.shape}"
+                )
+            data = x
+        else:
+            if total > n:
+                x = jnp.concatenate([x, jnp.zeros(total - n, jnp.float32)])
+            data = x[:total].reshape(total_rows, hop)
         pipe = _pipelined_geometry(spec, tile) is not None
         if hop_pad != hop and not pipe:
             data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
@@ -838,13 +862,14 @@ def fused_batch_offline_outputs(
     spec: DetectorSpec,
     params,
     xs: jax.Array,
-    tile: int = 256,
+    tile: int | None = None,
     interpret: bool | None = None,
     fast: bool = False,
     split: bool | None = None,
     packed: bool | None = None,
     n_evals: int | None = None,
     slab_channels: int | None = 64,
+    layout: str = "flat",
 ) -> jax.Array:
     """[C, n] streams -> [C, E, outputs] through the fused kernel.
 
@@ -852,17 +877,16 @@ def fused_batch_offline_outputs(
     DISTINCT per-channel nets — the reference's deployment loads a different
     network per audio channel (Processor.swift:57-59,
     ViewControllerProcessor.swift:222-276); distinct nets must share one
-    geometry (the stack_params contract). Either way the channel axis is a
-    leading grid dimension of the same kernel, so all channels run in one
-    launch — the 1024+-concurrent-detector-channels deployment shape. (A
-    plain vmap fails Mosaic's ANY-memory-space blocking rule, so the
-    batching is native.)
+    geometry (the stack_params contract).
 
-    Channel counts above ``slab_channels`` run as ``lax.map`` over slabs of
-    one compiled ``slab_channels``-wide kernel: very wide native shapes blow
-    the remote Mosaic compiler's request-size limit, only ONE compile is
-    ever needed, and the map measured as fast as (often faster than) a
-    single wide launch. ``slab_channels=None`` disables the slabbing.
+    ``layout='flat'`` (default) routes through
+    :func:`fused_flat_batch_offline_outputs` — channels as consecutive row
+    ranges of ONE slab through the single-stream kernel, measured r3 at
+    93M windows/s shared / 80M distinct vs the channel-grid kernel's
+    50-69M. ``layout='grid'`` keeps the channel-grid kernel (the channel
+    axis as a leading grid dimension; ``slab_channels`` bounds launch
+    width via ``lax.map`` slabs) — also used automatically for the
+    ``fast``/``split``/``packed`` diagnostic tiers.
     """
     distinct = isinstance(params, (list, tuple))
     c, n = xs.shape
@@ -870,6 +894,22 @@ def fused_batch_offline_outputs(
         raise ValueError(
             f"{len(params)} per-channel networks for {c} channels"
         )
+    if (
+        layout == "flat"
+        and not fast
+        and split is None
+        and packed is None
+        and fusable(spec)
+    ):
+        # measured-best flat tiles: 2048 shared; 512 for distinct (each
+        # channel's rows pad to a tile multiple). Explicit tiles honored.
+        flat_tile = tile if tile is not None else (512 if distinct else 2048)
+        return fused_flat_batch_offline_outputs(
+            spec, params, xs, tile=flat_tile, interpret=interpret,
+            n_evals=n_evals,
+        )
+    if tile is None:
+        tile = 256  # the grid kernel's historical default
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
 

@@ -514,3 +514,39 @@ def test_flat_batch_pre_slabbed_input(sample_config, audio):
         )
     )
     np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("distinct", [False, True])
+def test_grid_layout_still_matches(sample_config, audio, distinct):
+    """layout='grid' (the channel-grid kernel: mesh shards + diagnostic
+    tiers ride it) keeps matching the flat default."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = 8000
+    c = 3
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(c)])
+    p = (
+        [_perturbed_params(params, 40 + i) for i in range(c)]
+        if distinct
+        else params
+    )
+    flat = np.asarray(
+        fused_batch_offline_outputs(spec, p, xs, tile=64, interpret=True)
+    )
+    grid = np.asarray(
+        fused_batch_offline_outputs(
+            spec, p, xs, tile=64, interpret=True, layout="grid"
+        )
+    )
+    np.testing.assert_allclose(flat, grid, rtol=1e-5, atol=1e-6)
+    # the grid slab path too
+    grid_slab = np.asarray(
+        fused_batch_offline_outputs(
+            spec, p, xs, tile=64, interpret=True, layout="grid",
+            slab_channels=2,
+        )
+    )
+    np.testing.assert_allclose(grid_slab, grid, rtol=1e-6, atol=1e-7)
