@@ -155,7 +155,12 @@ def batched_throughput(
         )
 
         tile = tile or (512 if distinct else 2048)
-        n_evals = n_evals or ((1 << 13) if distinct else (1 << 11))
+        # distinct pads each channel's rows to a tile multiple, so larger
+        # per-channel chunks amortize the pad — but the flat slab's 132->256
+        # lane pad (1.9x) makes c=1024 x 8192 evals exceed HBM; cap at
+        # 2048 evals/channel beyond 256 channels (20% pad overhead there)
+        if n_evals is None:
+            n_evals = (1 << 13) if (distinct and c <= 256) else (1 << 11)
         per_ch, total = flat_batch_input_samples(
             spec, n_evals, c, tile=tile, distinct=distinct
         )

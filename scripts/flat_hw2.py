@@ -45,8 +45,13 @@ def main():
     if "--skip-1024" not in sys.argv:
         cases += [
             ("shared", 1024, 2048, 1 << 11, False),
-            ("distinct", 1024, 512, 1 << 13, True),
+            # n_evals capped at 2048/channel: the 132->256 lane pad of the
+            # flat slab plus the [N, 8]->128-lane output pad exceed HBM at
+            # 1024 x 8192 (measured 12.8G requirement)
+            ("distinct", 1024, 512, 1 << 11, True),
         ]
+    if "--only-1024-distinct" in sys.argv:
+        cases = [("distinct", 1024, 512, 1 << 11, True)]
 
     for name, c, tile, n_evals, distinct in cases:
         p = [_perturbed_params(params, i) for i in range(c)] if distinct else params

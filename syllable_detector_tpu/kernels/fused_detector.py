@@ -1120,6 +1120,22 @@ def fused_flat_batch_offline_outputs(
     grid_total = max(1, -(-(c * r - halo_rows) // tile))
     need_rows = (grid_total - 1) * tile + rows2d
 
+    # loud HBM guard: the flat slab's lane dim pads hop->multiple of 128
+    # (132->256 = 1.9x for the sample net) and the [rows, o_pad] output
+    # pads its 8 lanes to 128 (16x). At 1024 channels x 8192 evals that is
+    # a measured 12.8G program requirement — fail with advice instead of
+    # an opaque RESOURCE_EXHAUSTED mid-run.
+    est = (
+        need_rows * _round_up(hop, LANE) * 4
+        + grid_total * tile * LANE * 4
+    )
+    if not interpret and est > 11 << 30:
+        raise ValueError(
+            f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab + "
+            f"output) exceeds a single chip's HBM; reduce n_evals per "
+            f"channel (e.g. 2048) or chunk the channels"
+        )
+
     xs = jnp.asarray(xs, jnp.float32)
     if pre_slabbed:
         if xs.shape != (need_rows, hop):
