@@ -20,5 +20,8 @@ def test_entry_fused_matches_unfused():
     from syllable_detector_tpu.models.detector import offline_outputs
 
     _, spec, params = __graft_entry__._sample_setup()
-    want = np.asarray(offline_outputs(spec, params, args[0]))[: out.shape[0]]
+    # entry's example input is the pre-slabbed [rows, hop] form; the
+    # unfused oracle consumes the flat sample stream
+    x1d = np.asarray(args[0]).reshape(-1)
+    want = np.asarray(offline_outputs(spec, params, x1d))[: out.shape[0]]
     np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
