@@ -1153,16 +1153,10 @@ def fused_flat_batch_offline_outputs(
             )
         data = xs.reshape(need_rows, hop)
     else:
-        want = r * hop
-        if want > n_in:
-            xs = jnp.concatenate(
-                [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
-            )
-        data = xs[:, :want].reshape(c * r, hop)
-        if need_rows > c * r:
-            data = jnp.concatenate(
-                [data, jnp.zeros((need_rows - c * r, hop), jnp.float32)]
-            )
+        return _flat_core(
+            spec, meta, operands, xs, tile, interpret, n_evals,
+            per_channel=distinct,
+        )
     if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
         data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
 
@@ -1171,14 +1165,62 @@ def fused_flat_batch_offline_outputs(
         interpret, "raw", per_channel=distinct,
         flat_blocks_per_ch=(r // tile) if distinct else None,
     )  # [grid_total*tile, o_pad-trimmed to outputs]
+    return _flat_outputs(out, c, r, n_evals)
 
-    # channel ch's evals are CONTIGUOUS at rows [ch*r, ch*r + n_evals):
-    # pad to c*r rows (the final halo rows produce no evals) and view as
-    # [c, r, outputs] — a static pad + reshape, never a gather (a
-    # materialized gather is ~1000x slower on this hardware)
+
+def _flat_outputs(out, c, r, n_evals):
+    """Recover [c, n_evals, outputs] from the flat kernel's row-major
+    output: channel ch's evals are CONTIGUOUS at rows [ch*r, ch*r +
+    n_evals) — pad to c*r rows (the final halo rows produce no evals) and
+    view, a static pad + reshape, never a gather (a materialized gather is
+    ~1000x slower on this hardware)."""
     pad = c * r - out.shape[0]
     if pad > 0:
         out = jnp.concatenate(
             [out, jnp.zeros((pad, out.shape[1]), out.dtype)]
         )
     return out[: c * r].reshape(c, r, -1)[:, :n_evals]
+
+
+def _flat_core(
+    spec: DetectorSpec,
+    meta: FusedMeta,
+    operands,
+    xs: jax.Array,
+    tile: int,
+    interpret: bool,
+    n_evals: int,
+    per_channel: bool = False,
+) -> jax.Array:
+    """Flat-layout launch for a [c, n] batch (one per-channel repack).
+    Fully traceable — runs under ``shard_map``/``lax.map`` with traced
+    ``operands``/``xs`` (the mesh-sharded fused path's per-device core)."""
+    c, n_in = xs.shape
+    grid, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
+        spec, n_evals, tile, per_channel
+    )
+    if grid * tile < n_evals:
+        grid = -(-n_evals // tile)
+    grid_total = max(1, -(-(c * r - halo_rows) // tile))
+    need_rows = (grid_total - 1) * tile + rows2d
+
+    xs = jnp.asarray(xs, jnp.float32)
+    want = r * hop
+    if want > n_in:
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
+        )
+    data = xs[:, :want].reshape(c * r, hop)
+    if need_rows > c * r:
+        data = jnp.concatenate(
+            [data, jnp.zeros((need_rows - c * r, hop), jnp.float32)]
+        )
+    if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
+        data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
+
+    out = _fused_call(
+        spec, meta, data, operands, grid_total, grid_total * tile, tile,
+        interpret, "raw", per_channel=per_channel,
+        flat_blocks_per_ch=(r // tile) if per_channel else None,
+    )
+    return _flat_outputs(out, c, r, n_evals)

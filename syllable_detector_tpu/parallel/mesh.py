@@ -86,9 +86,10 @@ def sharded_fused_offline_outputs(
     spec: DetectorSpec,
     params,
     xs: jax.Array,
-    tile: int = 256,
+    tile: int | None = None,
     n_evals: int | None = None,
     slab_channels: int | None = 64,
+    layout: str = "flat",
 ) -> jax.Array:
     """Channel-sharded detection on the FLAGSHIP fused kernel: [C, n]
     streams -> [C, E, outputs] with the channel axis split across the mesh
@@ -105,6 +106,7 @@ def sharded_fused_offline_outputs(
     """
     from syllable_detector_tpu.kernels.fused_detector import (
         _batch_core_slabbed,
+        _flat_core,
         _folded,
         _folded_stacked,
         fusable,
@@ -148,8 +150,19 @@ def sharded_fused_offline_outputs(
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 
+    if tile is None:
+        tile = (512 if distinct else 2048) if layout == "flat" else 256
+
     def build_fn():
         def local(shared_op, st_ops, x):
+            if layout == "flat":
+                # r3: the flat layout runs each device's local channels at
+                # the single-stream rate (122M shared / ~100M distinct per
+                # chip vs the grid kernel's 50-70M)
+                return _flat_core(
+                    spec, meta, (shared_op, *st_ops), x, tile, interpret,
+                    n_evals, per_channel=distinct,
+                )
             return _batch_core_slabbed(
                 spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,
                 per_channel=distinct, slab_channels=slab_channels,
@@ -172,7 +185,7 @@ def sharded_fused_offline_outputs(
     # params pinned by identity so recycled ids cannot alias
     pin = tuple(params) if distinct else params
     key = (
-        "cf", spec, mesh, tile, slab_channels, n_evals, c, distinct,
+        "cf", spec, mesh, tile, slab_channels, n_evals, c, distinct, layout,
         tuple(id(p) for p in pin) if distinct else id(pin),
     )
     hit = _sharded_fn_cache.get(key)
