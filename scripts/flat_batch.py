@@ -187,10 +187,6 @@ def main():
     )
 
 
-if __name__ == "__main__" and "--iso" not in sys.argv:
-    main()
-
-
 def iso():
     """Isolate WHERE the flat-batch throughput goes at tile 2048:
     A) headline single-stream (same total windows) — the ~104M reference

@@ -901,13 +901,37 @@ def fused_batch_offline_outputs(
         and packed is None
         and fusable(spec)
     ):
-        # measured-best flat tiles: 2048 shared; 512 for distinct (each
-        # channel's rows pad to a tile multiple). Explicit tiles honored.
-        flat_tile = tile if tile is not None else (512 if distinct else 2048)
-        return fused_flat_batch_offline_outputs(
-            spec, params, xs, tile=flat_tile, interpret=interpret,
-            n_evals=n_evals,
-        )
+        ne = n_evals
+        if ne is None:
+            f = num_frames(n, spec.window_length, spec.window_overlap)
+            ne = f - spec.time_range + 1
+        if ne > 0:
+            # measured-best flat tiles: 2048 shared; 512 distinct (each
+            # channel's rows pad to a tile multiple) — clamped down for
+            # small drains so a live bucket of 8-128 evals doesn't compute
+            # a full 2048-row tile per channel. Explicit tiles honored.
+            if tile is not None:
+                flat_tile = tile
+            else:
+                flat_tile = min(
+                    512 if distinct else 2048,
+                    max(8, _round_up(ne, 8)),
+                )
+            # shapes whose padded flat footprint exceeds HBM fall back to
+            # the memory-safe grid path (lax.map channel slabs) instead of
+            # raising — 'batched is safe at any channel count' holds
+            interp = (
+                interpret
+                if interpret is not None
+                else jax.local_devices()[0].platform == "cpu"
+            )
+            if interp or _flat_hbm_estimate(
+                spec, ne, c, flat_tile, distinct
+            ) <= _FLAT_HBM_BUDGET:
+                return fused_flat_batch_offline_outputs(
+                    spec, params, xs, tile=flat_tile, interpret=interpret,
+                    n_evals=n_evals,
+                )
     if tile is None:
         tile = 256  # the grid kernel's historical default
     if not fusable(spec):
@@ -1032,6 +1056,23 @@ def _flat_geometry(spec: DetectorSpec, n_evals: int, tile: int, distinct: bool):
     return grid, hop, hop_pad, rows2d, halo_rows, r
 
 
+_FLAT_HBM_BUDGET = 11 << 30  # measured: 12.8G requirement OOMs a v5e chip
+
+
+def _flat_hbm_estimate(
+    spec: DetectorSpec, n_evals: int, c: int, tile: int, distinct: bool
+) -> int:
+    """Padded HBM bytes of the flat slab + kernel output: the slab lane
+    dim pads hop to a 128 multiple (132->256 = 1.9x) and the [rows, o_pad]
+    output pads its lanes to 128 (16x for o_pad=8)."""
+    _, hop, _, rows2d, halo_rows, r = _flat_geometry(
+        spec, n_evals, tile, distinct
+    )
+    grid_total = max(1, -(-(c * r - halo_rows) // tile))
+    need_rows = (grid_total - 1) * tile + rows2d
+    return need_rows * _round_up(hop, LANE) * 4 + grid_total * tile * LANE * 4
+
+
 def flat_batch_input_samples(
     spec: DetectorSpec,
     n_evals: int,
@@ -1077,7 +1118,12 @@ def fused_flat_batch_offline_outputs(
       * ``[C, n]`` — one per-channel repack copy.
     """
     distinct = isinstance(params, (list, tuple))
-    pre_slabbed = channels is not None and xs.ndim == 2
+    # pre-slabbed form = [need_rows, hop] with channels given; a [C, n]
+    # array with a redundant channels=C is still treated as [C, n] (the
+    # hop-wide second dim is the discriminator)
+    pre_slabbed = (
+        channels is not None and xs.ndim == 2 and xs.shape[1] == spec.hop
+    )
     if xs.ndim == 1 or pre_slabbed:
         if channels is None:
             raise ValueError("flat 1-D input needs channels=C")
@@ -1086,6 +1132,10 @@ def fused_flat_batch_offline_outputs(
             raise ValueError("flat/pre-slabbed input needs an explicit n_evals")
     else:
         c, n_in = xs.shape
+        if channels is not None and channels != c:
+            raise ValueError(
+                f"channels={channels} does not match xs.shape[0]={c}"
+            )
     if distinct and len(params) != c:
         raise ValueError(f"{len(params)} per-channel networks for {c} channels")
     if not fusable(spec):
@@ -1106,17 +1156,23 @@ def fused_flat_batch_offline_outputs(
     else:
         operands, meta = _folded(spec, params)
 
-    if n_evals is None:
+    if not pre_slabbed and xs.ndim == 2:
+        # the grid path's contract: an impossible n_evals raises instead
+        # of silently evaluating zero-padded silence
         f = num_frames(n_in, spec.window_length, spec.window_overlap)
-        n_evals = f - spec.time_range + 1
+        max_evals = f - spec.time_range + 1
+        if n_evals is None:
+            n_evals = max_evals
+        elif n_evals > max_evals:
+            raise ValueError(
+                f"n_evals={n_evals} needs more than {n_in} samples"
+            )
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 
-    grid, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
+    _, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
     )
-    if grid * tile < n_evals:
-        grid = -(-n_evals // tile)
     grid_total = max(1, -(-(c * r - halo_rows) // tile))
     need_rows = (grid_total - 1) * tile + rows2d
 
@@ -1124,12 +1180,10 @@ def fused_flat_batch_offline_outputs(
     # (132->256 = 1.9x for the sample net) and the [rows, o_pad] output
     # pads its 8 lanes to 128 (16x). At 1024 channels x 8192 evals that is
     # a measured 12.8G program requirement — fail with advice instead of
-    # an opaque RESOURCE_EXHAUSTED mid-run.
-    est = (
-        need_rows * _round_up(hop, LANE) * 4
-        + grid_total * tile * LANE * 4
-    )
-    if not interpret and est > 11 << 30:
+    # an opaque RESOURCE_EXHAUSTED mid-run. (The fused_batch router falls
+    # back to the memory-safe grid path before reaching this.)
+    est = _flat_hbm_estimate(spec, n_evals, c, tile, distinct)
+    if not interpret and est > _FLAT_HBM_BUDGET:
         raise ValueError(
             f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab + "
             f"output) exceeds a single chip's HBM; reduce n_evals per "
@@ -1196,11 +1250,9 @@ def _flat_core(
     Fully traceable — runs under ``shard_map``/``lax.map`` with traced
     ``operands``/``xs`` (the mesh-sharded fused path's per-device core)."""
     c, n_in = xs.shape
-    grid, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
+    _, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, per_channel
     )
-    if grid * tile < n_evals:
-        grid = -(-n_evals // tile)
     grid_total = max(1, -(-(c * r - halo_rows) // tile))
     need_rows = (grid_total - 1) * tile + rows2d
 

@@ -159,9 +159,15 @@ class ResilientDetector:
             raise RuntimeError(payload)
         return payload
 
-    def _supervised(self, msg):
+    def _supervised(self, msg, covered_by_replay: bool = False):
         """Send a request, restarting the child (snapshot + journal replay)
-        on crash/timeout, up to max_restarts times."""
+        on crash/timeout, up to max_restarts times.
+
+        ``covered_by_replay``: the message's effect is already in the
+        journal, so after a restart (whose replay applied it) the message
+        must NOT be re-sent — re-sending would apply it twice and break
+        the exactly-once hop accounting.
+        """
         attempts = 0
         while True:
             try:
@@ -173,6 +179,8 @@ class ResilientDetector:
                 if attempts > self.max_restarts:
                     raise
                 self._start_child()
+                if covered_by_replay:
+                    return None
 
     def _kill_child(self) -> None:
         try:
@@ -188,10 +196,11 @@ class ResilientDetector:
 
     def append_audio_data(self, samples: np.ndarray, lane: int = 0) -> None:
         samples = np.asarray(samples, np.float32).reshape(-1)
-        # journal FIRST: if the child dies handling this append, the replay
-        # after respawn still includes it
+        # journal FIRST: if the child dies handling this append, the
+        # restart's replay applies it — and covered_by_replay then skips
+        # the resend (sending again would double-apply the chunk)
         self._journal.append((lane, samples))
-        self._supervised(("append", lane, samples))
+        self._supervised(("append", lane, samples), covered_by_replay=True)
 
     def drain(self) -> np.ndarray:
         outs, state = self._supervised(("drain",))
@@ -199,10 +208,16 @@ class ResilientDetector:
         self._journal.clear()
         return outs
 
-    def warm_up(self, buckets=(8, 32, 128, 512, 2048, 8192)) -> int:
-        n, state = self._supervised(("warm_up", tuple(buckets)))
-        if self._snapshot is None:
-            self._snapshot = state
+    def warm_up(self, buckets=None) -> int:
+        from syllable_detector_tpu.models.detector import _FRAME_BUCKETS
+
+        buckets = tuple(buckets) if buckets is not None else _FRAME_BUCKETS
+        n, state = self._supervised(("warm_up", buckets))
+        # the returned state already contains any journaled appends; keep
+        # snapshot and journal consistent (journal entries kept alongside
+        # a snapshot that includes them would double-apply after a crash)
+        self._snapshot = state
+        self._journal.clear()
         return n
 
     def crash_for_test(self) -> None:

@@ -550,3 +550,64 @@ def test_grid_layout_still_matches(sample_config, audio, distinct):
         )
     )
     np.testing.assert_allclose(grid_slab, grid, rtol=1e-6, atol=1e-7)
+
+
+def test_flat_router_falls_back_to_grid_on_hbm(monkeypatch, sample_config, audio):
+    """Shapes whose flat footprint would exceed HBM route to the
+    memory-safe grid path instead of raising."""
+    import jax
+
+    from syllable_detector_tpu.kernels import fused_detector as fd
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:8000])] * 3)
+    monkeypatch.setattr(fd, "_FLAT_HBM_BUDGET", 1)
+    called = {}
+
+    def fake_grid(spec_, meta, operands, xs_, *a, **k):
+        called["grid"] = True
+        return jnp.zeros((3, 4, spec_.net.outputs), jnp.float32)
+
+    monkeypatch.setattr(fd, "_batch_core_slabbed", fake_grid)
+    out = fd.fused_batch_offline_outputs(
+        spec, params, xs, interpret=False
+    )
+    assert called.get("grid")
+
+    # interpret mode (CPU tests) ignores the budget and stays flat
+    called.clear()
+    out2 = fd.fused_batch_offline_outputs(spec, params, xs, interpret=True)
+    assert "grid" not in called and out2.shape[0] == 3
+
+
+def test_flat_rejects_impossible_n_evals(sample_config, audio):
+    """The flat default keeps the grid path's contract: n_evals beyond the
+    stream raises instead of silently evaluating zero padding."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:8000])] * 2)
+    with pytest.raises(ValueError, match="needs more than"):
+        fused_batch_offline_outputs(
+            spec, params, xs, interpret=True, n_evals=10**6
+        )
+
+
+def test_flat_channels_redundant_with_2d(sample_config, audio):
+    """[C, n] plus a redundant channels=C is accepted (and validated)."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:8000])] * 2)
+    out = fused_flat_batch_offline_outputs(
+        spec, params, xs, tile=64, interpret=True, channels=2
+    )
+    assert out.shape[0] == 2
+    with pytest.raises(ValueError, match="does not match"):
+        fused_flat_batch_offline_outputs(
+            spec, params, xs, tile=64, interpret=True, channels=3
+        )

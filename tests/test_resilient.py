@@ -60,3 +60,50 @@ def test_resilient_multi_lane_and_limit(sample_config):
         outs2 = r.drain()
         assert r.restarts == 1
         assert outs2.shape[0] == 2
+
+
+def test_resilient_append_exactly_once_on_crash(sample_config):
+    """A child death DURING an append must not double-apply the chunk:
+    the restart's journal replay covers it and the request is not
+    re-sent."""
+    rng = np.random.default_rng(15)
+    x = make_audio(rng, seconds=0.4)
+
+    oracle = Detector(sample_config)
+    oracle.append_audio_data(x[:8000])
+    w1 = oracle.drain()
+    oracle.append_audio_data(x[8000:])
+    w2 = oracle.drain()
+    want = np.concatenate([w1, w2])
+
+    with ResilientDetector(sample_config, timeout=120.0) as r:
+        r.append_audio_data(x[:8000])
+        r.drain()
+        # kill the child abruptly so the NEXT append request fails in
+        # flight; the restart replays the journaled chunk exactly once
+        r._proc.terminate()
+        r._proc.join(timeout=10)
+        r.append_audio_data(x[8000:])
+        out2 = r.drain()
+        assert r.restarts >= 1
+        got = np.concatenate([w1, out2[0]])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_resilient_warm_up_keeps_journal_consistent(sample_config):
+    """append -> warm_up -> crash -> drain must not double-apply the
+    pre-warm_up audio (warm_up's snapshot already contains it)."""
+    rng = np.random.default_rng(16)
+    x = make_audio(rng, seconds=0.3)
+    oracle = Detector(sample_config)
+    oracle.append_audio_data(x)
+    want = oracle.drain()
+
+    with ResilientDetector(sample_config, timeout=120.0) as r:
+        r.append_audio_data(x)
+        r.warm_up(buckets=(8,))
+        r.crash_for_test()
+        out = r.drain()
+        assert r.restarts >= 1
+    np.testing.assert_allclose(out[0], want, rtol=1e-3, atol=2e-4)
