@@ -150,13 +150,14 @@ class _Lane:
 class Processor:
     """ProcessorBase equivalent (Processor.swift:34-185).
 
-    ``batched=True`` replaces the per-lane Detector drains with ONE
-    :class:`~syllable_detector_tpu.models.detector_bank.DetectorBank` call
-    evaluating every lane's new hops together on the fused kernel (with
+    ``batched=True`` replaces the per-lane Detector drains with
+    :class:`~syllable_detector_tpu.models.detector_bank.DetectorBank`
+    calls evaluating lanes' new hops together on the fused kernel (with
     per-channel distinct networks) — the TPU-native shape for many live
     channels, where the reference drains detectors serially on its GCD
-    queue (Processor.swift:128-149). All lane configs must share one
-    pipeline geometry (the DetectorBank contract).
+    queue (Processor.swift:128-149). Lanes are GROUPED by pipeline
+    geometry, one bank per group, so mixed-geometry deployments batch
+    within each compatible group.
     """
 
     def __init__(
@@ -172,13 +173,34 @@ class Processor:
         self.output = output
         self.interface_input = interface_input
 
-        self._bank = None
+        # batched mode: lanes GROUPED by pipeline geometry, one DetectorBank
+        # per group — mixed-geometry deployments (the GUI loads arbitrary
+        # nets per row, ViewControllerProcessor.swift:222-276) still batch
+        # within each compatible group
+        self._banks: list = []  # (DetectorBank, [lane indices])
+        self._bank = None  # the single-group convenience alias
         if batched and self.entries:
+            import dataclasses
+
+            from syllable_detector_tpu.models.detector import (
+                detector_spec_from_config,
+            )
             from syllable_detector_tpu.models.detector_bank import DetectorBank
 
-            self._bank = DetectorBank(
-                [e.config for e in self.entries], method=method or "fused"
-            )
+            groups: dict = {}
+            for i, e in enumerate(self.entries):
+                key = dataclasses.replace(
+                    detector_spec_from_config(e.config)[0], thresholds=()
+                )
+                groups.setdefault(key, []).append(i)
+            for idxs in groups.values():
+                bank = DetectorBank(
+                    [self.entries[i].config for i in idxs],
+                    method=method or "fused",
+                )
+                self._banks.append((bank, idxs))
+            if len(self._banks) == 1:
+                self._bank = self._banks[0][0]
 
         self._lanes: list[_Lane] = []
         for e in self.entries:
@@ -192,7 +214,7 @@ class Processor:
             self._lanes.append(
                 _Lane(
                     entry=e,
-                    detector=None if self._bank else Detector(e.config),
+                    detector=None if self._banks else Detector(e.config),
                     ring=ring,
                     resampler=resampler,
                     stat_input=SummaryStat(StatMax()),
@@ -270,7 +292,7 @@ class Processor:
             # per round, decaying the Arduino 20-drain TTL hold n_lanes
             # times too fast (Processor.swift:233 counts capture rounds)
             extra = 0
-            if self._bank is not None:
+            if self._banks:
                 while True:
                     try:
                         self._work.get_nowait()
@@ -281,7 +303,7 @@ class Processor:
                 if index < 0 and extra == 0:
                     continue
                 try:
-                    if self._bank is not None:
+                    if self._banks:
                         self._drain_all()
                     else:
                         self._drain_lane(index, self._lanes[index])
@@ -333,35 +355,43 @@ class Processor:
             # (Processor.swift:272-276 logs and continues)
 
     def _drain_all(self) -> None:
-        """Batched-drain mode: move every lane's ring into the bank and
-        evaluate ALL lanes' new hops in one fused device call."""
+        """Batched-drain mode: move every lane's ring into its geometry
+        group's bank and evaluate each group's new hops in one fused
+        device call per group."""
         t_start = _time_ns()
-        for i, lane in enumerate(self._lanes):
-            samples = lane.ring.peek()
-            if len(samples):
-                lane.ring.consume(len(samples))
-                self._bank.append_audio_data(i, samples)
-        outs = self._bank.drain()  # [n_lanes, n_new, outputs]
+        any_outs = False
+        seen_flags = [False] * len(self._lanes)
+        for bank, idxs in self._banks:
+            for j, i in enumerate(idxs):
+                lane = self._lanes[i]
+                samples = lane.ring.peek()
+                if len(samples):
+                    lane.ring.consume(len(samples))
+                    bank.append_audio_data(j, samples)
+            outs = bank.drain()  # [len(idxs), n_new, outputs]
+            if outs.shape[1]:
+                any_outs = True
+            for j, i in enumerate(idxs):
+                lane = self._lanes[i]
+                o = outs[j]
+                if o.shape[0]:
+                    lane.stat_output.write_value(float(np.max(o[:, 0])))
+                    # float32 comparison, exactly like the per-lane drain —
+                    # the two modes must agree at threshold boundaries
+                    thr = np.float32(bank.thresholds[j])
+                    n_hits = int(np.sum(o[:, 0] >= thr))
+                    if n_hits:
+                        seen_flags[i] = True
+                        lane.detections += n_hits
         Time.save_with_name(
-            "process" if outs.shape[1] else "skip", _time_ns() - t_start
+            "process" if any_outs else "skip", _time_ns() - t_start
         )
         for i, lane in enumerate(self._lanes):
-            o = outs[i]
-            seen = False
-            if o.shape[0]:
-                lane.stat_output.write_value(float(np.max(o[:, 0])))
-                # float32 comparison, exactly like the per-lane drain — the
-                # two modes must agree at threshold boundaries
-                thr = np.float32(self._bank.thresholds[i])
-                n_hits = int(np.sum(o[:, 0] >= thr))
-                if n_hits:
-                    seen = True
-                    lane.detections += n_hits
             # called per drain even without new outputs — the Arduino hold
             # counter decrements on quiet drains (Processor.swift:147,
             # 277-293)
             try:
-                self.output.prepare_output(i, lane.entry, seen)
+                self.output.prepare_output(i, lane.entry, seen_flags[i])
             except Exception:
                 pass  # output backend errors are logged, not fatal
 
@@ -375,8 +405,8 @@ class Processor:
         from syllable_detector_tpu.models.detector import _FRAME_BUCKETS
 
         buckets = tuple(buckets) if buckets is not None else _FRAME_BUCKETS
-        if self._bank is not None:
-            return self._bank.warm_up(buckets=buckets)
+        if self._banks:
+            return sum(b.warm_up(buckets=buckets) for b, _ in self._banks)
         return sum(
             lane.detector.warm_up(buckets=buckets) for lane in self._lanes
         )

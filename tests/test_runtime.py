@@ -481,3 +481,41 @@ def test_processor_batched_drain(sample_config):
     # detection count matches the per-lane (unbatched) processor exactly
     ref = run_processor(sample_config, AudioTTLOutput(SimulatedAudioOutput(channels=2)))
     assert det[0] == ref.lane_detections()[0]
+
+
+def test_processor_batched_mixed_geometry_groups(sample_config):
+    """batched=True with MIXED-geometry nets: lanes group into per-geometry
+    DetectorBanks (the GUI can load arbitrary nets per row); detections
+    still fire per lane."""
+    import dataclasses
+
+    other = dataclasses.replace(sample_config, scaling="log")
+    rng = np.random.default_rng(3)
+    audio = make_audio(rng, seconds=0.5)
+
+    def source(ch, start, n):
+        return audio[start : start + n]
+
+    out_interface = SimulatedAudioOutput(channels=3)
+    interface = SimulatedAudioInput(
+        source, channels=3, total_samples=len(audio), frame_size=512
+    )
+    entries = [
+        ProcessorEntry(input_channel=0, output_channel=0, config=sample_config),
+        ProcessorEntry(input_channel=1, output_channel=1, config=other),
+        ProcessorEntry(input_channel=2, output_channel=2, config=sample_config),
+    ]
+    proc = Processor(
+        interface, entries, AudioTTLOutput(out_interface), batched=True
+    )
+    assert len(proc._banks) == 2  # two geometry groups (linear x2, log x1)
+    assert proc._bank is None  # no single-group alias with mixed geometry
+    proc.set_up()
+    assert interface.wait_until_done(timeout=60)
+    proc.drain_pending(timeout=30)
+    time.sleep(0.3)
+    proc.tear_down()
+    det = proc.lane_detections()
+    # the linear-scaling chirp lanes detect; all lanes processed
+    assert det[0] > 0 and det[2] > 0
+    assert det[0] == det[2]  # same net, same audio
