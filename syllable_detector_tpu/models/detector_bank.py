@@ -58,11 +58,18 @@ class DetectorBank:
         configs: list[SyllableDetectorConfig],
         method: str = "fused",
         max_buffer_seconds: float = 30.0,
+        pairs=None,
     ):
         if not configs:
             raise ValueError("DetectorBank needs at least one lane")
         self.configs = list(configs)
-        pairs = [detector_spec_from_config(c) for c in self.configs]
+        # pairs: precomputed [(spec, params)] matching configs — callers
+        # that already built them (Processor's geometry grouping) skip a
+        # second full weight-pytree construction per lane
+        if pairs is None:
+            pairs = [detector_spec_from_config(c) for c in self.configs]
+        elif len(pairs) != len(self.configs):
+            raise ValueError("pairs must match configs one-to-one")
         self.spec = pairs[0][0]
         base = dataclasses.replace(self.spec, thresholds=())
         for s, _ in pairs[1:]:

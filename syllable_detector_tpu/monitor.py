@@ -419,9 +419,10 @@ def main(argv=None) -> int:
     try:
         proc = Processor(interface, entries, output, batched=args.batched_drain)
     except ValueError as e:
-        # --batched-drain with mismatched-geometry nets: clean error, not a
-        # traceback (the DetectorBank constructor validates lane geometry)
-        print(f"Unable to build the detector bank: {e}", file=sys.stderr)
+        # invalid network configuration surfaced during batched-mode
+        # grouping (bad freq range, input-count mismatch, ...); mixed
+        # geometries themselves are fine — lanes group per geometry
+        print(f"Invalid network configuration: {e}", file=sys.stderr)
         return 1
     # device compiles must not stall the live worker mid-stream; on
     # non-CPU backends give the final drain a compile-sized grace window

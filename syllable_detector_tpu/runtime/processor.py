@@ -188,15 +188,15 @@ class Processor:
             from syllable_detector_tpu.models.detector_bank import DetectorBank
 
             groups: dict = {}
-            for i, e in enumerate(self.entries):
-                key = dataclasses.replace(
-                    detector_spec_from_config(e.config)[0], thresholds=()
-                )
+            pairs = [detector_spec_from_config(e.config) for e in self.entries]
+            for i, (spec_i, _p) in enumerate(pairs):
+                key = dataclasses.replace(spec_i, thresholds=())
                 groups.setdefault(key, []).append(i)
             for idxs in groups.values():
                 bank = DetectorBank(
                     [self.entries[i].config for i in idxs],
                     method=method or "fused",
+                    pairs=[pairs[i] for i in idxs],  # no double spec build
                 )
                 self._banks.append((bank, idxs))
             if len(self._banks) == 1:
@@ -362,13 +362,29 @@ class Processor:
         any_outs = False
         seen_flags = [False] * len(self._lanes)
         for bank, idxs in self._banks:
-            for j, i in enumerate(idxs):
-                lane = self._lanes[i]
-                samples = lane.ring.peek()
-                if len(samples):
-                    lane.ring.consume(len(samples))
-                    bank.append_audio_data(j, samples)
-            outs = bank.drain()  # [len(idxs), n_new, outputs]
+            # per-bank error isolation: a transient device failure in one
+            # group must not abort the round AFTER earlier groups counted
+            # detections (the prepare_output loop below must always run,
+            # or counted detections would fire no TTL)
+            try:
+                for j, i in enumerate(idxs):
+                    lane = self._lanes[i]
+                    samples = lane.ring.peek()
+                    if len(samples):
+                        lane.ring.consume(len(samples))
+                        bank.append_audio_data(j, samples)
+                outs = bank.drain()  # [len(idxs), n_new, outputs]
+            except Exception as e:
+                self.drain_errors += 1
+                if self.drain_errors <= 5:
+                    import sys
+
+                    print(
+                        f"processor: bank drain error on lanes {idxs}: "
+                        f"{type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
+                continue
             if outs.shape[1]:
                 any_outs = True
             for j, i in enumerate(idxs):
