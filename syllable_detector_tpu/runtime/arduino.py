@@ -250,6 +250,135 @@ class SerialTransport(Transport):
         return None
 
 
+class NativeFirmwareTransport(Transport):
+    """The device-side state machine as NATIVE C++ (native/
+    arduino_firmware.cpp — the host-compiled counterpart of the
+    reference's Arduino/Arduino.ino), driven through the same byte-stream
+    Transport contract as the real serial port. Auto-builds the shared
+    library on first use (like runtime.ring_buffer); raises a clear error
+    when no C++ toolchain is available.
+    """
+
+    _lib = None
+
+    @classmethod
+    def _load(cls):
+        if cls._lib is not None:
+            return cls._lib
+        import ctypes
+        import os
+        import subprocess
+
+        native = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)
+            ))),
+            "native",
+        )
+        path = os.path.join(native, "libsdfirmware.so")
+        if not os.path.exists(path):
+            src = os.path.join(native, "arduino_firmware.cpp")
+            subprocess.run(
+                ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
+                 "-o", path, src],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(path)
+        lib.sdfw_new.restype = ctypes.c_void_p
+        lib.sdfw_new.argtypes = [ctypes.c_int32]
+        lib.sdfw_free.argtypes = [ctypes.c_void_p]
+        lib.sdfw_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ]
+        lib.sdfw_read.restype = ctypes.c_int32
+        lib.sdfw_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ]
+        for fn in ("sdfw_pin_mode", "sdfw_digital", "sdfw_analog_out"):
+            f = getattr(lib, fn)
+            f.restype = ctypes.c_int32
+            f.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.sdfw_set_analog_in.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.sdfw_events.restype = ctypes.c_int32
+        lib.sdfw_events.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        cls._lib = lib
+        return lib
+
+    def __init__(self, sketch_id: int = 0):
+        self._libh = self._load()
+        self._fw = self._libh.sdfw_new(sketch_id)
+        self._buf = b""
+
+    def open(self) -> None:
+        pass
+
+    def close(self) -> None:
+        # keep the native state observable after close (tests verify the
+        # close-drives-pins-low contract post-close, like the Python sim);
+        # the handle is freed on garbage collection / dispose()
+        pass
+
+    def dispose(self) -> None:
+        if self._fw:
+            self._libh.sdfw_free(self._fw)
+            self._fw = None
+
+    def __del__(self):  # pragma: no cover - interpreter teardown timing
+        try:
+            self.dispose()
+        except Exception:
+            pass
+
+    def write(self, data: bytes) -> None:
+        self._libh.sdfw_write(self._fw, bytes(data), len(data))
+
+    def read_line(self, timeout: float):
+        import ctypes
+
+        deadline = time.monotonic() + timeout
+        while True:
+            out = ctypes.create_string_buffer(256)
+            n = self._libh.sdfw_read(self._fw, out, 256)
+            if n:
+                self._buf += out.raw[:n]
+            if b"\n" in self._buf:
+                line, self._buf = self._buf.split(b"\n", 1)
+                return line + b"\n"
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(0.001)
+
+    # -- native-side observers (tests / TTL verification) -------------------
+
+    def pin_mode(self, pin: int) -> int:
+        return self._libh.sdfw_pin_mode(self._fw, pin)
+
+    def digital(self, pin: int) -> int:
+        return self._libh.sdfw_digital(self._fw, pin)
+
+    def analog_out(self, pin: int) -> int:
+        return self._libh.sdfw_analog_out(self._fw, pin)
+
+    def set_analog_in(self, pin: int, value: int) -> None:
+        self._libh.sdfw_set_analog_in(self._fw, pin, value)
+
+    def drain_events(self) -> list[tuple[int, int, int]]:
+        import ctypes
+
+        buf = (ctypes.c_int32 * 768)()
+        n = self._libh.sdfw_events(self._fw, buf, 768)
+        return [
+            (buf[i], buf[i + 1], buf[i + 2]) for i in range(0, n, 3)
+        ]
+
+
 class ArduinoIO:
     """Client state machine (ArduinoIO.swift:196-656)."""
 

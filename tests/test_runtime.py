@@ -519,3 +519,68 @@ def test_processor_batched_mixed_geometry_groups(sample_config):
     # the linear-scaling chirp lanes detect; all lanes processed
     assert det[0] > 0 and det[2] > 0
     assert det[0] == det[2]  # same net, same audio
+
+
+def test_native_firmware_full_protocol():
+    """The FULL ArduinoIO client protocol against the NATIVE C++ firmware
+    (native/arduino_firmware.cpp — the host-compiled counterpart of the
+    reference's Arduino.ino), cross-checked event-for-event against the
+    Python-simulated firmware."""
+    from syllable_detector_tpu.runtime.arduino import (
+        ArduinoIO,
+        ArduinoPin,
+        NativeFirmwareTransport,
+        SimulatedArduinoTransport,
+    )
+
+    fw = NativeFirmwareTransport(sketch_id=0)
+    a = ArduinoIO(fw, startup_time=0.0)
+    a.open()
+    assert a.sketch is not None  # handshake "99" answered by native code
+
+    a.set_pin_mode(7, ArduinoPin.OUTPUT)
+    assert fw.pin_mode(7) == 1
+    a.write_digital(7, True)
+    assert fw.digital(7) == 1
+    a.write_digital(7, False)
+    assert fw.digital(7) == 0
+
+    a.set_pin_mode(9, ArduinoPin.INPUT)
+    assert fw.pin_mode(9) == 0
+    assert a.read_digital(9) is False
+
+    a.set_pin_mode(11, ArduinoPin.OUTPUT)
+    a.write_analog(11, 200)
+    assert fw.analog_out(11) == 200
+    fw.set_analog_in(1, 777)  # pins 0/1 need no mode (ArduinoIO.swift:514)
+    assert a.read_analog(1) == 777
+
+    a.set_pin_mode(5, ArduinoPin.OUTPUT)
+    a.pulse_digital(5)
+    events = fw.drain_events()
+    kinds = [(k, p, v) for (k, p, v) in events]
+    # mode(7,out), digital(7,1), digital(7,0), mode(9,in), analog(11,200),
+    # pulse(5,1) — same sequence the Python firmware records
+    assert (0, 7, 1) in kinds and (1, 7, 1) in kinds and (1, 7, 0) in kinds
+    assert (0, 9, 0) in kinds and (2, 11, 200) in kinds and (3, 5, 1) in kinds
+
+    # close drives configured OUTPUT pins low (ArduinoIO.swift:370-390)
+    a.write_digital(7, True)
+    a.close()
+    assert fw.digital(7) == 0
+
+    # byte-level cross-check: the same raw client byte stream produces the
+    # same pin state in native and Python firmwares
+    sim = SimulatedArduinoTransport()
+    sim.open()
+    fw2 = NativeFirmwareTransport()
+    stream = bytes([48, 97 + 8, 49]) + bytes([50, 97 + 8, 49]) + bytes(
+        [52, 97 + 10, 123]
+    ) + b"\xff\x00" + bytes([50, 97 + 8, 48])  # incl. garbage resync
+    sim.write(stream)
+    fw2.write(stream)
+    assert sim.pins[8] == "output" and fw2.pin_mode(8) == 1
+    assert sim.digital[8] == 0 and fw2.digital(8) == 0
+    assert sim.analog_out[10] == 123 and fw2.analog_out(10) == 123
+    fw2.dispose()
+    fw.dispose()
