@@ -157,10 +157,14 @@ def batched_throughput(
         tile = tile or (512 if distinct else 2048)
         # distinct pads each channel's rows to a tile multiple, so larger
         # per-channel chunks amortize the pad — but the flat slab's 132->256
-        # lane pad (1.9x) makes c=1024 x 8192 evals exceed HBM; cap at
-        # 2048 evals/channel beyond 256 channels (20% pad overhead there)
+        # lane pad (1.9x) makes c=1024 x 8192 evals exceed HBM; 4096
+        # evals/channel beyond 256 channels fits (6.75 GiB) at 11% pad
+        # overhead (measured 97.1M vs 87.2M at 2048)
         if n_evals is None:
-            n_evals = (1 << 13) if (distinct and c <= 256) else (1 << 11)
+            if distinct:
+                n_evals = (1 << 13) if c <= 256 else (1 << 12)
+            else:
+                n_evals = 1 << 11
         per_ch, total = flat_batch_input_samples(
             spec, n_evals, c, tile=tile, distinct=distinct
         )
