@@ -221,9 +221,10 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--output",
-        choices=("audio", "arduino", "alsa", "pulse"),
+        choices=("audio", "arduino", "arduino-native", "alsa", "pulse"),
         default="audio",
-        help="TTL sink: simulated audio/arduino, or a REAL alsa/pulse "
+        help="TTL sink: simulated audio/arduino, 'arduino-native' (the "
+        "C++ firmware state machine via ctypes), or a REAL alsa/pulse "
         "playback device rendering the TTL waveform.",
     )
     p.add_argument(
@@ -381,8 +382,18 @@ def main(argv=None) -> int:
     if args.output == "audio":
         out_interface = SimulatedAudioOutput(channels=args.channels, sample_rate=rate)
         output = AudioTTLOutput(out_interface)
-    elif args.output == "arduino":
-        arduino = ArduinoIO(SimulatedArduinoTransport(), startup_time=0.0)
+    elif args.output in ("arduino", "arduino-native"):
+        if args.output == "arduino-native":
+            # the device-side state machine as NATIVE C++
+            # (native/arduino_firmware.cpp), same wire protocol
+            from syllable_detector_tpu.runtime.arduino import (
+                NativeFirmwareTransport,
+            )
+
+            transport = NativeFirmwareTransport()
+        else:
+            transport = SimulatedArduinoTransport()
+        arduino = ArduinoIO(transport, startup_time=0.0)
         arduino.open()
         output = ArduinoTTLOutput(arduino)
     else:
@@ -489,6 +500,9 @@ def main(argv=None) -> int:
         print(f"TTL events: {len(output.interface.events)}")
     elif args.output == "arduino":
         events = output.arduino.transport.events
+        print(f"Arduino events: {len(events)}")
+    elif args.output == "arduino-native":
+        events = output.arduino.transport.drain_events()
         print(f"Arduino events: {len(events)}")
     return 0
 

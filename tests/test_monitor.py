@@ -275,3 +275,18 @@ def test_monitor_warm_up_flag(chirp_wav, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "warm-up compiled" in err
+
+
+def test_monitor_arduino_native_output(chirp_wav, capsys):
+    """The live pipeline drives the NATIVE C++ firmware end-to-end: TTL
+    pin writes land in the native state machine's event log."""
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "1", "--duration", "1.0",
+         "--output", "arduino-native"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    ev_line = next(
+        l for l in out.splitlines() if l.startswith("Arduino events")
+    )
+    assert int(ev_line.split(":", 1)[1]) > 0
