@@ -7,6 +7,8 @@ from syllable_detector_tpu.runtime.arduino import (
     ArduinoPin,
     ArduinoState,
     ArduinoError,
+    NativeFirmwareTransport,
+    SerialTransport,
     SimulatedArduinoTransport,
 )
 from syllable_detector_tpu.runtime.audio_io import (
@@ -33,6 +35,8 @@ __all__ = [
     "ArduinoPin",
     "ArduinoState",
     "ArduinoError",
+    "NativeFirmwareTransport",
+    "SerialTransport",
     "SimulatedArduinoTransport",
     "AudioDevice",
     "list_devices",

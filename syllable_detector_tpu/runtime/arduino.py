@@ -38,6 +38,8 @@ __all__ = [
     "ArduinoState",
     "ArduinoIO",
     "SimulatedArduinoTransport",
+    "NativeFirmwareTransport",
+    "SerialTransport",
 ]
 
 STARTUP_TIME = 2.0  # ArduinoIO.swift:12
@@ -260,11 +262,18 @@ class NativeFirmwareTransport(Transport):
     """
 
     _lib = None
+    _load_lock = threading.Lock()
 
     @classmethod
     def _load(cls):
-        if cls._lib is not None:
-            return cls._lib
+        with cls._load_lock:  # one builder; a second CDLL of a half-written
+            # .so would fail with an invalid-ELF OSError
+            if cls._lib is not None:
+                return cls._lib
+            return cls._load_locked()
+
+    @classmethod
+    def _load_locked(cls):
         import ctypes
         import os
         import subprocess
@@ -278,12 +287,22 @@ class NativeFirmwareTransport(Transport):
         path = os.path.join(native, "libsdfirmware.so")
         if not os.path.exists(path):
             src = os.path.join(native, "arduino_firmware.cpp")
-            subprocess.run(
-                ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
-                 "-o", path, src],
-                check=True,
-                capture_output=True,
-            )
+            try:
+                proc = subprocess.run(
+                    ["g++", "-O2", "-Wall", "-Wextra", "-std=c++17", "-fPIC",
+                     "-shared", "-o", path, src],
+                    capture_output=True,
+                )
+            except OSError as e:
+                raise ArduinoError(
+                    f"building the native firmware needs a C++ toolchain "
+                    f"(g++ unavailable: {e}); use SimulatedArduinoTransport"
+                ) from e
+            if proc.returncode != 0:
+                raise ArduinoError(
+                    "native firmware compile failed:\n"
+                    + proc.stderr.decode(errors="replace")[:2000]
+                )
         lib = ctypes.CDLL(path)
         lib.sdfw_new.restype = ctypes.c_void_p
         lib.sdfw_new.argtypes = [ctypes.c_int32]
@@ -315,6 +334,16 @@ class NativeFirmwareTransport(Transport):
         self._libh = self._load()
         self._fw = self._libh.sdfw_new(sketch_id)
         self._buf = b""
+        # serialize native calls: ArduinoIO's startup Timer thread can
+        # replay queued commands while the app thread reads — the native
+        # deque/parser are not thread-safe (the Python sim holds the same
+        # lock for the same reason)
+        self._lock = threading.Lock()
+
+    def _handle(self):
+        if not self._fw:
+            raise ArduinoError("native firmware transport is disposed")
+        return self._fw
 
     def open(self) -> None:
         pass
@@ -326,9 +355,10 @@ class NativeFirmwareTransport(Transport):
         pass
 
     def dispose(self) -> None:
-        if self._fw:
-            self._libh.sdfw_free(self._fw)
-            self._fw = None
+        with self._lock:
+            if self._fw:
+                self._libh.sdfw_free(self._fw)
+                self._fw = None
 
     def __del__(self):  # pragma: no cover - interpreter teardown timing
         try:
@@ -337,7 +367,8 @@ class NativeFirmwareTransport(Transport):
             pass
 
     def write(self, data: bytes) -> None:
-        self._libh.sdfw_write(self._fw, bytes(data), len(data))
+        with self._lock:
+            self._libh.sdfw_write(self._handle(), bytes(data), len(data))
 
     def read_line(self, timeout: float):
         import ctypes
@@ -345,7 +376,8 @@ class NativeFirmwareTransport(Transport):
         deadline = time.monotonic() + timeout
         while True:
             out = ctypes.create_string_buffer(256)
-            n = self._libh.sdfw_read(self._fw, out, 256)
+            with self._lock:
+                n = self._libh.sdfw_read(self._handle(), out, 256)
             if n:
                 self._buf += out.raw[:n]
             if b"\n" in self._buf:
@@ -358,25 +390,34 @@ class NativeFirmwareTransport(Transport):
     # -- native-side observers (tests / TTL verification) -------------------
 
     def pin_mode(self, pin: int) -> int:
-        return self._libh.sdfw_pin_mode(self._fw, pin)
+        with self._lock:
+            return self._libh.sdfw_pin_mode(self._handle(), pin)
 
     def digital(self, pin: int) -> int:
-        return self._libh.sdfw_digital(self._fw, pin)
+        with self._lock:
+            return self._libh.sdfw_digital(self._handle(), pin)
 
     def analog_out(self, pin: int) -> int:
-        return self._libh.sdfw_analog_out(self._fw, pin)
+        with self._lock:
+            return self._libh.sdfw_analog_out(self._handle(), pin)
 
     def set_analog_in(self, pin: int, value: int) -> None:
-        self._libh.sdfw_set_analog_in(self._fw, pin, value)
+        with self._lock:
+            self._libh.sdfw_set_analog_in(self._handle(), pin, value)
 
     def drain_events(self) -> list[tuple[int, int, int]]:
         import ctypes
 
+        events = []
         buf = (ctypes.c_int32 * 768)()
-        n = self._libh.sdfw_events(self._fw, buf, 768)
-        return [
-            (buf[i], buf[i + 1], buf[i + 2]) for i in range(0, n, 3)
-        ]
+        while True:  # the native log is drained in bounded chunks
+            with self._lock:
+                n = self._libh.sdfw_events(self._handle(), buf, 768)
+            events.extend(
+                (buf[i], buf[i + 1], buf[i + 2]) for i in range(0, n, 3)
+            )
+            if n < 768:
+                return events
 
 
 class ArduinoIO:
