@@ -584,3 +584,50 @@ def test_native_firmware_full_protocol():
     assert sim.analog_out[10] == 123 and fw2.analog_out(10) == 123
     fw2.dispose()
     fw.dispose()
+
+
+def test_live_end_to_end_ttl_latency(sample_config):
+    """Wall-clock closed-loop latency: a syllable onset in a REALTIME
+    simulated stream must raise the audio TTL within a bounded delay —
+    onset + first-decision fill (~33 ms, TrackDetector.swift:38-42) +
+    drain batching + scheduling. The reference claims <=5 ms of ADDED
+    output path delay (README.md:30); here the whole loop (capture ->
+    ring -> worker -> device -> TTL) is bounded loosely for CI noise."""
+    rng = np.random.default_rng(77)
+    onset = 0.4  # seconds into the stream
+    chirp = make_audio(rng, seconds=1.0)
+
+    def source(ch, start, n):
+        t0 = start / 44100.0
+        out = np.zeros(n, np.float32)
+        idx = np.arange(start, start + n)
+        m = idx >= int(onset * 44100)
+        if m.any():
+            out[m] = chirp[idx[m] - int(onset * 44100)]
+        return out
+
+    out_interface = SimulatedAudioOutput(channels=1)
+    interface = SimulatedAudioInput(
+        source, channels=1, total_samples=44100, frame_size=32, realtime=True
+    )
+    entries = [
+        ProcessorEntry(input_channel=0, output_channel=0, config=sample_config)
+    ]
+    proc = Processor(interface, entries, AudioTTLOutput(out_interface))
+    # pre-compile the drain shapes so the first live drain is math, not jit
+    proc.warm_up(buckets=(8, 32, 128))
+    proc.set_up()
+    assert interface.wait_until_done(timeout=30)
+    proc.drain_pending(timeout=30)
+    proc.tear_down()
+
+    assert out_interface.events, "no TTL fired for the chirp"
+    first_ttl = min(t for t, ch, d in out_interface.events)
+    # both clocks start at set_up (capture thread t0 vs output _t0)
+    latency = first_ttl - onset
+    # expected floor: first decision needs window + hop*(timeRange-1)
+    # samples of syllable audio ~= 32.7 ms after onset
+    fill = sample_config.first_output_sample / sample_config.sampling_rate
+    assert latency >= 0.8 * fill, (latency, fill)
+    # generous CI bound: fill + drain batching + host scheduling
+    assert latency < 0.35, latency
