@@ -5,6 +5,9 @@ from syllable_detector_tpu.kernels.fused_detector import (
     fusable,
     fused_offline_outputs,
     fused_batch_offline_outputs,
+    fused_flat_batch_offline_outputs,
+    flat_batch_input_samples,
+    fused_input_samples,
 )
 from syllable_detector_tpu.kernels.framed_gemm import (
     framed_gemm,
@@ -15,6 +18,9 @@ __all__ = [
     "fusable",
     "fused_offline_outputs",
     "fused_batch_offline_outputs",
+    "fused_flat_batch_offline_outputs",
+    "flat_batch_input_samples",
+    "fused_input_samples",
     "framed_gemm",
     "pallas_polyphase_resample",
 ]
