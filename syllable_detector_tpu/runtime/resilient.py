@@ -22,7 +22,10 @@ supervises it:
     exactly-once hop accounting as an uninterrupted detector).
 
 The child is created with the ``spawn`` start method so it gets a fresh
-XLA/TPU runtime — the entire point of the isolation.
+XLA/TPU runtime — the entire point of the isolation. Spawn re-imports the
+parent's ``__main__``, so construct ResilientDetector from an importable
+script or module (standard multiprocessing caveat: a ``<stdin>``/REPL
+``__main__`` cannot be re-imported by the child).
 """
 
 from __future__ import annotations
@@ -113,9 +116,19 @@ class ResilientDetector:
         self.max_restarts = max_restarts
         self.timeout = timeout
         if platform is None:
-            import jax
+            # inherit an EXPLICITLY configured platform (tests force CPU
+            # via jax.config.update("jax_platforms", "cpu")) — read from
+            # the config, never via jax.default_backend(): that would
+            # INITIALIZE a backend in the parent, and the TPU chip is
+            # exclusive to one process, so a parent that claims it starves
+            # every child of the device ("No jellyfish device found").
+            # With no explicit config, the CHILD picks its own default and
+            # owns the accelerator; the supervisor stays device-free.
+            import sys as _sys
 
-            platform = jax.default_backend()
+            jax_mod = _sys.modules.get("jax")
+            if jax_mod is not None:
+                platform = jax_mod.config.jax_platforms or None
         self._platform = platform
         self.restarts = 0
         self._snapshot = None  # last known-good post-drain state
