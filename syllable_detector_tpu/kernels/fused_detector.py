@@ -483,7 +483,13 @@ def _fused_call(
     # per_channel operands index either the channel grid dim (channels
     # mode) or, in FLAT layout, the 1-D grid position divided by the
     # channel's block count (flat_blocks_per_ch)
-    assert not per_channel or channels is not None or flat_blocks_per_ch
+    if per_channel and channels is None and not flat_blocks_per_ch:
+        # a plain assert would vanish under `python -O`, after which the
+        # operand BlockSpec index lambdas mismatch the grid arity and fail
+        # obscurely inside Mosaic
+        raise ValueError(
+            "per_channel calls need channels= or flat_blocks_per_ch="
+        )
     halo = spec.time_range - 1
     window = spec.window_length
 
@@ -927,7 +933,7 @@ def fused_batch_offline_outputs(
             )
             if interp or _flat_hbm_estimate(
                 spec, ne, c, flat_tile, distinct
-            ) <= _FLAT_HBM_BUDGET:
+            ) <= _flat_hbm_budget():
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
                     n_evals=n_evals,
@@ -1057,6 +1063,25 @@ def _flat_geometry(spec: DetectorSpec, n_evals: int, tile: int, distinct: bool):
 
 
 _FLAT_HBM_BUDGET = 11 << 30  # measured: 12.8G requirement OOMs a v5e chip
+# headroom reserved off the device-reported HBM limit for XLA scratch,
+# folded operands, and double-buffered pipeline blocks — calibrated so a
+# v5e (bytes_limit ~15-16 GiB) lands at the measured 11 GiB safe point
+_FLAT_HBM_HEADROOM = 4 << 30
+
+
+def _flat_hbm_budget() -> int:
+    """Usable HBM bytes for the flat slab + output, derived from the local
+    device's reported memory limit (minus a fixed scratch headroom) so the
+    guard scales across chip generations; falls back to the measured v5e
+    constant when the backend exposes no memory stats (CPU/interpret)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return _FLAT_HBM_BUDGET
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if not limit:
+        return _FLAT_HBM_BUDGET
+    return max(int(limit) - _FLAT_HBM_HEADROOM, int(limit) // 2)
 
 
 def _flat_hbm_estimate(
@@ -1183,7 +1208,7 @@ def fused_flat_batch_offline_outputs(
     # an opaque RESOURCE_EXHAUSTED mid-run. (The fused_batch router falls
     # back to the memory-safe grid path before reaching this.)
     est = _flat_hbm_estimate(spec, n_evals, c, tile, distinct)
-    if not interpret and est > _FLAT_HBM_BUDGET:
+    if not interpret and est > _flat_hbm_budget():
         raise ValueError(
             f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab + "
             f"output) exceeds a single chip's HBM; reduce n_evals per "

@@ -11,12 +11,21 @@ on the host, one fused batched kernel call
 lane's new hops together, with per-channel DISTINCT networks riding the
 kernel's channel-stacked folded operands.
 
-Semantics match a bank of :class:`~syllable_detector_tpu.models.detector.
-Detector` objects drained in lockstep: the same hop accounting, the same
-warm-up discard, the same outputs (tested element-for-element). Lanes that
-received fewer samples simply wait — a drain evaluates ``min`` over lanes
-of newly available hops, keeping the batch shape uniform (live capture
-fills all lanes at the device callback rate, so lanes stay aligned).
+Lanes progress INDEPENDENTLY, like the reference's per-channel drains
+(Processor.swift:102-149, channels never wait on each other): a drain
+evaluates the max over lanes of newly available hops in one padded batch
+and each lane's valid prefix is reported via :attr:`last_counts` /
+:attr:`last_sample_indices`. A dead or starved capture lane therefore
+never stalls detection on the others.
+
+Sample accounting is per lane and survives overflow: a chunk dropped at
+the ``max_buffer_seconds`` cap advances the lane's stream clock and closes
+the current contiguous segment (windows must not straddle missing audio),
+so post-gap outputs carry their TRUE stream sample indices — the same
+sample-accurate bookkeeping the reference's offline path keeps
+(SyllableDetectorCLI/TrackDetector.swift:67-68). After a gap the lane
+re-warms exactly like a fresh stream (first output at
+``first_output_sample`` past the gap, TrackDetector.swift:38-42).
 """
 
 from __future__ import annotations
@@ -36,6 +45,19 @@ from syllable_detector_tpu.ops.stft import normalize_overlap, num_frames
 __all__ = ["DetectorBank"]
 
 
+@dataclasses.dataclass
+class _Segment:
+    """One gap-free run of a lane's stream. ``start`` is the absolute
+    sample index (in the lane's true stream) of ``data[0]``; it advances
+    as drained hops are trimmed. ``closed`` segments precede a gap and can
+    never be extended — their remaining evaluable hops drain out, then the
+    segment is discarded."""
+
+    start: int
+    data: np.ndarray
+    closed: bool = False
+
+
 class DetectorBank:
     """N streaming detectors drained together in one fused device call.
 
@@ -45,12 +67,18 @@ class DetectorBank:
     channel-stacked distinct nets; ``'matmul'`` uses the unfused XLA
     pipeline via vmap (same batching, slower kernel).
 
-    ``max_buffer_seconds`` bounds each lane's sample buffer: the lockstep
-    drain waits for the slowest lane, so a dead/starved capture channel
-    would otherwise grow every OTHER lane's buffer without bound. Appends
-    beyond the cap are counted in ``overflows[lane]`` and dropped — the
-    same count-and-drop contract as the Processor ring (the reference
-    fatalErrors instead, CircularShortTimeFourierTransform.swift:199).
+    ``max_buffer_seconds`` bounds each lane's sample buffer. Appends
+    beyond the cap are counted in ``overflows[lane]``, their length is
+    added to ``dropped_samples[lane]``, and the lane's stream clock still
+    advances — see :meth:`note_gap` (the reference fatalErrors instead,
+    CircularShortTimeFourierTransform.swift:199).
+
+    After each :meth:`drain`:
+
+    * ``last_counts[lane]`` — how many of the returned rows are valid for
+      that lane (the rest is padding);
+    * ``last_sample_indices[lane]`` — absolute stream sample index of each
+      valid output (TrackDetector.swift:67-68 accounting, per lane).
     """
 
     def __init__(
@@ -93,47 +121,86 @@ class DetectorBank:
             max_buffer_seconds * self.spec.sampling_rate
         )
         self.overflows = [0] * self.n_lanes
+        self.dropped_samples = [0] * self.n_lanes
         self._matmul_fn = None  # built once; a per-drain jit would retrace
         self._stacked = None
-        self._residuals = [np.zeros(0, np.float32) for _ in configs]
-        # lockstep hop counter (the first timeRange-1 frames emit nothing,
-        # which the raw-sample evaluation handles inherently — an eval needs
-        # timeRange frames of context, SyllableDetector.swift:164-178)
-        self._frames_seen = 0
+        self._segments: list[list[_Segment]] = [[] for _ in configs]
+        self._offered = [0] * self.n_lanes  # absolute per-lane stream clock
+        self.hops_emitted = [0] * self.n_lanes
+        self.last_counts = np.zeros(self.n_lanes, np.int64)
+        self.last_sample_indices: list[np.ndarray] = [
+            np.zeros(0, np.int64) for _ in configs
+        ]
         self.last_outputs = np.zeros(
             (self.n_lanes, self.spec.net.outputs), np.float32
         )
 
     # -- feeding ------------------------------------------------------------
 
-    def append_audio_data(self, lane: int, samples: np.ndarray) -> None:
+    def buffered_samples(self, lane: int) -> int:
+        """Samples currently buffered (across segments) for one lane."""
+        return sum(len(s.data) for s in self._segments[lane])
+
+    def append_audio_data(self, lane: int, samples: np.ndarray) -> bool:
+        """Buffer a chunk for one lane. Returns False when the chunk was
+        DROPPED at the ``max_buffer_seconds`` cap (counted in
+        ``overflows``/``dropped_samples``; the lane's stream clock still
+        advances so later timestamps stay sample-accurate)."""
         samples = np.asarray(samples, np.float32).reshape(-1)
-        if len(self._residuals[lane]) + len(samples) > self.max_buffer_samples:
-            # count-and-drop like the Processor ring on overflow; keeps a
-            # starved lockstep from growing active lanes without bound
-            self.overflows[lane] += 1
-            return
-        self._residuals[lane] = np.concatenate([self._residuals[lane], samples])
+        n = len(samples)
+        if self.buffered_samples(lane) + n > self.max_buffer_samples:
+            self.note_gap(lane, n)
+            return False
+        segs = self._segments[lane]
+        if segs and not segs[-1].closed:
+            segs[-1].data = np.concatenate([segs[-1].data, samples])
+        else:
+            segs.append(_Segment(start=self._offered[lane], data=samples.copy()))
+        self._offered[lane] += n
+        return True
+
+    def note_gap(self, lane: int, n: int) -> None:
+        """Register ``n`` samples of the lane's stream as LOST (an
+        overflow drop, or an externally observed capture gap): advance the
+        stream clock so subsequent outputs keep true sample indices, and
+        close the open segment — a window must never straddle missing
+        audio, so the lane re-warms on the far side of the gap exactly
+        like a fresh stream (TrackDetector.swift:38-42 accounting)."""
+        self.overflows[lane] += 1
+        self.dropped_samples[lane] += n
+        self._offered[lane] += n
+        segs = self._segments[lane]
+        if segs and not segs[-1].closed:
+            segs[-1].closed = True
 
     # -- draining -----------------------------------------------------------
 
-    def _evaluable_hops(self) -> int:
-        """Newly evaluable hops across ALL lanes (min over lanes)."""
+    def _front_avail(self, lane: int) -> int:
+        """Evaluable hops of the lane's FRONT segment, discarding
+        exhausted closed segments first."""
         spec = self.spec
         t = spec.time_range
-        f_min = min(
-            num_frames(len(r), spec.window_length, spec.window_overlap)
-            for r in self._residuals
-        )
-        return max(0, f_min - (t - 1))
+        segs = self._segments[lane]
+        while segs:
+            front = segs[0]
+            f = num_frames(len(front.data), spec.window_length, spec.window_overlap)
+            avail = max(0, f - (t - 1))
+            if avail or not front.closed:
+                return avail
+            segs.pop(0)  # closed and drained dry: the gap follows
+        return 0
 
     def drain(self) -> np.ndarray:
-        """Evaluate every lane's newly available hops in one batched device
-        call -> [n_lanes, n_new, outputs] (n_new may be 0).
+        """Evaluate every lane's newly available hops in one padded
+        batched device call per bucket round -> [n_lanes, n_max, outputs]
+        (n_max may be 0). Lanes progress independently: row counts beyond
+        ``last_counts[lane]`` are zero padding, and
+        ``last_sample_indices[lane]`` gives each valid output's absolute
+        stream sample index.
 
-        Like Detector._drain_fused, the buffers retain the trailing
+        Like Detector._drain_fused, each segment retains the trailing
         ``(timeRange-1)`` hops of samples so the next drain's evaluations
-        continue exactly where this one stopped; sample lengths bucket to
+        continue exactly where this one stopped; batch lengths bucket to
         the shared _FRAME_BUCKETS sizes so device kernels compile once per
         bucket.
         """
@@ -141,29 +208,56 @@ class DetectorBank:
         t = spec.time_range
         hop = spec.hop
         gap, _ = normalize_overlap(spec.window_overlap)
-        n_new = self._evaluable_hops()
         out_w = spec.net.outputs
-        if n_new <= 0:
-            return np.zeros((self.n_lanes, 0, out_w), np.float32)
+        first_out = spec.first_output_sample
 
-        chunks = []
-        while n_new > 0:
-            take = min(n_new, _FRAME_BUCKETS[-1])
+        per_lane_outs: list[list[np.ndarray]] = [[] for _ in range(self.n_lanes)]
+        per_lane_idx: list[list[np.ndarray]] = [[] for _ in range(self.n_lanes)]
+
+        while True:
+            avail = [self._front_avail(i) for i in range(self.n_lanes)]
+            n_max = max(avail)
+            if n_max <= 0:
+                break
+            take = min(n_max, _FRAME_BUCKETS[-1])
             bucket = next(b for b in _FRAME_BUCKETS if b >= take)
             need = (bucket + t - 2) * hop + gap + spec.window_length
             xs = np.zeros((self.n_lanes, need), np.float32)
-            for i, r in enumerate(self._residuals):
-                m = min(len(r), need)
-                xs[i, :m] = r[:m]
+            for i in range(self.n_lanes):
+                if avail[i] <= 0:
+                    continue
+                data = self._segments[i][0].data
+                m = min(len(data), need)
+                xs[i, :m] = data[:m]
             outs = np.asarray(self._batched_outputs(jnp.asarray(xs)))[:, :take]
-            chunks.append(outs)
-            self._residuals = [r[take * hop :] for r in self._residuals]
-            n_new -= take
-        self._frames_seen += sum(c.shape[1] for c in chunks)
-        outs = np.concatenate(chunks, axis=1)
-        if outs.shape[1]:
-            self.last_outputs = outs[:, -1]
-        return outs
+            for i in range(self.n_lanes):
+                take_i = min(avail[i], take)
+                if take_i <= 0:
+                    continue
+                front = self._segments[i][0]
+                per_lane_outs[i].append(outs[i, :take_i])
+                per_lane_idx[i].append(
+                    front.start + first_out + hop * np.arange(take_i, dtype=np.int64)
+                )
+                front.data = front.data[take_i * hop :]
+                front.start += take_i * hop
+                self.hops_emitted[i] += take_i
+
+        counts = np.array([sum(len(o) for o in per_lane_outs[i]) for i in range(self.n_lanes)], np.int64)
+        n_out = int(counts.max()) if self.n_lanes else 0
+        result = np.zeros((self.n_lanes, n_out, out_w), np.float32)
+        for i in range(self.n_lanes):
+            if counts[i]:
+                lane_rows = np.concatenate(per_lane_outs[i], axis=0)
+                result[i, : counts[i]] = lane_rows
+                self.last_outputs[i] = lane_rows[-1]
+            self.last_sample_indices[i] = (
+                np.concatenate(per_lane_idx[i])
+                if per_lane_idx[i]
+                else np.zeros(0, np.int64)
+            )
+        self.last_counts = counts
+        return result
 
     def _batched_outputs(self, xs):
         from syllable_detector_tpu.kernels.fused_detector import (
@@ -192,53 +286,127 @@ class DetectorBank:
     def seen_syllables(self) -> np.ndarray:
         """Drain and OR detections per lane (output 0 vs each lane's own
         threshold) -> bool[n_lanes] (SyllableDetector.swift:220-230, per
-        lane)."""
+        lane). Only each lane's valid prefix is consulted — padding rows
+        never count."""
         outs = self.drain()
         if not outs.shape[1]:
             return np.zeros(self.n_lanes, bool)
+        valid = np.arange(outs.shape[1])[None, :] < self.last_counts[:, None]
         # float32 comparison, like Detector.seen_syllable
-        return np.any(
-            outs[:, :, 0] >= self.thresholds.astype(np.float32)[:, None],
-            axis=1,
-        )
+        hits = outs[:, :, 0] >= self.thresholds.astype(np.float32)[:, None]
+        return np.any(hits & valid, axis=1)
 
     # -- state checkpoint / resume (mirrors Detector.get_state/set_state) ---
 
     def get_state(self) -> dict:
         """Snapshot every lane's streaming state as plain numpy arrays."""
         return {
-            "residuals": [r.copy() for r in self._residuals],
-            "frames_seen": int(self._frames_seen),
+            "segments": [
+                [(int(s.start), s.data.copy(), bool(s.closed)) for s in segs]
+                for segs in self._segments
+            ],
+            "offered": list(self._offered),
+            "hops_emitted": list(self.hops_emitted),
             "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
             "overflows": list(self.overflows),
+            "dropped_samples": list(self.dropped_samples),
         }
 
     def set_state(self, state: dict) -> None:
         """Restore a :meth:`get_state` snapshot (possibly in a different
         process); continuing the streams afterwards produces exactly the
         outputs an uninterrupted bank would."""
-        residuals = [np.asarray(r, np.float32) for r in state["residuals"]]
-        if len(residuals) != self.n_lanes:
+        if "segments" in state:
+            segments = [
+                [
+                    _Segment(int(st), np.asarray(d, np.float32).copy(), bool(c))
+                    for st, d, c in segs
+                ]
+                for segs in state["segments"]
+            ]
+        else:  # legacy (round-3) single-residual schema
+            segments = [
+                [_Segment(0, np.asarray(r, np.float32).copy())]
+                if len(np.asarray(r).reshape(-1))
+                else []
+                for r in state["residuals"]
+            ]
+        if len(segments) != self.n_lanes:
             raise ValueError(
-                f"state has {len(residuals)} lanes, bank has {self.n_lanes}"
+                f"state has {len(segments)} lanes, bank has {self.n_lanes}"
             )
-        self._residuals = [r.copy() for r in residuals]
-        self._frames_seen = int(state["frames_seen"])
+        self._segments = segments
+        self._offered = [
+            int(v)
+            for v in state.get(
+                "offered",
+                [
+                    (segs[-1].start + len(segs[-1].data)) if segs else 0
+                    for segs in segments
+                ],
+            )
+        ]
+        self.hops_emitted = [
+            int(v)
+            for v in state.get("hops_emitted", [0] * self.n_lanes)
+        ]
         self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
         self.overflows = list(state.get("overflows", [0] * self.n_lanes))
+        self.dropped_samples = list(
+            state.get("dropped_samples", [0] * self.n_lanes)
+        )
 
     def save_state(self, path) -> None:
         state = self.get_state()
+        arrays = {}
+        seg_counts = []
+        for i, segs in enumerate(state["segments"]):
+            seg_counts.append(len(segs))
+            arrays[f"seg_starts_{i}"] = np.asarray(
+                [s[0] for s in segs], np.int64
+            )
+            arrays[f"seg_closed_{i}"] = np.asarray(
+                [s[2] for s in segs], bool
+            )
+            for k, (_, d, _) in enumerate(segs):
+                arrays[f"seg_data_{i}_{k}"] = d
         np.savez(
             path,
-            frames_seen=state["frames_seen"],
+            n_lanes=self.n_lanes,
+            seg_counts=np.asarray(seg_counts, np.int64),
+            offered=np.asarray(state["offered"], np.int64),
+            hops_emitted=np.asarray(state["hops_emitted"], np.int64),
             last_outputs=state["last_outputs"],
             overflows=np.asarray(state["overflows"], np.int64),
-            **{f"residual_{i}": r for i, r in enumerate(state["residuals"])},
+            dropped_samples=np.asarray(state["dropped_samples"], np.int64),
+            **arrays,
         )
 
     def load_state(self, path) -> None:
         with np.load(path) as data:
+            if "seg_counts" in data.files:
+                segments = []
+                for i, n in enumerate(data["seg_counts"]):
+                    starts = data[f"seg_starts_{i}"]
+                    closed = data[f"seg_closed_{i}"]
+                    segments.append(
+                        [
+                            (int(starts[k]), data[f"seg_data_{i}_{k}"], bool(closed[k]))
+                            for k in range(int(n))
+                        ]
+                    )
+                self.set_state(
+                    {
+                        "segments": segments,
+                        "offered": list(data["offered"]),
+                        "hops_emitted": list(data["hops_emitted"]),
+                        "last_outputs": data["last_outputs"],
+                        "overflows": list(data["overflows"]),
+                        "dropped_samples": list(data["dropped_samples"]),
+                    }
+                )
+                return
+            # legacy (round-3) npz layout
             n_saved = sum(1 for k in data.files if k.startswith("residual_"))
             self.set_state(
                 {

@@ -182,12 +182,22 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
             if proc is None:
                 out("not running")
                 continue
-            out(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
-            for e in proc.entries:
+            out(
+                f"{'chan':>4} {'in RMS':>10} {'max out':>10} "
+                f"{'age s':>8} {'drops':>6}"
+            )
+            for e, st in zip(proc.entries, proc.lane_stats()):
                 i = e.input_channel
                 rms = proc.get_input_for_channel(i) or 0.0
                 o = proc.get_output_for_channel(i) or 0.0
-                out(f"{i:>4} {rms:>10.4f} {o:>10.4f}")
+                # audio age: seconds since this lane's capture last
+                # delivered — a dead/unplugged mic grows here at a glance
+                age = st["last_audio_age_s"]
+                age_s = f"{age:>8.1f}" if age is not None else f"{'-':>8}"
+                out(
+                    f"{i:>4} {rms:>10.4f} {o:>10.4f} {age_s} "
+                    f"{st['overflows']:>6}"
+                )
         else:
             out(f"unknown command {cmd!r}")
 
@@ -467,9 +477,11 @@ def main(argv=None) -> int:
 
     last_rms = [0.0] * args.channels
     last_out = [0.0] * args.channels
-    print(f"{'chan':>4} {'in RMS':>10} {'max out':>10}")
+    print(f"{'chan':>4} {'in RMS':>10} {'max out':>10} {'age s':>8}")
 
     def print_table():
+        stats = proc.lane_stats()
+        by_chan = {s["input_channel"]: s for s in stats}
         cols = []
         for i in range(args.channels):
             rms = proc.get_input_for_channel(i)
@@ -480,7 +492,15 @@ def main(argv=None) -> int:
                 last_rms[i] = rms
             if out is not None:
                 last_out[i] = out
-            cols.append(f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f}")
+            # seconds since the lane's capture last delivered audio: a
+            # dead/unplugged mic shows as a growing age (the reference's
+            # GUI shows its RMS going quiet instead,
+            # ViewControllerProcessor.swift:278-284)
+            age = by_chan.get(i, {}).get("last_audio_age_s")
+            age_s = f"{age:>8.1f}" if age is not None else f"{'-':>8}"
+            cols.append(
+                f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f} {age_s}"
+            )
         print("\n".join(cols))
 
     t_end = time.monotonic() + (args.duration if args.realtime else 60.0)

@@ -153,6 +153,21 @@ def sharded_fused_offline_outputs(
     if tile is None:
         tile = (512 if distinct else 2048) if layout == "flat" else 256
 
+    if layout == "flat":
+        # same HBM guard as the fused_batch router, applied to the PER-SHARD
+        # shape (c/d local channels per device): a too-large local slab
+        # would otherwise surface as an opaque RESOURCE_EXHAUSTED mid-run
+        from syllable_detector_tpu.kernels.fused_detector import (
+            _flat_hbm_budget,
+            _flat_hbm_estimate,
+        )
+
+        if _flat_hbm_estimate(
+            spec, n_evals, c // d, tile, distinct
+        ) > _flat_hbm_budget():
+            layout = "grid"
+            tile = min(tile, 256)
+
     def build_fn():
         def local(shared_op, st_ops, x):
             if layout == "flat":

@@ -287,10 +287,15 @@ class NativeFirmwareTransport(Transport):
         path = os.path.join(native, "libsdfirmware.so")
         if not os.path.exists(path):
             src = os.path.join(native, "arduino_firmware.cpp")
+            # compile to a per-process temp name and rename into place
+            # (atomic on POSIX): the in-process lock cannot stop ANOTHER
+            # process (parallel pytest, a ResilientDetector child) from
+            # CDLLing a half-written .so mid-build
+            tmp = f"{path}.tmp{os.getpid()}"
             try:
                 proc = subprocess.run(
                     ["g++", "-O2", "-Wall", "-Wextra", "-std=c++17", "-fPIC",
-                     "-shared", "-o", path, src],
+                     "-shared", "-o", tmp, src],
                     capture_output=True,
                 )
             except OSError as e:
@@ -303,6 +308,7 @@ class NativeFirmwareTransport(Transport):
                     "native firmware compile failed:\n"
                     + proc.stderr.decode(errors="replace")[:2000]
                 )
+            os.rename(tmp, path)
         lib = ctypes.CDLL(path)
         lib.sdfw_new.restype = ctypes.c_void_p
         lib.sdfw_new.argtypes = [ctypes.c_int32]

@@ -145,6 +145,11 @@ class _Lane:
     detections: int = 0
     overflows: int = 0  # dropped buffers (the reference fatalErrors instead,
     # CircularShortTimeFourierTransform.swift:199)
+    dropped_samples: int = 0  # total samples lost in those drops
+    last_audio_ns: Optional[int] = None  # monotonic stamp of the last
+    # capture callback — a dead/unplugged mic shows as a growing age
+    # (the reference's GUI shows per-channel RMS going quiet instead,
+    # ViewControllerProcessor.swift:278-284)
 
 
 class Processor:
@@ -266,6 +271,7 @@ class Processor:
         # mean-square level stat (Processor.swift:111-113)
         data = np.asarray(data, np.float32)
         lane.stat_input.write_value(float(np.mean(data * data)))
+        lane.last_audio_ns = _time_ns()
 
         if lane.resampler is not None:
             data, lane.resampler = linear_resample_chunk_exact(data, lane.resampler)
@@ -274,6 +280,7 @@ class Processor:
             # overflow is a hard error in the reference
             # (CircularShortTimeFourierTransform.swift:199); count and drop
             lane.overflows += 1
+            lane.dropped_samples += len(data)
             return
 
         self._work.put(index)
@@ -372,8 +379,14 @@ class Processor:
                     samples = lane.ring.peek()
                     if len(samples):
                         lane.ring.consume(len(samples))
-                        bank.append_audio_data(j, samples)
-                outs = bank.drain()  # [len(idxs), n_new, outputs]
+                        if not bank.append_audio_data(j, samples):
+                            # the bank's max_buffer cap dropped the chunk:
+                            # surface it on the lane like a ring overflow,
+                            # so audio loss stays visible to monitoring
+                            lane.overflows += 1
+                            lane.dropped_samples += len(samples)
+                outs = bank.drain()  # [len(idxs), n_max, outputs] padded
+                counts = bank.last_counts
             except Exception as e:
                 self.drain_errors += 1
                 if self.drain_errors <= 5:
@@ -389,7 +402,9 @@ class Processor:
                 any_outs = True
             for j, i in enumerate(idxs):
                 lane = self._lanes[i]
-                o = outs[j]
+                # lanes progress independently: only this lane's valid
+                # prefix counts (rows beyond counts[j] are padding)
+                o = outs[j, : counts[j]]
                 if o.shape[0]:
                     lane.stat_output.write_value(float(np.max(o[:, 0])))
                     # float32 comparison, exactly like the per-lane drain —
@@ -464,17 +479,28 @@ class Processor:
         return [lane.detections for lane in self._lanes]
 
     def lane_stats(self) -> list[dict]:
-        """Per-lane counters for UIs: detections / overflows / channels.
+        """Per-lane counters for UIs: detections / overflows / dropped
+        samples / last-audio age.
 
-        The public surface for what the reference's channel table reads off
-        its detector array (ViewControllerProcessor.swift:278-284).
+        ``last_audio_age_s`` is the seconds since the lane's capture
+        callback last delivered audio (None before the first chunk) — a
+        dead or unplugged mic shows as a growing age at a glance, where
+        the reference's GUI shows per-channel RMS going quiet
+        (ViewControllerProcessor.swift:278-284).
         """
+        now = _time_ns()
         return [
             {
                 "input_channel": lane.entry.input_channel,
                 "output_channel": lane.entry.output_channel,
                 "detections": lane.detections,
                 "overflows": lane.overflows,
+                "dropped_samples": lane.dropped_samples,
+                "last_audio_age_s": (
+                    (now - lane.last_audio_ns) / 1e9
+                    if lane.last_audio_ns is not None
+                    else None
+                ),
             }
             for lane in self._lanes
         ]

@@ -37,10 +37,29 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["ResilientDetector"]
+__all__ = ["ResilientDetector", "DetectorChildError", "DetectorChildCrash"]
 
 
-def _child_main(conn, net_texts, method, platform):
+class DetectorChildError(RuntimeError):
+    """A SEMANTIC error from the child (bad argument, bad state): the
+    request is wrong, not the process — deterministic, so a respawn would
+    just replay the same failure (each one a potential 5-10 min cold
+    Mosaic compile). The supervisor re-raises these immediately without a
+    restart; the child stays alive and keeps serving."""
+
+
+class DetectorChildCrash(RuntimeError):
+    """A crash-class child failure (unexpected exception, poisoned
+    runtime, dead pipe): the process is suspect — the supervisor restarts
+    it with snapshot + journal replay."""
+
+
+# request errors of these types are semantic (caller mistakes), not
+# process poisoning: the child reports them and keeps serving
+_SEMANTIC_ERRORS = (ValueError, TypeError, KeyError, IndexError)
+
+
+def _child_main(conn, net_texts, method, platform, max_buffer_seconds=30.0):
     """Child process: build the bank, serve requests until EOF/stop."""
     try:
         if platform:
@@ -51,7 +70,9 @@ def _child_main(conn, net_texts, method, platform):
         from syllable_detector_tpu.models.detector_bank import DetectorBank
 
         cfgs = [loads_config(t) for t in net_texts]
-        bank = DetectorBank(cfgs, method=method)
+        bank = DetectorBank(
+            cfgs, method=method, max_buffer_seconds=max_buffer_seconds
+        )
         conn.send(("ready", None))
         while True:
             try:
@@ -62,24 +83,44 @@ def _child_main(conn, net_texts, method, platform):
             if op == "stop":
                 conn.send(("ok", None))
                 return
-            if op == "append":
-                _, lane, samples = msg
-                bank.append_audio_data(lane, samples)
-                conn.send(("ok", None))
-            elif op == "drain":
-                outs = bank.drain()
-                conn.send(("ok", (outs, bank.get_state())))
-            elif op == "warm_up":
-                n = bank.warm_up(buckets=msg[1])
-                conn.send(("ok", (n, bank.get_state())))
-            elif op == "set_state":
-                bank.set_state(msg[1])
-                conn.send(("ok", None))
-            elif op == "crash":  # test hook: simulate a poisoned process
+            if op == "crash":  # test hook: simulate a poisoned process
                 os._exit(17)
-            else:
-                conn.send(("error", f"unknown op {op!r}"))
-    except Exception as e:  # surface construction/serve errors to the parent
+            try:
+                if op == "append":
+                    _, lane, samples = msg
+                    bank.append_audio_data(lane, samples)
+                    conn.send(("ok", None))
+                elif op == "note_gap":
+                    _, lane, n = msg
+                    bank.note_gap(lane, n)
+                    conn.send(("ok", None))
+                elif op == "drain":
+                    outs = bank.drain()
+                    conn.send(
+                        (
+                            "ok",
+                            (
+                                outs,
+                                bank.last_counts,
+                                list(bank.last_sample_indices),
+                                bank.get_state(),
+                            ),
+                        )
+                    )
+                elif op == "warm_up":
+                    n = bank.warm_up(buckets=msg[1])
+                    conn.send(("ok", (n, bank.get_state())))
+                elif op == "set_state":
+                    bank.set_state(msg[1])
+                    conn.send(("ok", None))
+                else:
+                    conn.send(("error", f"unknown op {op!r}"))
+            except _SEMANTIC_ERRORS as e:
+                # a bad request is the CALLER's bug, not process poisoning:
+                # report and keep serving (the parent raises without a
+                # respawn — deterministic errors would burn max_restarts)
+                conn.send(("error", f"{type(e).__name__}: {e}"))
+    except Exception as e:  # construction/serve crashes: process is suspect
         try:
             conn.send(("fatal", f"{type(e).__name__}: {e}"))
         except Exception:
@@ -105,6 +146,7 @@ class ResilientDetector:
         max_restarts: int = 3,
         timeout: float = 900.0,
         platform: Optional[str] = None,
+        max_buffer_seconds: float = 30.0,
     ):
         from syllable_detector_tpu.config.model_format import dumps_config
 
@@ -115,6 +157,20 @@ class ResilientDetector:
         self.method = method
         self.max_restarts = max_restarts
         self.timeout = timeout
+        # the parent MIRRORS the child bank's max_buffer cap: appends the
+        # bank would drop (overflow) are journaled as compact gap markers
+        # instead of full chunks, so the replay journal is bounded by the
+        # bank's own buffering cap per lane — a caller that appends for a
+        # long stretch without draining no longer doubles memory
+        self.max_buffer_seconds = max_buffer_seconds
+        self._max_buffer_samples = int(
+            max_buffer_seconds * configs[0].sampling_rate
+        )
+        # per-lane mirror of the child bank's buffered sample count
+        # (snapshot buffering + accepted journal entries) — exact between
+        # drains, since the bank only trims inside drain/warm_up and both
+        # refresh the snapshot
+        self._buffered = [0] * self.n_lanes
         if platform is None:
             # inherit an EXPLICITLY configured platform (tests force CPU
             # via jax.config.update("jax_platforms", "cpu")) — read from
@@ -131,8 +187,15 @@ class ResilientDetector:
                 platform = jax_mod.config.jax_platforms or None
         self._platform = platform
         self.restarts = 0
+        self.last_counts = np.zeros(self.n_lanes, np.int64)
+        self.last_sample_indices = [
+            np.zeros(0, np.int64) for _ in range(self.n_lanes)
+        ]
         self._snapshot = None  # last known-good post-drain state
-        self._journal: list[tuple[int, np.ndarray]] = []  # appends since then
+        # appends since the snapshot: ("append", lane, samples) for chunks
+        # the bank accepts, ("gap", lane, n) compact markers for chunks
+        # the bank's cap drops (replayed as note_gap — data-free)
+        self._journal: list[tuple] = []
         self._ctx = mp.get_context("spawn")
         self._proc = None
         self._conn = None
@@ -144,7 +207,13 @@ class ResilientDetector:
         parent_conn, child_conn = self._ctx.Pipe()
         self._proc = self._ctx.Process(
             target=_child_main,
-            args=(child_conn, self._net_texts, self.method, self._platform),
+            args=(
+                child_conn,
+                self._net_texts,
+                self.method,
+                self._platform,
+                self.max_buffer_seconds,
+            ),
             daemon=True,
         )
         self._proc.start()
@@ -155,8 +224,11 @@ class ResilientDetector:
             raise RuntimeError(f"detector child failed to start: {payload}")
         if self._snapshot is not None:
             self._request(("set_state", self._snapshot))
-        for lane, samples in self._journal:
-            self._request(("append", lane, samples))
+        for entry in self._journal:
+            if entry[0] == "gap":
+                self._request(("note_gap", entry[1], entry[2]))
+            else:
+                self._request(("append", entry[1], entry[2]))
 
     def _recv(self):
         if not self._conn.poll(self.timeout):
@@ -167,14 +239,18 @@ class ResilientDetector:
         self._conn.send(msg)
         status, payload = self._recv()
         if status == "fatal":
-            raise RuntimeError(f"detector child failed: {payload}")
+            raise DetectorChildCrash(f"detector child failed: {payload}")
         if status == "error":
-            raise RuntimeError(payload)
+            raise DetectorChildError(payload)
         return payload
 
     def _supervised(self, msg, covered_by_replay: bool = False):
         """Send a request, restarting the child (snapshot + journal replay)
-        on crash/timeout, up to max_restarts times.
+        on CRASH-CLASS failures only — dead pipe, timeout, unexpected child
+        exception — up to max_restarts times. Semantic child errors
+        (:class:`DetectorChildError`, e.g. a bad set_state) re-raise
+        immediately: they are deterministic, so each respawn would replay
+        the same failure at full cold-compile cost.
 
         ``covered_by_replay``: the message's effect is already in the
         journal, so after a restart (whose replay applied it) the message
@@ -185,7 +261,9 @@ class ResilientDetector:
         while True:
             try:
                 return self._request(msg)
-            except (EOFError, OSError, BrokenPipeError, TimeoutError, RuntimeError):
+            except DetectorChildError:
+                raise
+            except (EOFError, OSError, TimeoutError, DetectorChildCrash):
                 self._kill_child()
                 self.restarts += 1
                 attempts += 1
@@ -209,17 +287,34 @@ class ResilientDetector:
 
     def append_audio_data(self, samples: np.ndarray, lane: int = 0) -> None:
         samples = np.asarray(samples, np.float32).reshape(-1)
+        n = len(samples)
+        if self._buffered[lane] + n > self._max_buffer_samples:
+            # the child bank would drop this chunk at its cap — journal a
+            # compact gap marker (no data) so replay reproduces the bank's
+            # overflow accounting without retaining unbounded audio
+            self._journal.append(("gap", lane, n))
+            self._supervised(("note_gap", lane, n), covered_by_replay=True)
+            return
         # journal FIRST: if the child dies handling this append, the
         # restart's replay applies it — and covered_by_replay then skips
         # the resend (sending again would double-apply the chunk)
-        self._journal.append((lane, samples))
+        self._journal.append(("append", lane, samples))
+        self._buffered[lane] += n
         self._supervised(("append", lane, samples), covered_by_replay=True)
 
     def drain(self) -> np.ndarray:
-        outs, state = self._supervised(("drain",))
+        outs, counts, sample_indices, state = self._supervised(("drain",))
+        self.last_counts = counts
+        self.last_sample_indices = sample_indices
+        self._sync_snapshot(state)
+        return outs
+
+    def _sync_snapshot(self, state) -> None:
         self._snapshot = state
         self._journal.clear()
-        return outs
+        self._buffered = [
+            sum(len(d) for _, d, _ in segs) for segs in state["segments"]
+        ]
 
     def warm_up(self, buckets=None) -> int:
         from syllable_detector_tpu.models.detector import _FRAME_BUCKETS
@@ -229,8 +324,7 @@ class ResilientDetector:
         # the returned state already contains any journaled appends; keep
         # snapshot and journal consistent (journal entries kept alongside
         # a snapshot that includes them would double-apply after a crash)
-        self._snapshot = state
-        self._journal.clear()
+        self._sync_snapshot(state)
         return n
 
     def crash_for_test(self) -> None:

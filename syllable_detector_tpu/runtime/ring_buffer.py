@@ -38,13 +38,17 @@ def _load_library():
             src = os.path.join(_NATIVE_DIR, "ring_buffer.cpp")
             if not os.path.exists(src):
                 return None
+            # temp-compile + atomic rename: another PROCESS racing the
+            # first build must never CDLL a half-written .so
+            tmp = f"{_LIB_PATH}.tmp{os.getpid()}"
             try:
                 subprocess.run(
                     ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
-                     "-o", _LIB_PATH, src],
+                     "-o", tmp, src],
                     check=True,
                     capture_output=True,
                 )
+                os.rename(tmp, _LIB_PATH)
             except (OSError, subprocess.CalledProcessError):
                 return None
         try:

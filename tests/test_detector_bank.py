@@ -73,18 +73,115 @@ def test_bank_matches_independent_detectors(sample_config, method):
     )
 
 
-def test_bank_lockstep_waits_for_slow_lane(sample_config):
+def test_bank_lanes_progress_independently(sample_config):
+    """A starved lane must not stall the others (the reference drains each
+    channel independently, Processor.swift:102-149): lane 0's hops emit
+    immediately, lane 1's count stays 0 until it is fed, then it catches
+    up with identical outputs."""
     bank = DetectorBank([sample_config, sample_config])
     rng = np.random.default_rng(6)
     x = make_audio(rng, seconds=0.2)
     bank.append_audio_data(0, x)  # lane 1 has nothing yet
     outs = bank.drain()
-    assert outs.shape == (2, 0, 1)  # waits for the slow lane
+    assert outs.shape[1] > 0  # lane 0 emits without waiting
+    assert bank.last_counts[0] == outs.shape[1]
+    assert bank.last_counts[1] == 0
+    lane0 = outs[0, : bank.last_counts[0]].copy()
+    idx0 = bank.last_sample_indices[0].copy()
     bank.append_audio_data(1, x)
     outs = bank.drain()
-    assert outs.shape[1] > 0
-    # lane parity after catch-up
-    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    assert bank.last_counts[0] == 0  # no new lane-0 audio
+    assert bank.last_counts[1] == len(lane0)  # lane 1 catches up
+    np.testing.assert_allclose(
+        outs[1, : bank.last_counts[1]], lane0, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(bank.last_sample_indices[1], idx0)
+
+
+def test_bank_starved_lane_does_not_stall_others(sample_config):
+    """The round-3 verdict's scenario: one dead capture lane in a 4-lane
+    bank. The other lanes' outputs must match independent detectors with
+    NO overflow drops (previously the min-over-lanes lockstep stalled
+    every lane until the cap started dropping audio)."""
+    cfgs = [
+        sample_config,
+        _perturbed_cfg(sample_config, 21),
+        _perturbed_cfg(sample_config, 22),
+        _perturbed_cfg(sample_config, 23),
+    ]
+    bank = DetectorBank(cfgs, max_buffer_seconds=5.0)
+    singles = {i: Detector(cfgs[i]) for i in (0, 2, 3)}
+    rng = np.random.default_rng(24)
+    streams = {i: make_audio(rng, seconds=0.4) for i in (0, 2, 3)}
+
+    got = {i: [] for i in (0, 2, 3)}
+    want = {i: [] for i in (0, 2, 3)}
+    pos = 0
+    for chunk in (5000, 3000, 9641):
+        for i in (0, 2, 3):  # lane 1 is dead: never fed
+            bank.append_audio_data(i, streams[i][pos : pos + chunk])
+            singles[i].append_audio_data(streams[i][pos : pos + chunk])
+        outs = bank.drain()
+        assert bank.last_counts[1] == 0
+        for i in (0, 2, 3):
+            if bank.last_counts[i]:
+                got[i].append(outs[i, : bank.last_counts[i]])
+            s = singles[i].drain()
+            if len(s):
+                want[i].append(s)
+        pos += chunk
+    assert bank.overflows == [0, 0, 0, 0]
+    for i in (0, 2, 3):
+        g = np.concatenate(got[i], axis=0)
+        w = np.concatenate(want[i], axis=0)
+        assert g.shape == w.shape and g.shape[0] > 0
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=2e-4)
+
+
+def test_bank_overflow_gap_keeps_sample_accuracy(sample_config):
+    """A chunk dropped at the buffer cap advances the lane's stream clock
+    and closes the segment: post-gap outputs equal a fresh detector fed
+    only the post-gap audio, and their sample indices are the TRUE stream
+    positions (TrackDetector.swift:67-68 accounting)."""
+    cfg = sample_config
+    rate = int(cfg.sampling_rate)
+    bank = DetectorBank([cfg], max_buffer_seconds=0.25)
+    cap = bank.max_buffer_samples
+    rng = np.random.default_rng(30)
+    pre = make_audio(rng, seconds=0.2)
+    lost = make_audio(rng, seconds=0.3)  # > remaining cap: dropped whole
+    post = make_audio(rng, seconds=0.2)
+
+    assert bank.append_audio_data(0, pre)
+    assert not bank.append_audio_data(0, lost)  # overflow drop
+    outs1 = bank.drain()  # pre-gap hops drain normally
+    n_pre = int(bank.last_counts[0])
+    assert n_pre > 0
+    idx_pre = bank.last_sample_indices[0]
+    # pre-gap indices: first output at first_output_sample, +hop each
+    assert idx_pre[0] == cfg.first_output_sample
+    assert np.all(np.diff(idx_pre) == cfg.hop)
+
+    assert bank.append_audio_data(0, post)  # accepted after the drain
+    outs2 = bank.drain()
+    n_post = int(bank.last_counts[0])
+    assert n_post > 0
+    # oracle: a fresh detector fed ONLY the post-gap audio (the lane
+    # re-warms on the far side of the gap like a fresh stream)
+    oracle = Detector(cfg)
+    oracle.append_audio_data(post)
+    want = oracle.drain()
+    np.testing.assert_allclose(
+        outs2[0, :n_post], want, rtol=1e-3, atol=2e-4
+    )
+    # post-gap indices are offset by the TRUE stream position of the
+    # post-gap segment: len(pre) + len(lost)
+    gap_start = len(pre) + len(lost)
+    idx_post = bank.last_sample_indices[0]
+    assert idx_post[0] == gap_start + cfg.first_output_sample
+    assert np.all(np.diff(idx_post) == cfg.hop)
+    assert bank.overflows[0] == 1
+    assert bank.dropped_samples[0] == len(lost)
 
 
 def test_bank_seen_syllables_per_lane_thresholds(sample_config):
@@ -121,19 +218,19 @@ def test_bank_warm_up_no_new_traces(sample_config):
     assert fused_detector._fused_call._cache_size() == size0
 
 
-def test_bank_starved_lane_bounds_memory(sample_config):
-    """A dead capture lane must not grow the active lanes' buffers without
-    bound: appends beyond max_buffer_seconds are counted and dropped."""
+def test_bank_buffer_cap_bounds_memory(sample_config):
+    """Appends beyond max_buffer_seconds (e.g. a caller that stops
+    draining) are counted and dropped; the buffer never exceeds the cap."""
     bank = DetectorBank(
         [sample_config, sample_config], max_buffer_seconds=0.1
     )
     cap = bank.max_buffer_samples
     x = np.zeros(2048, np.float32)
-    for _ in range(200):  # lane 1 never fed
+    for _ in range(20):  # no drains: the cap must bound lane 0's buffer
         bank.append_audio_data(0, x)
-        bank.drain()
-    assert len(bank._residuals[0]) <= cap
+    assert bank.buffered_samples(0) <= cap
     assert bank.overflows[0] > 0
+    assert bank.dropped_samples[0] > 0
     assert bank.overflows[1] == 0
 
 

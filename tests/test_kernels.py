@@ -561,7 +561,7 @@ def test_flat_router_falls_back_to_grid_on_hbm(monkeypatch, sample_config, audio
 
     spec, params = detector_spec_from_config(sample_config)
     xs = jnp.stack([jnp.asarray(audio[:8000])] * 3)
-    monkeypatch.setattr(fd, "_FLAT_HBM_BUDGET", 1)
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: 1)
     called = {}
 
     def fake_grid(spec_, meta, operands, xs_, *a, **k):
@@ -578,6 +578,40 @@ def test_flat_router_falls_back_to_grid_on_hbm(monkeypatch, sample_config, audio
     called.clear()
     out2 = fd.fused_batch_offline_outputs(spec, params, xs, interpret=True)
     assert "grid" not in called and out2.shape[0] == 3
+
+
+def test_flat_hbm_budget_scales_with_device(monkeypatch):
+    """The HBM guard derives its budget from the device's reported memory
+    limit (so a larger chip generation raises the ceiling), falling back
+    to the measured v5e constant when stats are unavailable."""
+    import jax
+
+    from syllable_detector_tpu.kernels import fused_detector as fd
+
+    class _Dev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            return self._stats
+
+    # a hypothetical 96 GiB chip: budget = limit - headroom
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: [_Dev({"bytes_limit": 96 << 30})]
+    )
+    assert fd._flat_hbm_budget() == (96 << 30) - fd._FLAT_HBM_HEADROOM
+    # a tiny limit keeps at least half the chip usable
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: [_Dev({"bytes_limit": 6 << 30})]
+    )
+    assert fd._flat_hbm_budget() == 3 << 30
+    # no stats (CPU backend) -> measured fallback
+    monkeypatch.setattr(jax, "local_devices", lambda: [_Dev(None)])
+    assert fd._flat_hbm_budget() == fd._FLAT_HBM_BUDGET
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: (_ for _ in ()).throw(RuntimeError())
+    )
+    assert fd._flat_hbm_budget() == fd._FLAT_HBM_BUDGET
 
 
 def test_flat_rejects_impossible_n_evals(sample_config, audio):

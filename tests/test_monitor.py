@@ -34,12 +34,15 @@ def test_monitor_audio_output(chirp_wav, capsys):
     out = capsys.readouterr().out
     lines = out.splitlines()
     # channel table with header and per-channel level rows
-    assert lines[0].split() == ["chan", "in", "RMS", "max", "out"]
+    assert lines[0].split() == ["chan", "in", "RMS", "max", "out", "age", "s"]
     rows0 = [l for l in lines if l.strip().startswith("0 ")]
     rows1 = [l for l in lines if l.strip().startswith("1 ")]
     assert rows0 and rows1
     # levels become non-zero once audio flows (RMS col), like the GUI meters
     assert any(float(r.split()[1]) > 0 for r in rows0)
+    # the age column updates once capture delivers ('-' only before then):
+    # the final table (after the stream ended) must show a numeric age
+    assert float(rows0[-1].split()[3]) >= 0.0
     # the chirp trips the detector on both channels and fires TTL events
     det_line = next(l for l in lines if l.startswith("detections per channel"))
     dets = eval(det_line.split(":", 1)[1])

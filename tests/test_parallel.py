@@ -233,6 +233,37 @@ def test_sharded_fused_matches_vmap(setup, distinct):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_sharded_fused_flat_hbm_guard_falls_back(setup, monkeypatch):
+    """A per-shard flat footprint beyond the HBM budget routes the
+    shard_map body to the memory-safe grid path instead of surfacing an
+    opaque RESOURCE_EXHAUSTED mid-run (same contract as fused_batch)."""
+    from syllable_detector_tpu.kernels import fused_detector as fd
+    from syllable_detector_tpu.parallel.mesh import (
+        sharded_fused_offline_outputs,
+    )
+
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(2)
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: 1)
+    called = {}
+    real_grid = fd._batch_core_slabbed
+
+    def spy_grid(*a, **k):
+        called["grid"] = True
+        return real_grid(*a, **k)
+
+    monkeypatch.setattr(fd, "_batch_core_slabbed", spy_grid)
+    import syllable_detector_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_sharded_fn_cache", type(mesh_mod._sharded_fn_cache)())
+    got = np.asarray(
+        sharded_fused_offline_outputs(mesh, spec, params, xs, layout="flat")
+    )
+    want = np.asarray(batch_offline_outputs(spec, stacked, xs))
+    assert called.get("grid")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
 def test_sharded_fused_distinct_slabbed(setup):
     from syllable_detector_tpu.parallel.mesh import (
         sharded_fused_offline_outputs,

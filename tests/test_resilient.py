@@ -91,6 +91,79 @@ def test_resilient_append_exactly_once_on_crash(sample_config):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_resilient_semantic_error_no_respawn(sample_config):
+    """A deterministic child error (bad set_state) must surface
+    IMMEDIATELY, not burn max_restarts full respawns (each a potential
+    cold-compile): restarts stays 0 and the child keeps serving."""
+    from syllable_detector_tpu.runtime.resilient import DetectorChildError
+
+    rng = np.random.default_rng(17)
+    x = make_audio(rng, seconds=0.2)
+    with ResilientDetector(sample_config, timeout=120.0) as r:
+        bad_state = {
+            "segments": [[], []],  # 2 lanes into a 1-lane bank -> ValueError
+            "offered": [0, 0],
+            "hops_emitted": [0, 0],
+            "last_outputs": np.zeros((2, 1), np.float32),
+            "overflows": [0, 0],
+            "dropped_samples": [0, 0],
+        }
+        with pytest.raises(DetectorChildError, match="lanes"):
+            r._supervised(("set_state", bad_state))
+        assert r.restarts == 0
+        # the child is still alive and serving
+        r.append_audio_data(x)
+        out = r.drain()
+        assert out.shape[1] > 0
+
+
+def test_resilient_journal_gap_markers_bounded(sample_config):
+    """Appends the child bank would drop at its cap are journaled as
+    compact gap markers (no audio retained — ADVICE r3: unbounded journal
+    growth), and a crash replay reproduces the bank's sample-accurate gap
+    accounting exactly."""
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    rng = np.random.default_rng(18)
+    x1 = make_audio(rng, seconds=0.2)
+    x2 = make_audio(rng, seconds=0.2)  # will be dropped at the 0.3 s cap
+    x3 = make_audio(rng, seconds=0.2)
+
+    oracle = DetectorBank([sample_config], max_buffer_seconds=0.3)
+    oracle.append_audio_data(0, x1)
+    assert not oracle.append_audio_data(0, x2)
+    o1 = oracle.drain()
+    c1 = int(oracle.last_counts[0])
+    oracle.append_audio_data(0, x3)
+    o2 = oracle.drain()
+    c2 = int(oracle.last_counts[0])
+    idx2 = oracle.last_sample_indices[0]
+
+    with ResilientDetector(
+        sample_config, timeout=120.0, max_buffer_seconds=0.3
+    ) as r:
+        r.append_audio_data(x1)
+        r.append_audio_data(x2)  # beyond the mirror cap -> gap marker
+        gap_entries = [e for e in r._journal if e[0] == "gap"]
+        assert gap_entries == [("gap", 0, len(x2))]  # no audio retained
+        g1 = r.drain()
+        assert int(r.last_counts[0]) == c1
+        np.testing.assert_allclose(
+            g1[0, :c1], o1[0, :c1], rtol=1e-5, atol=1e-6
+        )
+        # crash AFTER the gap: the restart replays the post-snapshot
+        # journal; gap accounting must survive into the timestamps
+        r.crash_for_test()
+        r.append_audio_data(x3)
+        g2 = r.drain()
+        assert r.restarts >= 1
+        assert int(r.last_counts[0]) == c2
+        np.testing.assert_allclose(
+            g2[0, :c2], o2[0, :c2], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(r.last_sample_indices[0], idx2)
+
+
 def test_resilient_warm_up_keeps_journal_consistent(sample_config):
     """append -> warm_up -> crash -> drain must not double-apply the
     pre-warm_up audio (warm_up's snapshot already contains it)."""

@@ -483,6 +483,43 @@ def test_processor_batched_drain(sample_config):
     assert det[0] == ref.lane_detections()[0]
 
 
+def test_processor_lane_stats_age_and_bank_drop_surfacing(sample_config):
+    """lane_stats surfaces (a) last-audio age per lane — a dead mic shows
+    as a growing age / None (the reference GUI shows its RMS going quiet,
+    ViewControllerProcessor.swift:278-284) — and (b) bank-cap drops in
+    batched mode, which previously vanished into bank.overflows invisible
+    to monitoring."""
+    interface = SimulatedAudioInput(
+        lambda ch, start, n: np.zeros(n, np.float32),
+        channels=2, total_samples=4096, frame_size=512,
+    )
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=sample_config)
+        for i in range(2)
+    ]
+    proc = Processor(
+        interface, entries, AudioTTLOutput(SimulatedAudioOutput(channels=2)),
+        batched=True,
+    )
+    # feed lane 0 directly (no worker running); lane 1 stays dead
+    proc.receive_audio(interface, 0, np.zeros(1024, np.float32))
+    stats = proc.lane_stats()
+    assert stats[0]["last_audio_age_s"] is not None
+    assert 0.0 <= stats[0]["last_audio_age_s"] < 10.0
+    assert stats[1]["last_audio_age_s"] is None  # dead mic: never delivered
+    assert stats[0]["dropped_samples"] == 0
+
+    # force a bank-cap drop and run one batched drain round: the loss must
+    # land on the LANE's counters, not only inside the bank
+    proc._bank.max_buffer_samples = 100
+    proc.receive_audio(interface, 0, np.zeros(500, np.float32))
+    proc._drain_all()
+    stats = proc.lane_stats()
+    assert stats[0]["overflows"] == 1
+    assert stats[0]["dropped_samples"] >= 500
+    assert proc._bank.overflows[0] == 1  # and the bank counted it too
+
+
 def test_processor_batched_mixed_geometry_groups(sample_config):
     """batched=True with MIXED-geometry nets: lanes group into per-geometry
     DetectorBanks (the GUI can load arbitrary nets per row); detections
