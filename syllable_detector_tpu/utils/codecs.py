@@ -40,6 +40,8 @@ __all__ = [
     "write_ogg_vorbis",
     "mp3_available",
     "read_mp3",
+    "mp3_encoder_available",
+    "write_mp3",
     "soundfile_available",
     "read_soundfile",
 ]
@@ -58,6 +60,7 @@ _SONAMES = {
     "vorbisenc": "libvorbisenc.so.2",
     "ogg": "libogg.so.0",
     "mpg123": "libmpg123.so.0",
+    "mp3lame": "libmp3lame.so.0",
 }
 
 
@@ -298,6 +301,8 @@ _MPG123_OK = 0
 _MPG123_DONE = -12
 _MPG123_NEW_FORMAT = -11
 _MPG123_ENC_FLOAT_32 = 0x200
+_MPG123_ADD_FLAGS = 2  # enum mpg123_parms
+_MPG123_FORCE_FLOAT = 0x400  # param flag: decode to float regardless
 
 
 def mp3_available() -> bool:
@@ -337,11 +342,23 @@ def read_mp3(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
     lib.mpg123_close.argtypes = [ctypes.c_void_p]
     lib.mpg123_delete.argtypes = [ctypes.c_void_p]
 
+    lib.mpg123_param.restype = ctypes.c_int
+    lib.mpg123_param.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_double,
+    ]
+
     err = ctypes.c_int(0)
     h = lib.mpg123_new(None, ctypes.byref(err))
     if not h:
         raise RuntimeError(f"mpg123_new failed (rc={err.value})")
     try:
+        # FORCE_FLOAT must be set BEFORE open: the output format locks in
+        # when the stream header is parsed, and a later mpg123_format call
+        # does NOT renegotiate it — without this flag real (non-silent)
+        # MP3s decoded as int16 bytes misread as float32
+        lib.mpg123_param(
+            h, _MPG123_ADD_FLAGS, _MPG123_FORCE_FLOAT, ctypes.c_double(0.0)
+        )
         if lib.mpg123_open(h, str(path).encode()) != _MPG123_OK:
             raise ValueError(f"{path}: mpg123 cannot open this file")
         rate = ctypes.c_long(0)
@@ -411,6 +428,107 @@ def read_mp3(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
     finally:
         lib.mpg123_close(h)
         lib.mpg123_delete(h)
+
+
+# ---------------------------------------------------------------------------
+# MP3 encode (libmp3lame) — genuine Layer III fixtures + signal export
+# ---------------------------------------------------------------------------
+
+
+def mp3_encoder_available() -> bool:
+    return _load("mp3lame") is not None
+
+
+def write_mp3(
+    path: Union[str, "os.PathLike"],
+    samples: np.ndarray,
+    rate: int,
+    bitrate_kbps: int = 128,
+    title: str = "",
+) -> None:
+    """Encode [n] or [n, channels<=2] float32 samples to a REAL MPEG-1/2
+    Layer III file via libmp3lame (flat C ABI — no struct poking). A
+    non-empty ``title`` writes a genuine ID3v2 tag at the stream head, the
+    layout real recorders produce (the reference ingests these through
+    AVFoundation, main.swift:63-76)."""
+    lame = _load("mp3lame")
+    if lame is None:
+        raise RuntimeError("libmp3lame.so.0 is not available")
+
+    samples = np.asarray(samples, np.float32)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if channels > 2:
+        raise ValueError(f"MP3 supports at most 2 channels, got {channels}")
+
+    lame.lame_init.restype = ctypes.c_void_p
+    for fn in (
+        "lame_set_in_samplerate", "lame_set_num_channels", "lame_set_brate",
+        "lame_set_quality", "lame_init_params", "lame_close",
+    ):
+        getattr(lame, fn).restype = ctypes.c_int
+        getattr(lame, fn).argtypes = [ctypes.c_void_p] + (
+            [ctypes.c_int] if fn.startswith("lame_set") else []
+        )
+    lame.lame_encode_buffer_ieee_float.restype = ctypes.c_int
+    lame.lame_encode_buffer_ieee_float.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lame.lame_encode_flush.restype = ctypes.c_int
+    lame.lame_encode_flush.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+
+    gf = lame.lame_init()
+    if not gf:
+        raise RuntimeError("lame_init failed")
+    try:
+        lame.lame_set_in_samplerate(gf, int(rate))
+        lame.lame_set_num_channels(gf, channels)
+        lame.lame_set_brate(gf, int(bitrate_kbps))
+        lame.lame_set_quality(gf, 2)
+        if title:
+            lame.id3tag_init.argtypes = [ctypes.c_void_p]
+            lame.id3tag_add_v2.argtypes = [ctypes.c_void_p]
+            lame.id3tag_set_title.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lame.id3tag_init(gf)
+            lame.id3tag_add_v2(gf)
+            lame.id3tag_set_title(gf, title.encode())
+        if lame.lame_init_params(gf) < 0:
+            raise ValueError(
+                f"lame rejected rate={rate}/channels={channels}/"
+                f"bitrate={bitrate_kbps}"
+            )
+        # left/right columns MUST stay referenced through each C call
+        # (`.ctypes.data` is a bare int — a temporary would be freed
+        # mid-call, the measured ctypes trap)
+        left = np.ascontiguousarray(samples[:, 0])
+        right = np.ascontiguousarray(samples[:, 1] if channels == 2 else samples[:, 0])
+        out = ctypes.create_string_buffer(int(1.25 * n + 7200) + 7200)
+        with open(path, "wb") as fh:
+            got = lame.lame_encode_buffer_ieee_float(
+                gf,
+                left.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                right.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n,
+                out,
+                len(out),
+            )
+            if got < 0:
+                raise ValueError(f"lame encode failed (rc={got})")
+            fh.write(out.raw[:got])
+            got = lame.lame_encode_flush(gf, out, len(out))
+            if got > 0:
+                fh.write(out.raw[:got])
+        del left, right
+    finally:
+        lame.lame_close(gf)
 
 
 # ---------------------------------------------------------------------------

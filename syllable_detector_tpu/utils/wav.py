@@ -179,12 +179,15 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
 
     Sniffs the magic bytes: RIFF/WAVE (native parser), FORM/AIFF+AIFC
     (stdlib aifc), .snd/AU (stdlib sunau), OggS (libvorbisfile via ctypes),
-    ID3/MPEG-sync (libmpg123 via ctypes), fLaC and anything else via the
-    optional ``soundfile`` package when installed. The multi-container
-    surface of the reference CLI's AVAssetReader ingest (main.swift:63-76).
+    ID3/MPEG-sync (libmpg123 via ctypes), ftyp/MP4+M4A, fLaC, caff and
+    ADTS AAC via the native FFmpeg shim (utils.av_codec), with the
+    optional ``soundfile`` package as a further fallback. The
+    multi-container surface of the reference CLI's AVAssetReader ingest
+    (main.swift:63-76).
     """
     with open(path, "rb") as fh:
-        magic = fh.read(4)
+        head = fh.read(12)
+    magic = head[:4]
     if magic == b"RIFF":
         return read_wav(path)
     if magic == b"FORM":
@@ -192,7 +195,24 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
     if magic == b".snd":
         return _read_stdlib(path, "sunau")
 
-    from syllable_detector_tpu.utils import codecs
+    from syllable_detector_tpu.utils import av_codec, codecs
+
+    # MP4-family (M4A/AAC/ALAC: 'ftyp' box at offset 4,
+    # main.swift:63-76's most common recorder format after WAV/MP3),
+    # FLAC, CAF, and raw ADTS AAC (sync 0xFFF with layer 00) all route
+    # through the native FFmpeg shim first
+    is_adts_aac = (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xF6) == 0xF0
+    )
+    if head[4:8] == b"ftyp" or magic in (b"fLaC", b"caff") or is_adts_aac:
+        if av_codec.av_available():
+            return av_codec.read_av(path)
+        if codecs.soundfile_available():
+            return codecs.read_soundfile(path)
+        raise ValueError(
+            f"{path}: compressed container (magic {magic!r}) but neither "
+            f"the native FFmpeg shim nor the soundfile package is available"
+        )
 
     if magic == b"OggS":
         if codecs.ogg_vorbis_available():
@@ -230,8 +250,14 @@ def read_audio(path: Union[str, "os.PathLike"]) -> tuple[np.ndarray, int]:
             f"{path}: MPEG audio but neither libmpg123 nor the soundfile "
             f"package is available"
         )
+    if av_codec.av_available():
+        # anything else FFmpeg can demux (the AVFoundation-width route)
+        try:
+            return av_codec.read_av(path)
+        except ValueError:
+            pass
     if codecs.soundfile_available():
-        # FLAC/CAF/anything libsndfile knows (the AVFoundation-width route)
+        # FLAC/CAF/anything libsndfile knows
         try:
             return codecs.read_soundfile(path)
         except ValueError:
