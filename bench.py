@@ -120,18 +120,24 @@ SWEEP_SLAB = 64  # channels per kernel launch; larger native-batched shapes
 
 def _perturbed_params(params, seed, scale=0.05):
     """A genuinely distinct network with the same geometry (for the
-    per-channel-distinct-nets deployment measurements)."""
+    per-channel-distinct-nets deployment measurements). Stays HOST-side
+    numpy: fold_constants consumes numpy anyway, and a jnp leaf here costs
+    a tunnel round-trip per array — 1024 nets x 8 leaves serialized
+    through a ~30 ms RTT made r4's c=1024 setup take 10+ minutes."""
     r = np.random.default_rng(seed)
     return jax.tree.map(
-        lambda a: jnp.asarray(
-            np.asarray(a) * (1.0 + scale * r.standard_normal(np.asarray(a).shape))
+        lambda a: np.asarray(
+            np.asarray(a)
+            * (1.0 + scale * r.standard_normal(np.asarray(a).shape)),
+            dtype=np.asarray(a).dtype,
         ),
         params,
     )
 
 
 def batched_throughput(
-    spec, params, dev, c, tile=None, n_evals=None, layout="flat"
+    spec, params, dev, c, tile=None, n_evals=None, layout="flat",
+    hops_per_row=1,
 ):
     """Windows/s for a c-channel batched fused scan (the multi-detector
     deployment shape). ``params`` may be a list of c DISTINCT nets.
@@ -166,20 +172,22 @@ def batched_throughput(
             else:
                 n_evals = 1 << 11
         per_ch, total = flat_batch_input_samples(
-            spec, n_evals, c, tile=tile, distinct=distinct
+            spec, n_evals, c, tile=tile, distinct=distinct,
+            hops_per_row=hops_per_row,
         )
         base = make_audio(per_ch)
         flat = np.zeros(total, np.float32)
         for ch in range(c):
             flat[ch * per_ch : (ch + 1) * per_ch] = np.roll(base, 13 * ch)
         xs = jax.device_put(
-            jnp.asarray(flat.reshape(-1, spec.hop)), dev
+            jnp.asarray(flat.reshape(-1, spec.hop * hops_per_row)), dev
         )  # pre-slabbed: no in-graph relayout copy
 
         def make_fn():
             def fn(x, carry):
                 outs = fused_flat_batch_offline_outputs(
-                    spec, params, x, tile=tile, n_evals=n_evals, channels=c
+                    spec, params, x, tile=tile, n_evals=n_evals, channels=c,
+                    hops_per_row=hops_per_row,
                 )
                 return outs[-1, -1, 0] + carry
 
@@ -476,6 +484,8 @@ def _run(cfg, spec, params, dev):
     # the flagship fused path)
     batched_c1024 = None
     batched_c64_distinct = None
+    distinct_c1024 = None
+    distinct_c1024_cfg = None
     if on_tpu:
         try:
             batched_c1024 = batched_throughput(spec, params, dev, 1024)
@@ -491,6 +501,32 @@ def _run(cfg, spec, params, dev):
             log(f"batched c=64 DISTINCT nets: {batched_c64_distinct:,.0f} windows/s")
         except Exception as e:
             log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
+        # the ACTUAL reference deployment shape at chip scale: a DIFFERENT
+        # net on every one of 1024 channels. r4's multi-hop slab (8 hops
+        # per row, 1.09x lane pad) lifts the r3 HBM cap so 8192 evals/ch
+        # fit; fall back to the r3 shape (k=1, 4096) if the k=8 path fails
+        try:
+            plist_1k = [_perturbed_params(params, i) for i in range(1024)]
+            try:
+                distinct_c1024 = batched_throughput(
+                    spec, plist_1k, dev, 1024, n_evals=1 << 13,
+                    hops_per_row=8,
+                )
+                distinct_c1024_cfg = "k8_ne8192"
+            except Exception as e:
+                log(f"distinct c=1024 k=8 failed ({type(e).__name__}: "
+                    f"{str(e)[:100]}); falling back to k=1 ne=4096")
+                distinct_c1024 = batched_throughput(
+                    spec, plist_1k, dev, 1024, n_evals=1 << 12
+                )
+                distinct_c1024_cfg = "k1_ne4096"
+            log(
+                f"batched c=1024 DISTINCT nets [{distinct_c1024_cfg}]: "
+                f"{distinct_c1024:,.0f} windows/s "
+                f"({distinct_c1024/spec.sampling_rate*hop:,.0f} realtime channels)"
+            )
+        except Exception as e:
+            log(f"distinct c=1024 failed: {type(e).__name__}: {str(e)[:120]}")
 
     if "--sweep" in sys.argv and on_tpu:
         channel_sweep(spec, params, dev)
@@ -516,6 +552,15 @@ def _run(cfg, spec, params, dev):
         ),
         "batched_c64_distinct_nets": (
             round(batched_c64_distinct, 1) if batched_c64_distinct else None
+        ),
+        "distinct_c1024": (
+            round(distinct_c1024, 1) if distinct_c1024 else None
+        ),
+        "distinct_c1024_config": distinct_c1024_cfg,
+        "realtime_channels_distinct_c1024": (
+            round(distinct_c1024 / spec.sampling_rate * hop)
+            if distinct_c1024
+            else None
         ),
         "latency_ms_per_hop_1ch": (
             round(latency_ms[1], 5) if 1 in latency_ms else None

@@ -233,6 +233,56 @@ def _pipelined_geometry(spec: DetectorSpec, tile: int):
     return halo_rows, tile // halo_rows
 
 
+def _raw_geometry_k(spec: DetectorSpec, tile: int, k: int):
+    """MULTI-HOP-PER-ROW slab geometry: ``k`` hop-rows pack into each slab
+    row of ``k*hop`` lanes, shrinking the physical lane pad (the sample
+    net's hop 132 pads to 256 = 1.9x per row; 8 hops = 1056 pad to 1152 =
+    1.09x) — the r3 verdict's structural fix for the distinct-net HBM cap.
+
+    Frame m = q*k + rho: its standard slab part j (hop-row m+j, col clo)
+    lands at slab row q + (rho+j)//k, col ((rho+j)%k)*hop + clo — constant
+    offsets per (rho, j), so the in-VMEM rebuild stays static slices and
+    the per-frame GEMM accumulation order is IDENTICAL to the k=1 kernel
+    (bit-exact results). Returns (gap, hop, L, q, h_q, rows2d, parts_k):
+    q = tile//k evals per residue per program, h_q = extra conv rows
+    (ceil(halo/k)), parts_k[rho] = ((lo, hi, row_off, col), ...).
+    """
+    from syllable_detector_tpu.ops.stft import slab_parts
+
+    gap, hop, parts = slab_parts(spec.window_length, spec.window_overlap)
+    if k < 2:
+        raise ValueError("hops_per_row must be >= 2 (use the k=1 raw path)")
+    if tile % (8 * k):
+        # q = tile/k is the per-program slab row count: it must be a
+        # multiple of 8 (DMA slice sublane alignment / block sublane dim)
+        raise ValueError(
+            f"tile {tile} must divide by 8*hops_per_row ({8 * k})"
+        )
+    halo = spec.time_range - 1
+    q = tile // k
+    h_q = (k - 1 + halo) // k  # == ceil(halo / k)
+    row_off_max = (k - 1 + len(parts) - 1) // k
+    rows2d = _round_up(q + h_q + row_off_max, 8)
+    parts_k = tuple(
+        tuple(
+            (lo, hi, (rho + j) // k, ((rho + j) % k) * hop + clo)
+            for j, (lo, hi, clo) in enumerate(parts)
+        )
+        for rho in range(k)
+    )
+    return gap, hop, k * hop, q, h_q, rows2d, parts_k
+
+
+def _pipelined_geometry_k(spec: DetectorSpec, tile: int, k: int):
+    """(halo_rows, step) for the BlockSpec-pipelined multi-hop path, or
+    None when the halo block stride cannot divide the per-program rows."""
+    _, _, _, q, _, rows2d, _ = _raw_geometry_k(spec, tile, k)
+    halo_rows = rows2d - q
+    if halo_rows <= 0 or q % halo_rows != 0:
+        return None
+    return halo_rows, q // halo_rows
+
+
 def _make_kernel(
     spec: DetectorSpec,
     meta: FusedMeta,
@@ -242,6 +292,8 @@ def _make_kernel(
     pipelined: bool = False,
     out3d: bool = False,
     per_channel: bool = False,
+    hops_per_row: int = 1,
+    phase_split: int = 1,
 ):
     # per_channel: each channel of the batch grid runs a DISTINCT network —
     # the reference's one-net-per-audio-channel deployment
@@ -261,6 +313,9 @@ def _make_kernel(
     rows = _round_up(tile + halo, 8)
     if input_mode == "raw":
         _, hop, hop_pad, rows_frames, n_parts, rows2d, parts = _raw_geometry(spec, tile)
+    elif input_mode == "rawk":
+        k = hops_per_row
+        _, hop, L, q_sz, h_q, rows2d_k, parts_k = _raw_geometry_k(spec, tile, k)
 
     # precision ladder for the two big GEMMs (DFT + conv filter bank):
     #   fast  -> 1-pass bf16 (~1e-2 rel err, opt-in diagnostic only)
@@ -346,6 +401,88 @@ def _make_kernel(
         else:
             out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
+        if input_mode == "rawk":
+            # MULTI-HOP-PER-ROW path: k hop-rows per slab row. Each frame's
+            # standard parts live at constant (row_off, col) offsets per
+            # residue class rho = frame % k, so the rebuild stays static
+            # slices and per-frame GEMM accumulation order matches the k=1
+            # kernel exactly (bit-exact outputs).
+            if pipelined:
+                fvmem[0:q_sz, :] = main_ref[:, :]
+                fvmem[q_sz:rows2d_k, :] = halo_ref[:, :]
+            else:
+                i = pl.program_id(0)
+                copy = pltpu.make_async_copy(
+                    frames_hbm.at[pl.ds(i * q_sz, rows2d_k)],
+                    fvmem.at[pl.ds(0, rows2d_k)],
+                    sem,
+                )
+                copy.start()
+                copy.wait()
+            qh = q_sz + h_q
+            n_big = meta.b_pad if meta.packed else 2 * meta.b_pad
+            convs = []
+            rowsqs = []
+            for rho in range(k):
+                big = jnp.zeros((qh, n_big), jnp.float32)
+                for lo, hi, row_off, col in parts_k[rho]:
+                    big = big + big_dot(
+                        fvmem[row_off : row_off + qh, col : col + (hi - lo)],
+                        c_packed[lo:hi, :],
+                    )
+                if meta.packed:
+                    sq0 = big * big
+                    sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+                else:
+                    b_pad = meta.b_pad
+                    re = big[:, :b_pad]
+                    im = big[:, b_pad:]
+                    sq = re * re + im * im
+                mag = jnp.sqrt(sq)
+                if scaling == "linear":
+                    scaled = mag
+                else:
+                    lane_ids = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+                    if scaling == "db":
+                        s = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
+                    else:
+                        s = jnp.log(mag)
+                    scaled = jnp.where(lane_ids < meta.b, s, 0.0)
+                convs.append(conv_dot(scaled, w1g_full()))
+                if meta.has_l2:
+                    if scaling == "linear" and meta.packed:
+                        rowsqs.append(jnp.sum(sq0, axis=1, keepdims=True))
+                    else:
+                        rowsqs.append(
+                            jnp.sum(scaled * scaled, axis=1, keepdims=True)
+                        )
+            hs = meta.hs
+            for rho in range(k):
+                # output frame m = q*k + rho consumes conv tap t from
+                # residue (rho+t) % k at row shift (rho+t) // k
+                acc = jnp.zeros((q_sz, hs), jnp.float32)
+                norm = jnp.zeros((q_sz, 1), jnp.float32)
+                for t in range(t_range):
+                    rr = (rho + t) % k
+                    sh = (rho + t) // k
+                    acc = acc + convs[rr][sh : sh + q_sz, t * hs : (t + 1) * hs]
+                    if meta.has_l2:
+                        norm = norm + rowsqs[rr][sh : sh + q_sz, :]
+                if meta.has_l2:
+                    acc = acc / jnp.sqrt(norm)
+                h = _transfer(acc + rd(c1), transfers[0])
+                for (w, bb), name in zip(mids, transfers[1:]):
+                    h = _transfer(
+                        jnp.dot(
+                            h, rd(w), preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                        + rd(bb),
+                        name,
+                    )
+                out_ref[0, rho, :, :] = h * rd(out_a) + rd(out_c)
+            return
+
         # batched channels ride the SAME flat 2-D slab layout as the
         # single-stream kernel (channel ch's rows at [ch*ch_rows, ...)) —
         # 3-D .at[ch] HBM slicing measured ~25% slower DMA. Pipelined mode
@@ -373,6 +510,79 @@ def _make_kernel(
                 )
                 copy.start()
                 copy.wait()
+            if phase_split > 1:
+                # PHASE-SPLIT A/B (r3 verdict #5): run the full
+                # DFT-GEMM -> VPU mag -> conv-GEMM -> MLP pipeline over
+                # tile/S row sub-blocks instead of whole-tile phases. The
+                # sub-blocks are data-independent, so Mosaic's scheduler
+                # can overlap sub-block s's VPU phase with s+1's MXU
+                # phase; cost = the halo recompute per sub-block (~2%).
+                ts = tile // phase_split
+                n_big = meta.b_pad if meta.packed else 2 * meta.b_pad
+                hs = meta.hs
+                for s in range(phase_split):
+                    r0 = s * ts
+                    big = jnp.zeros((ts + halo, n_big), jnp.float32)
+                    for j, (lo, hi, clo) in enumerate(parts):
+                        big = big + big_dot(
+                            fvmem[r0 + j : r0 + j + ts + halo,
+                                  clo : clo + (hi - lo)],
+                            c_part(j),
+                        )
+                    if meta.packed:
+                        sq0 = big * big
+                        sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+                    else:
+                        b_pad = meta.b_pad
+                        re = big[:, :b_pad]
+                        im = big[:, b_pad:]
+                        sq = re * re + im * im
+                    mag = jnp.sqrt(sq)
+                    if scaling == "linear":
+                        scaled = mag
+                    else:
+                        lane_ids = jax.lax.broadcasted_iota(
+                            jnp.int32, mag.shape, 1
+                        )
+                        if scaling == "db":
+                            sx = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
+                        else:
+                            sx = jnp.log(mag)
+                        scaled = jnp.where(lane_ids < meta.b, sx, 0.0)
+                    conv = conv_dot(scaled, w1g_full())
+                    if meta.has_l2:
+                        if scaling == "linear" and meta.packed:
+                            rowsq = jnp.sum(sq0, axis=1, keepdims=True)
+                        else:
+                            rowsq = jnp.sum(
+                                scaled * scaled, axis=1, keepdims=True
+                            )
+                    acc = jnp.zeros((ts, hs), jnp.float32)
+                    norm = jnp.zeros((ts, 1), jnp.float32)
+                    for t in range(t_range):
+                        acc = acc + conv[t : t + ts, t * hs : (t + 1) * hs]
+                        if meta.has_l2:
+                            norm = norm + rowsq[t : t + ts, :]
+                    if meta.has_l2:
+                        acc = acc / jnp.sqrt(norm)
+                    h = _transfer(acc + rd(c1), transfers[0])
+                    for (w, bb), name in zip(mids, transfers[1:]):
+                        h = _transfer(
+                            jnp.dot(
+                                h, rd(w),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                            + rd(bb),
+                            name,
+                        )
+                    result = h * rd(out_a) + rd(out_c)
+                    if batched:
+                        out_ref[0, r0 : r0 + ts, :] = result
+                    else:
+                        out_ref[r0 : r0 + ts, :] = result
+                return
+
             # frames never materialize: frames = concat_j(part_j) along
             # columns, so frames @ C = sum_j part_j @ C[rows of part j] —
             # the band DFT decomposes into one GEMM per slab part. When
@@ -474,12 +684,24 @@ def _make_kernel(
     static_argnames=(
         "spec", "meta", "grid", "tile", "n_evals", "interpret", "input_mode",
         "channels", "ch_rows", "per_channel", "flat_blocks_per_ch",
+        "hops_per_row", "phase_split",
     ),
 )
 def _fused_call(
     spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode,
     channels=None, ch_rows=None, per_channel=False, flat_blocks_per_ch=None,
+    hops_per_row=1, phase_split=1,
 ):
+    if phase_split > 1:
+        if input_mode != "raw" or meta.split or meta.fast:
+            raise ValueError(
+                "phase_split > 1 supports only the full-fidelity raw path"
+            )
+        if tile % (8 * phase_split):
+            raise ValueError(
+                f"tile {tile} must divide by 8*phase_split "
+                f"({8 * phase_split})"
+            )
     # per_channel operands index either the channel grid dim (channels
     # mode) or, in FLAT layout, the 1-D grid position divided by the
     # channel's block count (flat_blocks_per_ch)
@@ -527,16 +749,28 @@ def _fused_call(
     # rule, so the data keeps its natural hop-lane width — no 132->256 lane
     # pad at all (another ~1.35x end-to-end, bit-exact). Batched pipelining
     # additionally needs ch_rows divisible by tile (the caller pads).
-    pipe = (
-        input_mode == "raw"
-        and _pipelined_geometry(spec, tile) is not None
-        and (channels is None or (ch_rows is not None and ch_rows % tile == 0))
-    )
+    if input_mode == "rawk":
+        if meta.fast or meta.split:
+            raise ValueError(
+                "hops_per_row > 1 supports only the full-fidelity tier "
+                "(no fast/split)"
+            )
+        pipe = _pipelined_geometry_k(spec, tile, hops_per_row) is not None
+    else:
+        pipe = (
+            input_mode == "raw"
+            and _pipelined_geometry(spec, tile) is not None
+            and (
+                channels is None
+                or (ch_rows is not None and ch_rows % tile == 0)
+            )
+        )
 
     kernel = _make_kernel(
         spec, meta, tile, input_mode,
         ch_rows=None if pipe else ch_rows, pipelined=pipe,
         out3d=channels is not None, per_channel=per_channel,
+        hops_per_row=hops_per_row, phase_split=phase_split,
     )
 
     # operand specs: channel-stacked net operands (everything after the
@@ -558,14 +792,31 @@ def _fused_call(
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     op_specs = [_op_spec(j, op) for j, op in enumerate(operands)]
-    if input_mode == "raw":
+    if input_mode == "rawk":
+        _, _, L, q_sz, _, rows2d_k, _ = _raw_geometry_k(
+            spec, tile, hops_per_row
+        )
+        lanes = L if pipe else _round_up(L, LANE)
+        scratches = [pltpu.VMEM((rows2d_k, lanes), jnp.float32)]
+    elif input_mode == "raw":
         _, hop, hop_pad, _, _, rows2d, _ = _raw_geometry(spec, tile)
         lanes = hop if pipe else hop_pad
         scratches = [pltpu.VMEM((rows2d, lanes), jnp.float32)]
     else:
         scratches = [pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)]
 
-    if pipe:
+    if pipe and input_mode == "rawk":
+        halo_rows, step = _pipelined_geometry_k(spec, tile, hops_per_row)
+        in_specs = [
+            pl.BlockSpec((q_sz, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (halo_rows, L),
+                lambda i, _s=step: ((i + 1) * _s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + op_specs
+        inputs = (data, data, *operands)
+    elif pipe:
         halo_rows, step = _pipelined_geometry(spec, tile)
         if channels is None:
             main_map = lambda i: (i, 0)
@@ -588,7 +839,21 @@ def _fused_call(
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + op_specs
         inputs = (data, *operands)
 
-    if channels is not None:
+    if input_mode == "rawk":
+        # residue-major output: program i writes result rows for frames
+        # i*tile + q*k + rho into [i, rho, q]; the host-side transpose to
+        # frame order is an 8-lane-wide copy, negligible next to the slab
+        k = hops_per_row
+        grid_dims = (grid,)
+        out_shape = jax.ShapeDtypeStruct(
+            (grid, k, q_sz, meta.o_pad), jnp.float32
+        )
+        out_spec = pl.BlockSpec(
+            (1, k, q_sz, meta.o_pad),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif channels is not None:
         # batched: flat 2-D slab, channel ch's rows at [ch*ch_rows, ...);
         # grid (channels, tiles-per-channel)
         grid_dims = (channels, grid)
@@ -624,6 +889,12 @@ def _fused_call(
             transcendentals=grid * tile * meta.hs,
         ),
     )(*inputs)
+    if input_mode == "rawk":
+        # [grid, k, q, o_pad] -> frame-ordered [grid*tile, outputs]
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            grid * tile, meta.o_pad
+        )
+        return out[:n_evals, : spec.net.outputs]
     if channels is not None:
         return out[:, :n_evals, : spec.net.outputs]
     return out[:n_evals, : spec.net.outputs]
@@ -726,6 +997,7 @@ def fused_offline_outputs(
     split: bool | None = None,
     packed: bool | None = None,
     n_evals: int | None = None,
+    phase_split: int = 1,
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
@@ -818,7 +1090,8 @@ def fused_offline_outputs(
         data = frames
 
     return _fused_call(
-        spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode
+        spec, meta, data, operands, grid, n_evals, tile, interpret,
+        input_mode, phase_split=phase_split,
     )
 
 
@@ -937,6 +1210,16 @@ def fused_batch_offline_outputs(
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
                     n_evals=n_evals,
+                )
+            # over budget at k=1: the multi-hop slab (k=8) shrinks the
+            # lane pad 1.9x -> 1.09x, often enough to stay flat (the r3
+            # distinct c=1024 cap) before surrendering to the grid path
+            if flat_tile % 64 == 0 and _flat_hbm_estimate(
+                spec, ne, c, flat_tile, distinct, hops_per_row=8
+            ) <= _flat_hbm_budget():
+                return fused_flat_batch_offline_outputs(
+                    spec, params, xs, tile=flat_tile, interpret=interpret,
+                    n_evals=n_evals, hops_per_row=8,
                 )
     if tile is None:
         tile = 256  # the grid kernel's historical default
@@ -1062,6 +1345,23 @@ def _flat_geometry(spec: DetectorSpec, n_evals: int, tile: int, distinct: bool):
     return grid, hop, hop_pad, rows2d, halo_rows, r
 
 
+def _flat_geometry_k(
+    spec: DetectorSpec, n_evals: int, tile: int, distinct: bool, k: int
+):
+    """Flat-batch geometry in MULTI-HOP slab rows (k hop-rows per row of
+    ``k*hop`` lanes). ``r_k`` is each channel's slab-row count (its frames
+    span ``r_k * k`` hop-rows); distinct nets round it to a whole number
+    of per-program blocks so no program straddles two channels' operands.
+    """
+    grid = max(1, -(-n_evals // tile))
+    _, hop, L, q_sz, _, rows2d_k, _ = _raw_geometry_k(spec, tile, k)
+    halo_rows = rows2d_k - q_sz
+    r_k = grid * q_sz + halo_rows
+    if distinct:
+        r_k = _round_up(r_k, q_sz)
+    return grid, hop, L, q_sz, rows2d_k, halo_rows, r_k
+
+
 _FLAT_HBM_BUDGET = 11 << 30  # measured: 12.8G requirement OOMs a v5e chip
 # headroom reserved off the device-reported HBM limit for XLA scratch,
 # folded operands, and double-buffered pipeline blocks — calibrated so a
@@ -1085,11 +1385,28 @@ def _flat_hbm_budget() -> int:
 
 
 def _flat_hbm_estimate(
-    spec: DetectorSpec, n_evals: int, c: int, tile: int, distinct: bool
+    spec: DetectorSpec,
+    n_evals: int,
+    c: int,
+    tile: int,
+    distinct: bool,
+    hops_per_row: int = 1,
 ) -> int:
     """Padded HBM bytes of the flat slab + kernel output: the slab lane
-    dim pads hop to a 128 multiple (132->256 = 1.9x) and the [rows, o_pad]
-    output pads its lanes to 128 (16x for o_pad=8)."""
+    dim pads to a 128 multiple (k=1: 132->256 = 1.9x; k=8: 1056->1152 =
+    1.09x) and the [rows, o_pad] output pads its lanes to 128 (16x for
+    o_pad=8)."""
+    if hops_per_row > 1:
+        k = hops_per_row
+        _, _, L, q_sz, rows2d_k, halo_rows, r_k = _flat_geometry_k(
+            spec, n_evals, tile, distinct, k
+        )
+        grid_total = max(1, -(-(c * r_k - halo_rows) // q_sz))
+        need_rows = (grid_total - 1) * q_sz + rows2d_k
+        return (
+            need_rows * _round_up(L, LANE) * 4
+            + grid_total * tile * LANE * 4
+        )
     _, hop, _, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
     )
@@ -1104,14 +1421,23 @@ def flat_batch_input_samples(
     channels: int,
     tile: int = 2048,
     distinct: bool = False,
+    hops_per_row: int = 1,
 ) -> tuple[int, int]:
     """(per_channel_samples, total_flat_samples) for a ZERO-COPY flat
     batched call: pack channel ch's samples at offset
     ``ch * per_channel_samples`` of a flat float32 buffer of
     ``total_flat_samples`` (zero-fill the tail). For the fastest path,
-    reshape it host-side to ``[total_flat_samples // hop, hop]`` and pass
-    that 2-D array with ``channels=channels`` (device-puts directly in the
-    kernel's tiled layout — no in-graph copy)."""
+    reshape it host-side to ``[total // (hops_per_row*hop),
+    hops_per_row*hop]`` and pass that 2-D array with ``channels=channels``
+    (device-puts directly in the kernel's tiled layout — no in-graph
+    copy)."""
+    if hops_per_row > 1:
+        _, hop, L, q_sz, rows2d_k, halo_rows, r_k = _flat_geometry_k(
+            spec, n_evals, tile, distinct, hops_per_row
+        )
+        grid_total = max(1, -(-(channels * r_k - halo_rows) // q_sz))
+        need_rows = (grid_total - 1) * q_sz + rows2d_k
+        return r_k * L, need_rows * L
     _, hop, _, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
     )
@@ -1128,26 +1454,36 @@ def fused_flat_batch_offline_outputs(
     interpret: bool | None = None,
     n_evals: int | None = None,
     channels: int | None = None,
+    hops_per_row: int = 1,
 ) -> jax.Array:
     """[C, n] streams -> [C, E, outputs] through the single-stream kernel
     over one flat slab — the FAST batched layout (shared or distinct nets).
 
     ``xs`` forms (fastest first):
-      * pre-slabbed 2-D ``[need_rows, hop]`` with ``channels=C`` and an
-        explicit ``n_evals`` (the :func:`flat_batch_input_samples` layout
-        reshaped host-side) — TRUE zero copy: the array device-puts in the
-        kernel's tiled layout, so no in-graph copy and no doubled HBM;
+      * pre-slabbed 2-D ``[need_rows, hops_per_row*hop]`` with
+        ``channels=C`` and an explicit ``n_evals`` (the
+        :func:`flat_batch_input_samples` layout reshaped host-side) — TRUE
+        zero copy: the array device-puts in the kernel's tiled layout, so
+        no in-graph copy and no doubled HBM;
       * flat 1-D of ``total_flat_samples`` with ``channels=C`` — the
         in-graph reshape to the tiled 2-D layout materializes ONE copy
         (fine for small batches, doubles peak HBM at 1024-channel scale);
       * ``[C, n]`` — one per-channel repack copy.
+
+    ``hops_per_row`` > 1 packs k hop-rows per slab row (k*hop lanes),
+    shrinking the physical lane pad from 1.9x to ~1.1x (k=8) — bit-exact
+    with k=1, it lifts the distinct-net HBM ceiling (the r3 verdict's
+    4096-eval cap at c=1024). Requires ``tile % (8*k) == 0``; the
+    full-fidelity tier only.
     """
     distinct = isinstance(params, (list, tuple))
-    # pre-slabbed form = [need_rows, hop] with channels given; a [C, n]
+    # pre-slabbed form = [need_rows, k*hop] with channels given; a [C, n]
     # array with a redundant channels=C is still treated as [C, n] (the
-    # hop-wide second dim is the discriminator)
+    # k*hop-wide second dim is the discriminator)
     pre_slabbed = (
-        channels is not None and xs.ndim == 2 and xs.shape[1] == spec.hop
+        channels is not None
+        and xs.ndim == 2
+        and xs.shape[1] == spec.hop * hops_per_row
     )
     if xs.ndim == 1 or pre_slabbed:
         if channels is None:
@@ -1194,6 +1530,58 @@ def fused_flat_batch_offline_outputs(
             )
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
+
+    if hops_per_row > 1:
+        k = hops_per_row
+        _, hop, L, q_sz, rows2d_k, halo_rows_k, r_k = _flat_geometry_k(
+            spec, n_evals, tile, distinct, k
+        )
+        grid_total = max(1, -(-(c * r_k - halo_rows_k) // q_sz))
+        need_rows_k = (grid_total - 1) * q_sz + rows2d_k
+        est = _flat_hbm_estimate(
+            spec, n_evals, c, tile, distinct, hops_per_row=k
+        )
+        if not interpret and est > _flat_hbm_budget():
+            raise ValueError(
+                f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab "
+                f"+ output) exceeds a single chip's HBM even at "
+                f"hops_per_row={k}; reduce n_evals per channel or chunk "
+                f"the channels"
+            )
+        xs = jnp.asarray(xs, jnp.float32)
+        if pre_slabbed:
+            if xs.shape != (need_rows_k, L):
+                raise ValueError(
+                    f"pre-slabbed input must have shape ({need_rows_k}, "
+                    f"{L}) (= flat_batch_input_samples layout); got "
+                    f"{xs.shape}"
+                )
+            data = xs
+        elif xs.ndim == 1:
+            total = need_rows_k * L
+            if xs.shape[0] != total:
+                raise ValueError(
+                    f"flat input must have exactly {total} samples "
+                    f"(= flat_batch_input_samples(...)[1]); got "
+                    f"{xs.shape[0]}"
+                )
+            data = xs.reshape(need_rows_k, L)
+        else:
+            return _flat_core_k(
+                spec, meta, operands, xs, tile, interpret, n_evals,
+                per_channel=distinct, hops_per_row=k,
+            )
+        if _pipelined_geometry_k(spec, tile, k) is None:
+            L_pad = _round_up(L, LANE)
+            if L_pad != L:
+                data = jnp.pad(data, ((0, 0), (0, L_pad - L)))
+        out = _fused_call(
+            spec, meta, data, operands, grid_total, grid_total * tile,
+            tile, interpret, "rawk", per_channel=distinct,
+            flat_blocks_per_ch=(r_k // q_sz) if distinct else None,
+            hops_per_row=k,
+        )
+        return _flat_outputs(out, c, r_k * k, n_evals)
 
     _, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
@@ -1301,3 +1689,49 @@ def _flat_core(
         flat_blocks_per_ch=(r // tile) if per_channel else None,
     )
     return _flat_outputs(out, c, r, n_evals)
+
+
+def _flat_core_k(
+    spec: DetectorSpec,
+    meta: FusedMeta,
+    operands,
+    xs: jax.Array,
+    tile: int,
+    interpret: bool,
+    n_evals: int,
+    per_channel: bool = False,
+    hops_per_row: int = 8,
+) -> jax.Array:
+    """Multi-hop flat-layout launch for a [c, n] batch (one per-channel
+    repack into k-hop slab rows); fully traceable like :func:`_flat_core`."""
+    c, n_in = xs.shape
+    k = hops_per_row
+    _, hop, L, q_sz, rows2d_k, halo_rows_k, r_k = _flat_geometry_k(
+        spec, n_evals, tile, per_channel, k
+    )
+    grid_total = max(1, -(-(c * r_k - halo_rows_k) // q_sz))
+    need_rows = (grid_total - 1) * q_sz + rows2d_k
+
+    xs = jnp.asarray(xs, jnp.float32)
+    want = r_k * L
+    if want > n_in:
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
+        )
+    data = xs[:, :want].reshape(c * r_k, L)
+    if need_rows > c * r_k:
+        data = jnp.concatenate(
+            [data, jnp.zeros((need_rows - c * r_k, L), jnp.float32)]
+        )
+    if _pipelined_geometry_k(spec, tile, k) is None:
+        L_pad = _round_up(L, LANE)
+        if L_pad != L:
+            data = jnp.pad(data, ((0, 0), (0, L_pad - L)))
+
+    out = _fused_call(
+        spec, meta, data, operands, grid_total, grid_total * tile, tile,
+        interpret, "rawk", per_channel=per_channel,
+        flat_blocks_per_ch=(r_k // q_sz) if per_channel else None,
+        hops_per_row=k,
+    )
+    return _flat_outputs(out, c, r_k * k, n_evals)

@@ -645,3 +645,180 @@ def test_flat_channels_redundant_with_2d(sample_config, audio):
         fused_flat_batch_offline_outputs(
             spec, params, xs, tile=64, interpret=True, channels=3
         )
+
+
+# ---------------------------------------------------------------------------
+# multi-hop-per-row flat slab (r4: lifts the distinct-net HBM ceiling)
+# ---------------------------------------------------------------------------
+
+
+def test_flat_multi_hop_matches_k1(sample_config, audio):
+    """hops_per_row=8 packs 8 hop-rows per slab row; the part-based frame
+    rebuild keeps the per-frame GEMM accumulation order identical, so the
+    outputs match the k=1 layout (bit-exact on hardware; CPU interpret
+    differs only by dot blocking ~1e-7)."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:50000])] * 3) * jnp.asarray(
+        [[1.0], [0.8], [1.2]], jnp.float32
+    )
+    o1 = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, xs, tile=256, interpret=True
+        )
+    )
+    o8 = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, xs, tile=256, interpret=True, hops_per_row=8
+        )
+    )
+    assert o1.shape == o8.shape and o1.shape[1] > 0
+    np.testing.assert_allclose(o8, o1, rtol=0, atol=1e-6)
+
+
+def test_flat_multi_hop_distinct_nets(sample_config, audio):
+    """Per-channel DISTINCT nets on the multi-hop layout: per-channel
+    operand BlockSpec indexing rides the same flat_blocks_per_ch contract
+    (in q-sized blocks)."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:40000])] * 3)
+    plist = [_perturbed_params(params, i) for i in range(3)]
+    o1 = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, plist, xs, tile=128, interpret=True
+        )
+    )
+    o8 = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, plist, xs, tile=128, interpret=True, hops_per_row=8
+        )
+    )
+    np.testing.assert_allclose(o8, o1, rtol=0, atol=1e-6)
+    assert np.abs(o1[0] - o1[1]).max() > 1e-4  # genuinely distinct
+
+
+def test_flat_multi_hop_pre_slabbed_form(sample_config, audio):
+    """The zero-copy pre-slabbed 2-D form ([need_rows, k*hop]) equals the
+    [C, n] form exactly."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        flat_batch_input_samples,
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    c, n_evals, tile, k = 3, 128, 64, 8
+    per_ch, total = flat_batch_input_samples(
+        spec, n_evals, c, tile=tile, hops_per_row=k
+    )
+    L = spec.hop * k
+    flat = np.zeros(total, np.float32)
+    for ch in range(c):
+        m = min(per_ch, len(audio) - ch)
+        flat[ch * per_ch : ch * per_ch + m] = audio[ch : ch + m]
+    got = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, jnp.asarray(flat.reshape(-1, L)), tile=tile,
+            n_evals=n_evals, channels=c, interpret=True, hops_per_row=k,
+        )
+    )
+    xs2d = jnp.asarray(
+        np.stack([flat[ch * per_ch : (ch + 1) * per_ch] for ch in range(c)])
+    )
+    want = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec, params, xs2d, tile=tile, n_evals=n_evals, interpret=True,
+            hops_per_row=k,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_flat_multi_hop_tile_divisibility(sample_config, audio):
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:20000])] * 2)
+    with pytest.raises(ValueError, match="8\\*hops_per_row"):
+        fused_flat_batch_offline_outputs(
+            spec, params, xs, tile=100, interpret=True, hops_per_row=8
+        )
+
+
+def test_flat_multi_hop_shrinks_hbm_estimate(sample_config):
+    """k=8 lane pad 1056->1152 (1.09x) vs k=1's 132->256 (1.94x): the
+    slab estimate shrinks ~1.8x, which is what lifts the distinct c=1024
+    cap past 8192 evals/channel on a v5e."""
+    from syllable_detector_tpu.kernels import fused_detector as fd
+
+    spec, _ = detector_spec_from_config(sample_config)
+    e1 = fd._flat_hbm_estimate(spec, 8192, 1024, 512, True)
+    e8 = fd._flat_hbm_estimate(spec, 8192, 1024, 512, True, hops_per_row=8)
+    assert e8 < e1
+    assert e1 > fd._FLAT_HBM_BUDGET        # k=1 would be guarded out
+    assert e8 <= fd._FLAT_HBM_BUDGET       # k=8 fits the measured budget
+
+
+def test_flat_router_escalates_to_multi_hop(sample_config, audio, monkeypatch):
+    """fused_batch over budget at k=1 but within it at k=8 routes to the
+    multi-hop flat layout, not the grid fallback."""
+    from syllable_detector_tpu.kernels import fused_detector as fd
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.stack([jnp.asarray(audio[:20000])] * 2)
+    ne = 128
+    e1 = fd._flat_hbm_estimate(spec, ne, 2, 128, False)
+    e8 = fd._flat_hbm_estimate(spec, ne, 2, 128, False, hops_per_row=8)
+    assert e8 < e1
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: (e1 + e8) // 2)
+    seen = {}
+    real = fd.fused_flat_batch_offline_outputs
+
+    def spy(*a, **kw):
+        seen["k"] = kw.get("hops_per_row", 1)
+        kw["interpret"] = True  # CPU test: routing decided, now interpret
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fd, "fused_flat_batch_offline_outputs", spy)
+    out = fd.fused_batch_offline_outputs(
+        spec, params, xs, tile=128, interpret=False, n_evals=ne
+    )
+    assert seen.get("k") == 8
+    want = real(spec, params, xs, tile=128, interpret=True, n_evals=ne)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=0, atol=1e-6
+    )
+
+
+def test_phase_split_matches(sample_config, audio):
+    """phase_split runs the DFT->VPU->conv->MLP pipeline over tile/S row
+    sub-blocks (r3 verdict #5 A/B: give Mosaic independent MXU/VPU chains
+    to overlap); semantics identical to the whole-tile phases."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    x = jnp.asarray(audio[:60000])
+    o1 = np.asarray(
+        fused_offline_outputs(spec, params, x, tile=256, interpret=True)
+    )
+    for s in (2, 4):
+        os_ = np.asarray(
+            fused_offline_outputs(
+                spec, params, x, tile=256, interpret=True, phase_split=s
+            )
+        )
+        np.testing.assert_allclose(os_, o1, rtol=0, atol=1e-6)
+    with pytest.raises(ValueError, match="phase_split"):
+        fused_offline_outputs(
+            spec, params, x, tile=256, interpret=True, phase_split=7
+        )
