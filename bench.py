@@ -502,24 +502,17 @@ def _run(cfg, spec, params, dev):
         except Exception as e:
             log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
         # the ACTUAL reference deployment shape at chip scale: a DIFFERENT
-        # net on every one of 1024 channels. r4's multi-hop slab (8 hops
-        # per row, 1.09x lane pad) lifts the r3 HBM cap so 8192 evals/ch
-        # fit; fall back to the r3 shape (k=1, 4096) if the k=8 path fails
+        # net on every one of 1024 channels. Measured at the FASTEST
+        # fitting config (k=1, 4096 evals/ch — hardware A/B r4: the
+        # multi-hop k=8 slab is the CAPACITY tier at ~0.75x speed; it
+        # lifts the eval cap to 8192+/ch when a single huge launch is
+        # worth more than throughput, scripts/multihop_hw.py)
         try:
             plist_1k = [_perturbed_params(params, i) for i in range(1024)]
-            try:
-                distinct_c1024 = batched_throughput(
-                    spec, plist_1k, dev, 1024, n_evals=1 << 13,
-                    hops_per_row=8,
-                )
-                distinct_c1024_cfg = "k8_ne8192"
-            except Exception as e:
-                log(f"distinct c=1024 k=8 failed ({type(e).__name__}: "
-                    f"{str(e)[:100]}); falling back to k=1 ne=4096")
-                distinct_c1024 = batched_throughput(
-                    spec, plist_1k, dev, 1024, n_evals=1 << 12
-                )
-                distinct_c1024_cfg = "k1_ne4096"
+            distinct_c1024 = batched_throughput(
+                spec, plist_1k, dev, 1024, n_evals=1 << 12
+            )
+            distinct_c1024_cfg = "k1_ne4096"
             log(
                 f"batched c=1024 DISTINCT nets [{distinct_c1024_cfg}]: "
                 f"{distinct_c1024:,.0f} windows/s "

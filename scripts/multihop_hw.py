@@ -113,18 +113,29 @@ def stage_cap(spec, params):
 
 
 def stage_perf(spec, params):
-    tile = 512
+    # (label, c, distinct, n_evals, tile, k) — round-2 configs: tile 512's
+    # per-residue GEMMs at k=8 are only ~67 rows (0.72x measured); larger
+    # tiles restore GEMM efficiency (q = tile/k rows per residue)
+    configs = (
+        ("shared_c1024", 1024, False, 2048, 2048, 1),
+        ("shared_c1024", 1024, False, 2048, 2048, 8),
+        ("distinct_c1024", 1024, True, 4096, 512, 1),
+        ("distinct_c1024", 1024, True, 4096, 1024, 8),
+        ("distinct_c1024", 1024, True, 4096, 2048, 8),
+        # the capacity shape timed at c=512 (the ne=8192 c=1024 TIMED
+        # wrapper OOMs: scan carry + output transpose double-buffer)
+        ("distinct_8k_c512", 512, True, 8192, 1024, 8),
+    )
     results = {}
-    for label, distinct, n_evals, ks in (
-        ("shared_c1024", False, 2048, (1, 8)),
-        ("distinct_c1024", True, 2048, (1, 8)),
-        ("distinct_c1024_8k", True, 8192, (8,)),
-    ):
-        c = 1024
-        plist = (
-            [perturb(params, i) for i in range(c)] if distinct else params
-        )
-        for k in ks:
+    plist_cache = {}
+    for label, c, distinct, n_evals, tile, k in configs:
+        if distinct:
+            if c not in plist_cache:
+                plist_cache[c] = [perturb(params, i) for i in range(c)]
+            plist = plist_cache[c]
+        else:
+            plist = params
+        try:
             base = make_audio(
                 flat_batch_input_samples(
                     spec, n_evals, c, tile=tile, distinct=distinct,
@@ -133,10 +144,10 @@ def stage_perf(spec, params):
             )
             xs = slabbed_input(spec, n_evals, c, tile, distinct, k, base)
 
-            def mk(_xs=xs, _p=plist, _k=k, _ne=n_evals):
+            def mk(_xs=xs, _p=plist, _k=k, _ne=n_evals, _t=tile, _c=c):
                 def fn(x, carry):
                     outs = fused_flat_batch_offline_outputs(
-                        spec, _p, x, tile=tile, n_evals=_ne, channels=c,
+                        spec, _p, x, tile=_t, n_evals=_ne, channels=_c,
                         hops_per_row=_k,
                     )
                     return outs[-1, -1, 0] + carry
@@ -145,8 +156,12 @@ def stage_perf(spec, params):
 
             dt = time_scanned(mk, xs)
             rate = c * n_evals / dt
-            results[f"{label}_k{k}"] = rate
-            log(f"{label} k={k}: {dt*1e3:8.2f} ms/iter -> {rate:,.0f} win/s")
+            results[f"{label}_t{tile}_k{k}"] = rate
+            log(f"{label} tile={tile} k={k} ne={n_evals}: "
+                f"{dt*1e3:8.2f} ms/iter -> {rate:,.0f} win/s")
+        except Exception as e:
+            log(f"{label} tile={tile} k={k} FAILED: {type(e).__name__}: "
+                f"{str(e)[:140]}")
     for name, rate in results.items():
         log(f"RESULT {name}: {rate/1e6:.1f}M")
 

@@ -42,7 +42,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
-    tile, n_evals = 2048, 2048
+    tile, n_evals = 2048, 1 << 17  # the bench headline shape (iter >= 1 ms; smaller sits under the scan-slope noise floor)
     n = fused_input_samples(spec, n_evals, tile=tile)
     x = jax.device_put(
         jnp.asarray(make_audio(n).reshape(-1, spec.hop)), dev
