@@ -335,6 +335,22 @@ class Detector:
         samples = np.asarray(samples, np.float32).reshape(-1)
         self._residual = np.concatenate([self._residual, samples])
 
+    def append_interleaved_data(
+        self, samples: np.ndarray, channels: int, channel: int = 0
+    ) -> None:
+        """Append ONE channel's samples out of an interleaved capture
+        buffer (frame-major [s0c0, s0c1, ..., s1c0, ...]) — the
+        reference's strided appendInterleavedData
+        (CircularShortTimeFourierTransform.swift:203-217); Linux capture
+        APIs deliver multi-channel audio interleaved."""
+        if not 0 <= channel < channels:
+            raise ValueError(f"channel {channel} out of range 0..{channels - 1}")
+        flat = np.asarray(samples, np.float32).reshape(-1)
+        n = len(flat) // channels
+        self.append_audio_data(
+            np.ascontiguousarray(flat[: n * channels].reshape(n, channels)[:, channel])
+        )
+
     def drain(self) -> np.ndarray:
         """Process all buffered hops; returns [n_new, outputs] (may be empty).
 

@@ -159,6 +159,20 @@ class DetectorBank:
         self._offered[lane] += n
         return True
 
+    def append_interleaved_audio_data(self, samples: np.ndarray) -> list[bool]:
+        """Fan an interleaved ``n_lanes``-channel capture buffer out to the
+        lanes (frame-major, the layout Linux capture APIs deliver) — the
+        bank-level counterpart of the reference's appendInterleavedData
+        (CircularShortTimeFourierTransform.swift:203-217). Returns each
+        lane's :meth:`append_audio_data` accept/drop flag."""
+        flat = np.asarray(samples, np.float32).reshape(-1)
+        n = len(flat) // self.n_lanes
+        frames = flat[: n * self.n_lanes].reshape(n, self.n_lanes)
+        return [
+            self.append_audio_data(lane, np.ascontiguousarray(frames[:, lane]))
+            for lane in range(self.n_lanes)
+        ]
+
     def note_gap(self, lane: int, n: int) -> None:
         """Register ``n`` samples of the lane's stream as LOST (an
         overflow drop, or an externally observed capture gap): advance the

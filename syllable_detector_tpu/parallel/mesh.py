@@ -153,10 +153,13 @@ def sharded_fused_offline_outputs(
     if tile is None:
         tile = (512 if distinct else 2048) if layout == "flat" else 256
 
+    hops = 1
     if layout == "flat":
         # same HBM guard as the fused_batch router, applied to the PER-SHARD
         # shape (c/d local channels per device): a too-large local slab
-        # would otherwise surface as an opaque RESOURCE_EXHAUSTED mid-run
+        # would otherwise surface as an opaque RESOURCE_EXHAUSTED mid-run.
+        # Escalation order matches the router: k=1 flat -> k=8 multi-hop
+        # flat (capacity tier, ~0.75x) -> grid (50-70M)
         from syllable_detector_tpu.kernels.fused_detector import (
             _flat_hbm_budget,
             _flat_hbm_estimate,
@@ -165,8 +168,13 @@ def sharded_fused_offline_outputs(
         if _flat_hbm_estimate(
             spec, n_evals, c // d, tile, distinct
         ) > _flat_hbm_budget():
-            layout = "grid"
-            tile = min(tile, 256)
+            if tile % 64 == 0 and _flat_hbm_estimate(
+                spec, n_evals, c // d, tile, distinct, hops_per_row=8
+            ) <= _flat_hbm_budget():
+                hops = 8
+            else:
+                layout = "grid"
+                tile = min(tile, 256)
 
     def build_fn():
         def local(shared_op, st_ops, x):
@@ -174,6 +182,16 @@ def sharded_fused_offline_outputs(
                 # r3: the flat layout runs each device's local channels at
                 # the single-stream rate (122M shared / ~100M distinct per
                 # chip vs the grid kernel's 50-70M)
+                if hops > 1:
+                    from syllable_detector_tpu.kernels.fused_detector import (
+                        _flat_core_k,
+                    )
+
+                    return _flat_core_k(
+                        spec, meta, (shared_op, *st_ops), x, tile,
+                        interpret, n_evals, per_channel=distinct,
+                        hops_per_row=hops,
+                    )
                 return _flat_core(
                     spec, meta, (shared_op, *st_ops), x, tile, interpret,
                     n_evals, per_channel=distinct,
@@ -201,7 +219,7 @@ def sharded_fused_offline_outputs(
     pin = tuple(params) if distinct else params
     key = (
         "cf", spec, mesh, tile, slab_channels, n_evals, c, distinct, layout,
-        tuple(id(p) for p in pin) if distinct else id(pin),
+        hops, tuple(id(p) for p in pin) if distinct else id(pin),
     )
     hit = _sharded_fn_cache.get(key)
     fresh = hit is None or (

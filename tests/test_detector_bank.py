@@ -284,3 +284,35 @@ def test_bank_state_checkpoint_resume(sample_config, tmp_path):
     wrong = DetectorBank([sample_config])
     with pytest.raises(ValueError, match="lanes"):
         wrong.load_state(p)
+
+
+def test_interleaved_append(sample_config):
+    """appendInterleavedData parity (CircularShortTimeFourierTransform.
+    swift:203-217): interleaved capture fans out to lanes / channels with
+    outputs equal to pre-deinterleaved feeds."""
+    rng = np.random.default_rng(31)
+    a = make_audio(rng, seconds=0.25)
+    b = make_audio(rng, seconds=0.25)
+    inter = np.empty(2 * len(a), np.float32)
+    inter[0::2] = a
+    inter[1::2] = b
+
+    bank = DetectorBank([sample_config, sample_config])
+    ok = bank.append_interleaved_audio_data(inter)
+    assert ok == [True, True]
+    outs = bank.drain()
+    oracle = DetectorBank([sample_config, sample_config])
+    oracle.append_audio_data(0, a)
+    oracle.append_audio_data(1, b)
+    want = oracle.drain()
+    np.testing.assert_array_equal(outs, want)
+
+    det = Detector(sample_config)
+    det.append_interleaved_data(inter, channels=2, channel=1)
+    single = Detector(sample_config)
+    single.append_audio_data(b)
+    np.testing.assert_array_equal(det.drain(), single.drain())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        det.append_interleaved_data(inter, channels=2, channel=2)

@@ -264,6 +264,45 @@ def test_sharded_fused_flat_hbm_guard_falls_back(setup, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_sharded_fused_escalates_to_multi_hop(setup, monkeypatch):
+    """Budget between the k=1 and k=8 per-shard estimates routes the
+    shard_map body to the multi-hop flat layout (capacity tier) before
+    the slower grid fallback."""
+    from syllable_detector_tpu.kernels import fused_detector as fd
+    from syllable_detector_tpu.parallel.mesh import (
+        sharded_fused_offline_outputs,
+    )
+
+    spec, params, stacked, xs = setup
+    mesh = make_mesh(2)
+    c_local = xs.shape[0] // 2
+    e1 = fd._flat_hbm_estimate(spec, 64, c_local, 128, False)
+    e8 = fd._flat_hbm_estimate(spec, 64, c_local, 128, False, hops_per_row=8)
+    assert e8 < e1
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: (e1 + e8) // 2)
+    called = {}
+    real_k = fd._flat_core_k
+
+    def spy_k(*a, **kw):
+        called["k"] = kw.get("hops_per_row")
+        return real_k(*a, **kw)
+
+    monkeypatch.setattr(fd, "_flat_core_k", spy_k)
+    import syllable_detector_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(
+        mesh_mod, "_sharded_fn_cache", type(mesh_mod._sharded_fn_cache)()
+    )
+    got = np.asarray(
+        sharded_fused_offline_outputs(
+            mesh, spec, params, xs, layout="flat", tile=128, n_evals=64
+        )
+    )
+    assert called.get("k") == 8
+    want = np.asarray(batch_offline_outputs(spec, stacked, xs))[:, :64]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
 def test_sharded_fused_distinct_slabbed(setup):
     from syllable_detector_tpu.parallel.mesh import (
         sharded_fused_offline_outputs,
