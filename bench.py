@@ -137,7 +137,7 @@ def _perturbed_params(params, seed, scale=0.05):
 
 def batched_throughput(
     spec, params, dev, c, tile=None, n_evals=None, layout="flat",
-    hops_per_row=1,
+    hops_per_row=1, out_t=False,
 ):
     """Windows/s for a c-channel batched fused scan (the multi-detector
     deployment shape). ``params`` may be a list of c DISTINCT nets.
@@ -187,7 +187,7 @@ def batched_throughput(
             def fn(x, carry):
                 outs = fused_flat_batch_offline_outputs(
                     spec, params, x, tile=tile, n_evals=n_evals, channels=c,
-                    hops_per_row=hops_per_row,
+                    hops_per_row=hops_per_row, out_t=out_t,
                 )
                 return outs[-1, -1, 0] + carry
 
@@ -502,17 +502,26 @@ def _run(cfg, spec, params, dev):
         except Exception as e:
             log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
         # the ACTUAL reference deployment shape at chip scale: a DIFFERENT
-        # net on every one of 1024 channels. Measured at the FASTEST
-        # fitting config (k=1, 4096 evals/ch — hardware A/B r4: the
-        # multi-hop k=8 slab is the CAPACITY tier at ~0.75x speed; it
-        # lifts the eval cap to 8192+/ch when a single huge launch is
-        # worth more than throughput, scripts/multihop_hw.py)
+        # net on every one of 1024 channels. Fastest fitting config (r4
+        # hardware A/B, scripts/out_t_hw.py): k=1 with the TRANSPOSED
+        # kernel output (16x smaller output array) fits 8192 evals/ch
+        # (8.8 GiB) and measured 110.8M vs 97.2M at the r3 k=1/ne4096
+        # shape; the multi-hop k=8 slab remains the deeper-capacity tier
+        # (~0.75x speed, scripts/multihop_hw.py)
         try:
             plist_1k = [_perturbed_params(params, i) for i in range(1024)]
-            distinct_c1024 = batched_throughput(
-                spec, plist_1k, dev, 1024, n_evals=1 << 12
-            )
-            distinct_c1024_cfg = "k1_ne4096"
+            try:
+                distinct_c1024 = batched_throughput(
+                    spec, plist_1k, dev, 1024, n_evals=1 << 13, out_t=True
+                )
+                distinct_c1024_cfg = "k1_ne8192_outT"
+            except Exception as e:
+                log(f"distinct c=1024 out_t failed ({type(e).__name__}: "
+                    f"{str(e)[:100]}); falling back to k=1 ne=4096")
+                distinct_c1024 = batched_throughput(
+                    spec, plist_1k, dev, 1024, n_evals=1 << 12
+                )
+                distinct_c1024_cfg = "k1_ne4096"
             log(
                 f"batched c=1024 DISTINCT nets [{distinct_c1024_cfg}]: "
                 f"{distinct_c1024:,.0f} windows/s "

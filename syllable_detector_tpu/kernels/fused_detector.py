@@ -294,6 +294,7 @@ def _make_kernel(
     per_channel: bool = False,
     hops_per_row: int = 1,
     phase_split: int = 1,
+    out_t: bool = False,
 ):
     # per_channel: each channel of the batch grid runs a DISTINCT network —
     # the reference's one-net-per-audio-channel deployment
@@ -480,7 +481,14 @@ def _make_kernel(
                         + rd(bb),
                         name,
                     )
-                out_ref[0, rho, :, :] = h * rd(out_a) + rd(out_c)
+                if out_t:
+                    # [o_pad, q] block slot: q lanes pad to 128 (2x at
+                    # q=64) instead of o_pad 8 -> 128 (16x)
+                    out_ref[0, rho, :, :] = jnp.transpose(
+                        h * rd(out_a) + rd(out_c)
+                    )
+                else:
+                    out_ref[0, rho, :, :] = h * rd(out_a) + rd(out_c)
             return
 
         # batched channels ride the SAME flat 2-D slab layout as the
@@ -671,7 +679,14 @@ def _make_kernel(
             )
 
         result = h * rd(out_a) + rd(out_c)
-        if batched:
+        if out_t:
+            # TRANSPOSED output block [o_pad, tile]: o_pad rides the
+            # sublane dim (pads 8 -> 8, not 8 lanes -> 128) so the HBM
+            # output array shrinks 16x — what lets the giant distinct
+            # capacity shapes fit at k=1 speed. Mosaic lowers the small
+            # [tile, 8] transpose exactly (measured bit-exact).
+            out_ref[0, :, :] = jnp.transpose(result)
+        elif batched:
             out_ref[0, :, :] = result
         else:
             out_ref[:, :] = result
@@ -684,14 +699,23 @@ def _make_kernel(
     static_argnames=(
         "spec", "meta", "grid", "tile", "n_evals", "interpret", "input_mode",
         "channels", "ch_rows", "per_channel", "flat_blocks_per_ch",
-        "hops_per_row", "phase_split",
+        "hops_per_row", "phase_split", "out_t",
     ),
 )
 def _fused_call(
     spec, meta, data, operands, grid, n_evals, tile, interpret, input_mode,
     channels=None, ch_rows=None, per_channel=False, flat_blocks_per_ch=None,
-    hops_per_row=1, phase_split=1,
+    hops_per_row=1, phase_split=1, out_t=False,
 ):
+    if out_t and (
+        input_mode not in ("raw", "rawk")
+        or channels is not None
+        or phase_split > 1
+    ):
+        raise ValueError(
+            "out_t (transposed output) supports only the flat/single-"
+            "stream raw paths"
+        )
     if phase_split > 1:
         if input_mode != "raw" or meta.split or meta.fast:
             raise ValueError(
@@ -770,7 +794,7 @@ def _fused_call(
         spec, meta, tile, input_mode,
         ch_rows=None if pipe else ch_rows, pipelined=pipe,
         out3d=channels is not None, per_channel=per_channel,
-        hops_per_row=hops_per_row, phase_split=phase_split,
+        hops_per_row=hops_per_row, phase_split=phase_split, out_t=out_t,
     )
 
     # operand specs: channel-stacked net operands (everything after the
@@ -842,17 +866,29 @@ def _fused_call(
     if input_mode == "rawk":
         # residue-major output: program i writes result rows for frames
         # i*tile + q*k + rho into [i, rho, q]; the host-side transpose to
-        # frame order is an 8-lane-wide copy, negligible next to the slab
+        # frame order is an 8-lane-wide copy, negligible next to the slab.
+        # out_t flips the block to [o_pad, q] (q-lane pad instead of the
+        # o_pad 16x lane pad) — the deep-capacity combination.
         k = hops_per_row
         grid_dims = (grid,)
-        out_shape = jax.ShapeDtypeStruct(
-            (grid, k, q_sz, meta.o_pad), jnp.float32
-        )
-        out_spec = pl.BlockSpec(
-            (1, k, q_sz, meta.o_pad),
-            lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        if out_t:
+            out_shape = jax.ShapeDtypeStruct(
+                (grid, k, meta.o_pad, q_sz), jnp.float32
+            )
+            out_spec = pl.BlockSpec(
+                (1, k, meta.o_pad, q_sz),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            out_shape = jax.ShapeDtypeStruct(
+                (grid, k, q_sz, meta.o_pad), jnp.float32
+            )
+            out_spec = pl.BlockSpec(
+                (1, k, q_sz, meta.o_pad),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
     elif channels is not None:
         # batched: flat 2-D slab, channel ch's rows at [ch*ch_rows, ...);
         # grid (channels, tiles-per-channel)
@@ -862,6 +898,17 @@ def _fused_call(
         )
         out_spec = pl.BlockSpec(
             (1, tile, meta.o_pad), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        )
+    elif out_t:
+        # transposed output: o_pad on sublanes, tile on lanes — the HBM
+        # output array is 16x smaller than the [rows, o_pad] layout
+        grid_dims = (grid,)
+        out_shape = jax.ShapeDtypeStruct(
+            (grid, meta.o_pad, tile), jnp.float32
+        )
+        out_spec = pl.BlockSpec(
+            (1, meta.o_pad, tile), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
     else:
         grid_dims = (grid,)
@@ -890,11 +937,31 @@ def _fused_call(
         ),
     )(*inputs)
     if input_mode == "rawk":
+        if out_t:
+            # [grid, k, o_pad, q] -> frame order. The transpose must keep
+            # k*o_pad (>= 64) as the LANE dim: transposing after slicing
+            # outputs to 1 lane materializes a [N, 1] intermediate that
+            # (8,128)-tiles at 128x — measured 8.7 GiB at the 16384-eval
+            # capacity shape, the difference between fitting and OOM.
+            k = hops_per_row
+            out = out.reshape(grid, k * meta.o_pad, q_sz)
+            out = jnp.transpose(out, (0, 2, 1))  # [grid, q, k*o_pad]
+            out = out.reshape(grid * tile, meta.o_pad)
+            return out[:n_evals, : spec.net.outputs]
         # [grid, k, q, o_pad] -> frame-ordered [grid*tile, outputs]
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
             grid * tile, meta.o_pad
         )
         return out[:n_evals, : spec.net.outputs]
+    if out_t:
+        # [grid, o_pad, tile]: slice the real outputs FIRST (o_pad 8 ->
+        # n_out, usually 1) so the frame-order transpose never
+        # re-materializes the 16x-padded layout at capacity shapes
+        out = out[:, : spec.net.outputs, :]
+        out = jnp.transpose(out, (0, 2, 1)).reshape(
+            grid * tile, spec.net.outputs
+        )
+        return out[:n_evals]
     if channels is not None:
         return out[:, :n_evals, : spec.net.outputs]
     return out[:n_evals, : spec.net.outputs]
@@ -998,6 +1065,7 @@ def fused_offline_outputs(
     packed: bool | None = None,
     n_evals: int | None = None,
     phase_split: int = 1,
+    out_t: bool = False,
 ) -> jax.Array:
     """Whole-signal detection through the fused kernel: [n] -> [E, outputs].
 
@@ -1091,7 +1159,7 @@ def fused_offline_outputs(
 
     return _fused_call(
         spec, meta, data, operands, grid, n_evals, tile, interpret,
-        input_mode, phase_split=phase_split,
+        input_mode, phase_split=phase_split, out_t=out_t,
     )
 
 
@@ -1205,7 +1273,7 @@ def fused_batch_offline_outputs(
                 else jax.local_devices()[0].platform == "cpu"
             )
             if interp or _flat_hbm_estimate(
-                spec, ne, c, flat_tile, distinct
+                spec, ne, c, flat_tile, distinct, out_t=True
             ) <= _flat_hbm_budget():
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
@@ -1215,7 +1283,8 @@ def fused_batch_offline_outputs(
             # lane pad 1.9x -> 1.09x, often enough to stay flat (the r3
             # distinct c=1024 cap) before surrendering to the grid path
             if flat_tile % 64 == 0 and _flat_hbm_estimate(
-                spec, ne, c, flat_tile, distinct, hops_per_row=8
+                spec, ne, c, flat_tile, distinct, hops_per_row=8,
+                out_t=True,
             ) <= _flat_hbm_budget():
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
@@ -1391,11 +1460,15 @@ def _flat_hbm_estimate(
     tile: int,
     distinct: bool,
     hops_per_row: int = 1,
+    out_t: bool = False,
 ) -> int:
     """Padded HBM bytes of the flat slab + kernel output: the slab lane
     dim pads to a 128 multiple (k=1: 132->256 = 1.9x; k=8: 1056->1152 =
     1.09x) and the [rows, o_pad] output pads its lanes to 128 (16x for
     o_pad=8)."""
+    # transposed output (out_t): o_pad (typ. 8) sublanes x tile lanes —
+    # the 128-lane pad disappears
+    out_lane = 8 if out_t else LANE
     if hops_per_row > 1:
         k = hops_per_row
         _, _, L, q_sz, rows2d_k, halo_rows, r_k = _flat_geometry_k(
@@ -1403,16 +1476,21 @@ def _flat_hbm_estimate(
         )
         grid_total = max(1, -(-(c * r_k - halo_rows) // q_sz))
         need_rows = (grid_total - 1) * q_sz + rows2d_k
-        return (
-            need_rows * _round_up(L, LANE) * 4
-            + grid_total * tile * LANE * 4
-        )
+        if out_t:
+            # [grid, k, o_pad~8, q]: 8 sublanes exact, q lanes pad to 128
+            out_bytes = grid_total * k * 8 * _round_up(q_sz, LANE) * 4
+        else:
+            out_bytes = grid_total * tile * LANE * 4
+        return need_rows * _round_up(L, LANE) * 4 + out_bytes
     _, hop, _, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
     )
     grid_total = max(1, -(-(c * r - halo_rows) // tile))
     need_rows = (grid_total - 1) * tile + rows2d
-    return need_rows * _round_up(hop, LANE) * 4 + grid_total * tile * LANE * 4
+    return (
+        need_rows * _round_up(hop, LANE) * 4
+        + grid_total * tile * out_lane * 4
+    )
 
 
 def flat_batch_input_samples(
@@ -1455,6 +1533,7 @@ def fused_flat_batch_offline_outputs(
     n_evals: int | None = None,
     channels: int | None = None,
     hops_per_row: int = 1,
+    out_t: bool = True,
 ) -> jax.Array:
     """[C, n] streams -> [C, E, outputs] through the single-stream kernel
     over one flat slab — the FAST batched layout (shared or distinct nets).
@@ -1469,6 +1548,12 @@ def fused_flat_batch_offline_outputs(
         in-graph reshape to the tiled 2-D layout materializes ONE copy
         (fine for small batches, doubles peak HBM at 1024-channel scale);
       * ``[C, n]`` — one per-channel repack copy.
+
+    ``out_t`` (default True) writes TRANSPOSED [o_pad, tile] kernel
+    output blocks — 16x smaller output array and 15/16 less output write
+    bandwidth, measured bit-exact and +4-8% on hardware (r4); it is what
+    lets distinct c=1024 run 8192 evals/channel at full k=1 speed.
+    Ignored when ``hops_per_row`` > 1 (residue-major output there).
 
     ``hops_per_row`` > 1 packs k hop-rows per slab row (k*hop lanes),
     shrinking the physical lane pad from 1.9x to ~1.1x (k=8) — bit-exact
@@ -1539,7 +1624,7 @@ def fused_flat_batch_offline_outputs(
         grid_total = max(1, -(-(c * r_k - halo_rows_k) // q_sz))
         need_rows_k = (grid_total - 1) * q_sz + rows2d_k
         est = _flat_hbm_estimate(
-            spec, n_evals, c, tile, distinct, hops_per_row=k
+            spec, n_evals, c, tile, distinct, hops_per_row=k, out_t=out_t
         )
         if not interpret and est > _flat_hbm_budget():
             raise ValueError(
@@ -1569,7 +1654,7 @@ def fused_flat_batch_offline_outputs(
         else:
             return _flat_core_k(
                 spec, meta, operands, xs, tile, interpret, n_evals,
-                per_channel=distinct, hops_per_row=k,
+                per_channel=distinct, hops_per_row=k, out_t=out_t,
             )
         if _pipelined_geometry_k(spec, tile, k) is None:
             L_pad = _round_up(L, LANE)
@@ -1579,7 +1664,7 @@ def fused_flat_batch_offline_outputs(
             spec, meta, data, operands, grid_total, grid_total * tile,
             tile, interpret, "rawk", per_channel=distinct,
             flat_blocks_per_ch=(r_k // q_sz) if distinct else None,
-            hops_per_row=k,
+            hops_per_row=k, out_t=out_t,
         )
         return _flat_outputs(out, c, r_k * k, n_evals)
 
@@ -1595,7 +1680,7 @@ def fused_flat_batch_offline_outputs(
     # a measured 12.8G program requirement — fail with advice instead of
     # an opaque RESOURCE_EXHAUSTED mid-run. (The fused_batch router falls
     # back to the memory-safe grid path before reaching this.)
-    est = _flat_hbm_estimate(spec, n_evals, c, tile, distinct)
+    est = _flat_hbm_estimate(spec, n_evals, c, tile, distinct, out_t=out_t)
     if not interpret and est > _flat_hbm_budget():
         raise ValueError(
             f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab + "
@@ -1630,7 +1715,7 @@ def fused_flat_batch_offline_outputs(
     out = _fused_call(
         spec, meta, data, operands, grid_total, grid_total * tile, tile,
         interpret, "raw", per_channel=distinct,
-        flat_blocks_per_ch=(r // tile) if distinct else None,
+        flat_blocks_per_ch=(r // tile) if distinct else None, out_t=out_t,
     )  # [grid_total*tile, o_pad-trimmed to outputs]
     return _flat_outputs(out, c, r, n_evals)
 
@@ -1658,6 +1743,7 @@ def _flat_core(
     interpret: bool,
     n_evals: int,
     per_channel: bool = False,
+    out_t: bool = False,
 ) -> jax.Array:
     """Flat-layout launch for a [c, n] batch (one per-channel repack).
     Fully traceable — runs under ``shard_map``/``lax.map`` with traced
@@ -1687,6 +1773,7 @@ def _flat_core(
         spec, meta, data, operands, grid_total, grid_total * tile, tile,
         interpret, "raw", per_channel=per_channel,
         flat_blocks_per_ch=(r // tile) if per_channel else None,
+        out_t=out_t,
     )
     return _flat_outputs(out, c, r, n_evals)
 
@@ -1701,6 +1788,7 @@ def _flat_core_k(
     n_evals: int,
     per_channel: bool = False,
     hops_per_row: int = 8,
+    out_t: bool = False,
 ) -> jax.Array:
     """Multi-hop flat-layout launch for a [c, n] batch (one per-channel
     repack into k-hop slab rows); fully traceable like :func:`_flat_core`."""
@@ -1732,6 +1820,6 @@ def _flat_core_k(
         spec, meta, data, operands, grid_total, grid_total * tile, tile,
         interpret, "rawk", per_channel=per_channel,
         flat_blocks_per_ch=(r_k // q_sz) if per_channel else None,
-        hops_per_row=k,
+        hops_per_row=k, out_t=out_t,
     )
     return _flat_outputs(out, c, r_k * k, n_evals)

@@ -166,10 +166,11 @@ def sharded_fused_offline_outputs(
         )
 
         if _flat_hbm_estimate(
-            spec, n_evals, c // d, tile, distinct
+            spec, n_evals, c // d, tile, distinct, out_t=True
         ) > _flat_hbm_budget():
             if tile % 64 == 0 and _flat_hbm_estimate(
-                spec, n_evals, c // d, tile, distinct, hops_per_row=8
+                spec, n_evals, c // d, tile, distinct, hops_per_row=8,
+                out_t=True,
             ) <= _flat_hbm_budget():
                 hops = 8
             else:
@@ -190,11 +191,11 @@ def sharded_fused_offline_outputs(
                     return _flat_core_k(
                         spec, meta, (shared_op, *st_ops), x, tile,
                         interpret, n_evals, per_channel=distinct,
-                        hops_per_row=hops,
+                        hops_per_row=hops, out_t=True,
                     )
                 return _flat_core(
                     spec, meta, (shared_op, *st_ops), x, tile, interpret,
-                    n_evals, per_channel=distinct,
+                    n_evals, per_channel=distinct, out_t=True,
                 )
             return _batch_core_slabbed(
                 spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,

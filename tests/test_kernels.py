@@ -775,8 +775,11 @@ def test_flat_router_escalates_to_multi_hop(sample_config, audio, monkeypatch):
     spec, params = detector_spec_from_config(sample_config)
     xs = jnp.stack([jnp.asarray(audio[:20000])] * 2)
     ne = 128
-    e1 = fd._flat_hbm_estimate(spec, ne, 2, 128, False)
-    e8 = fd._flat_hbm_estimate(spec, ne, 2, 128, False, hops_per_row=8)
+    # the router checks k=1 with the out_t default; k=8 stays plain
+    e1 = fd._flat_hbm_estimate(spec, ne, 2, 128, False, out_t=True)
+    e8 = fd._flat_hbm_estimate(
+        spec, ne, 2, 128, False, hops_per_row=8, out_t=True
+    )
     assert e8 < e1
     monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: (e1 + e8) // 2)
     seen = {}
@@ -822,3 +825,41 @@ def test_phase_split_matches(sample_config, audio):
         fused_offline_outputs(
             spec, params, x, tile=256, interpret=True, phase_split=7
         )
+
+
+def test_out_t_transposed_output_matches(sample_config, audio):
+    """out_t writes [o_pad, tile] output blocks (16x smaller HBM output);
+    results identical to the row-major layout on single-stream and flat
+    batched (shared + distinct) paths."""
+    from syllable_detector_tpu.kernels import fused_detector as fd
+
+    spec, params = detector_spec_from_config(sample_config)
+    x = jnp.asarray(audio[:60000])
+    o1 = np.asarray(
+        fd.fused_offline_outputs(spec, params, x, tile=256, interpret=True)
+    )
+    ot = np.asarray(
+        fd.fused_offline_outputs(
+            spec, params, x, tile=256, interpret=True, out_t=True
+        )
+    )
+    np.testing.assert_array_equal(o1, ot)
+
+    xs = jnp.stack([jnp.asarray(audio[:40000])] * 3)
+    plist = [_perturbed_params(params, i) for i in range(3)]
+    for p in (params, plist):
+        b1 = np.asarray(
+            fd.fused_flat_batch_offline_outputs(
+                spec, p, xs, tile=128, interpret=True
+            )
+        )
+        bt = np.asarray(
+            fd.fused_flat_batch_offline_outputs(
+                spec, p, xs, tile=128, interpret=True, out_t=True
+            )
+        )
+        np.testing.assert_array_equal(b1, bt)
+    # the estimate drops: distinct c=1024 x 8192 evals fits under the
+    # fallback budget with the transposed output
+    e = fd._flat_hbm_estimate(spec, 8192, 1024, 512, True, out_t=True)
+    assert e <= fd._FLAT_HBM_BUDGET

@@ -276,8 +276,11 @@ def test_sharded_fused_escalates_to_multi_hop(setup, monkeypatch):
     spec, params, stacked, xs = setup
     mesh = make_mesh(2)
     c_local = xs.shape[0] // 2
-    e1 = fd._flat_hbm_estimate(spec, 64, c_local, 128, False)
-    e8 = fd._flat_hbm_estimate(spec, 64, c_local, 128, False, hops_per_row=8)
+    # the mesh guard checks k=1 with out_t=True; k=8 stays plain
+    e1 = fd._flat_hbm_estimate(spec, 64, c_local, 128, False, out_t=True)
+    e8 = fd._flat_hbm_estimate(
+        spec, 64, c_local, 128, False, hops_per_row=8, out_t=True
+    )
     assert e8 < e1
     monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: (e1 + e8) // 2)
     called = {}
