@@ -105,13 +105,19 @@ def fold_constants(spec: DetectorSpec, params: dict, pack: bool | None = None):
     (c_packed, w1g, c1, mid_w0, mid_b0, ..., out_a, out_c).
     ``pack`` overrides the automatic re+im single-lane-block layout choice.
     """
-    assert fusable(spec)
+    if not fusable(spec):
+        raise ValueError(
+            "spec is not fusable (callers must check fusable(spec) first)"
+        )
     b = spec.n_bins
     t_range = spec.time_range
     window = spec.window_length
 
     packed = pack if pack is not None else (b <= LANE // 2)
-    assert not packed or b <= LANE // 2
+    if packed and b > LANE // 2:
+        raise ValueError(
+            f"pack=True requires n_bins <= {LANE // 2}, got {b}"
+        )
     if packed:
         # re and im share ONE 128-lane block (re at lanes [0, b), im at
         # lanes [64, 64+b)) — halves the dominant DFT GEMM's N dimension;
@@ -214,7 +220,10 @@ def _raw_geometry(spec: DetectorSpec, tile: int):
     from syllable_detector_tpu.ops.stft import slab_parts
 
     gap, hop, parts = slab_parts(spec.window_length, spec.window_overlap)
-    assert hop == spec.hop
+    if hop != spec.hop:
+        raise ValueError(
+            f"slab_parts hop {hop} != spec.hop {spec.hop} (inconsistent spec)"
+        )
     hop_pad = _round_up(hop, LANE)
     halo = spec.time_range - 1
     rows_frames = tile + halo
