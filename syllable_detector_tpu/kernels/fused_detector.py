@@ -411,6 +411,65 @@ def _make_kernel(
         else:
             out_a, out_c, out_ref, fvmem, sem = rest[2 * n_mids :]
 
+        # ---- stages shared VERBATIM by the raw / rawk / phase_split
+        # branches (pure extractions — the traced op order is identical,
+        # so all three stay bit-exact with each other by construction) ----
+
+        def spect_scale(big):
+            """DFT-GEMM output [R, n_big] -> (scaled spectrogram, sq0).
+
+            packed: re at lanes [0, b), im at lanes [64, 64+b); one
+            64-lane roll merges re^2+im^2 (lanes >= 64 hold a duplicate
+            of [0, 64), which the zero rows of w1g annihilate). sq0 is
+            that per-lane square (None when unpacked) — the
+            linear+packed l2 norm sums it directly. Padded bins are
+            masked to 0 under log/db so they don't poison the matmul
+            (SyllableDetector.swift:183-212).
+            """
+            if meta.packed:
+                sq0 = big * big
+                sq = sq0 + pltpu.roll(sq0, 64, axis=1)
+            else:
+                b_pad = meta.b_pad
+                re = big[:, :b_pad]
+                im = big[:, b_pad:]
+                sq0 = None
+                sq = re * re + im * im
+            mag = jnp.sqrt(sq)
+            if scaling == "linear":
+                return mag, sq0
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
+            if scaling == "db":
+                s = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
+            else:
+                s = jnp.log(mag)
+            return jnp.where(lane_ids < meta.b, s, 0.0), sq0
+
+        def row_sq(scaled, sq0):
+            """Per-row l2 accumulator term. In the linear+packed case
+            scaled's duplicate im lanes would double-count; sq0 holds
+            exactly re^2+im^2 summed over the packed lanes."""
+            if scaling == "linear" and meta.packed:
+                return jnp.sum(sq0, axis=1, keepdims=True)
+            return jnp.sum(scaled * scaled, axis=1, keepdims=True)
+
+        def mlp_affine(acc, norm):
+            """Tap-accumulated conv rows -> final outputs: optional l2
+            normalization, hidden transfers, folded output affine."""
+            if meta.has_l2:
+                acc = acc / jnp.sqrt(norm)
+            h = _transfer(acc + rd(c1), transfers[0])
+            for (w, bb), name in zip(mids, transfers[1:]):
+                h = _transfer(
+                    jnp.dot(
+                        h, rd(w), preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                    + rd(bb),
+                    name,
+                )
+            return h * rd(out_a) + rd(out_c)
+
         if input_mode == "rawk":
             # MULTI-HOP-PER-ROW path: k hop-rows per slab row. Each frame's
             # standard parts live at constant (row_off, col) offsets per
@@ -440,32 +499,10 @@ def _make_kernel(
                         fvmem[row_off : row_off + qh, col : col + (hi - lo)],
                         c_packed[lo:hi, :],
                     )
-                if meta.packed:
-                    sq0 = big * big
-                    sq = sq0 + pltpu.roll(sq0, 64, axis=1)
-                else:
-                    b_pad = meta.b_pad
-                    re = big[:, :b_pad]
-                    im = big[:, b_pad:]
-                    sq = re * re + im * im
-                mag = jnp.sqrt(sq)
-                if scaling == "linear":
-                    scaled = mag
-                else:
-                    lane_ids = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-                    if scaling == "db":
-                        s = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
-                    else:
-                        s = jnp.log(mag)
-                    scaled = jnp.where(lane_ids < meta.b, s, 0.0)
+                scaled, sq0 = spect_scale(big)
                 convs.append(conv_dot(scaled, w1g_full()))
                 if meta.has_l2:
-                    if scaling == "linear" and meta.packed:
-                        rowsqs.append(jnp.sum(sq0, axis=1, keepdims=True))
-                    else:
-                        rowsqs.append(
-                            jnp.sum(scaled * scaled, axis=1, keepdims=True)
-                        )
+                    rowsqs.append(row_sq(scaled, sq0))
             hs = meta.hs
             for rho in range(k):
                 # output frame m = q*k + rho consumes conv tap t from
@@ -478,26 +515,13 @@ def _make_kernel(
                     acc = acc + convs[rr][sh : sh + q_sz, t * hs : (t + 1) * hs]
                     if meta.has_l2:
                         norm = norm + rowsqs[rr][sh : sh + q_sz, :]
-                if meta.has_l2:
-                    acc = acc / jnp.sqrt(norm)
-                h = _transfer(acc + rd(c1), transfers[0])
-                for (w, bb), name in zip(mids, transfers[1:]):
-                    h = _transfer(
-                        jnp.dot(
-                            h, rd(w), preferred_element_type=jnp.float32,
-                            precision=prec,
-                        )
-                        + rd(bb),
-                        name,
-                    )
+                result = mlp_affine(acc, norm)
                 if out_t:
                     # [o_pad, q] block slot: q lanes pad to 128 (2x at
                     # q=64) instead of o_pad 8 -> 128 (16x)
-                    out_ref[0, rho, :, :] = jnp.transpose(
-                        h * rd(out_a) + rd(out_c)
-                    )
+                    out_ref[0, rho, :, :] = jnp.transpose(result)
                 else:
-                    out_ref[0, rho, :, :] = h * rd(out_a) + rd(out_c)
+                    out_ref[0, rho, :, :] = result
             return
 
         # batched channels ride the SAME flat 2-D slab layout as the
@@ -546,54 +570,17 @@ def _make_kernel(
                                   clo : clo + (hi - lo)],
                             c_part(j),
                         )
-                    if meta.packed:
-                        sq0 = big * big
-                        sq = sq0 + pltpu.roll(sq0, 64, axis=1)
-                    else:
-                        b_pad = meta.b_pad
-                        re = big[:, :b_pad]
-                        im = big[:, b_pad:]
-                        sq = re * re + im * im
-                    mag = jnp.sqrt(sq)
-                    if scaling == "linear":
-                        scaled = mag
-                    else:
-                        lane_ids = jax.lax.broadcasted_iota(
-                            jnp.int32, mag.shape, 1
-                        )
-                        if scaling == "db":
-                            sx = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
-                        else:
-                            sx = jnp.log(mag)
-                        scaled = jnp.where(lane_ids < meta.b, sx, 0.0)
+                    scaled, sq0 = spect_scale(big)
                     conv = conv_dot(scaled, w1g_full())
                     if meta.has_l2:
-                        if scaling == "linear" and meta.packed:
-                            rowsq = jnp.sum(sq0, axis=1, keepdims=True)
-                        else:
-                            rowsq = jnp.sum(
-                                scaled * scaled, axis=1, keepdims=True
-                            )
+                        rowsq = row_sq(scaled, sq0)
                     acc = jnp.zeros((ts, hs), jnp.float32)
                     norm = jnp.zeros((ts, 1), jnp.float32)
                     for t in range(t_range):
                         acc = acc + conv[t : t + ts, t * hs : (t + 1) * hs]
                         if meta.has_l2:
                             norm = norm + rowsq[t : t + ts, :]
-                    if meta.has_l2:
-                        acc = acc / jnp.sqrt(norm)
-                    h = _transfer(acc + rd(c1), transfers[0])
-                    for (w, bb), name in zip(mids, transfers[1:]):
-                        h = _transfer(
-                            jnp.dot(
-                                h, rd(w),
-                                preferred_element_type=jnp.float32,
-                                precision=prec,
-                            )
-                            + rd(bb),
-                            name,
-                        )
-                    result = h * rd(out_a) + rd(out_c)
+                    result = mlp_affine(acc, norm)
                     if batched:
                         out_ref[0, r0 : r0 + ts, :] = result
                     else:
@@ -631,40 +618,12 @@ def _make_kernel(
             # one GEMM computes re and im lane blocks together
             big = big_dot(f, c_full())
 
-        if meta.packed:
-            # re at lanes [0, b), im at lanes [64, 64+b): one 64-lane roll
-            # merges re^2 + im^2 (lanes >= 64 hold a duplicate of [0, 64),
-            # which the zero rows of w1g annihilate)
-            sq0 = big * big
-            sq = sq0 + pltpu.roll(sq0, 64, axis=1)
-        else:
-            b_pad = meta.b_pad
-            re = big[:, :b_pad]
-            im = big[:, b_pad:]
-            sq = re * re + im * im
-        mag = jnp.sqrt(sq)
-
-        # spectrogram scaling (SyllableDetector.swift:183-212); padded bins
-        # masked to 0 so log/db don't poison the matmul
-        if scaling == "linear":
-            scaled = mag
-        else:
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1)
-            if scaling == "db":
-                s = (20.0 / np.float32(np.log(10.0))) * jnp.log(mag)
-            else:
-                s = jnp.log(mag)
-            scaled = jnp.where(lane_ids < meta.b, s, 0.0)
+        scaled, sq0 = spect_scale(big)
 
         # all T conv taps in one GEMM; tap t lives in 8-lane block t
         conv = conv_dot(scaled, w1g_full())  # [rows, T*hs]
         if meta.has_l2:
-            if scaling == "linear" and meta.packed:
-                # scaled's duplicate im lanes would double-count; sq0 holds
-                # exactly re^2+im^2 summed over the packed lanes
-                rowsq = jnp.sum(sq0, axis=1, keepdims=True)
-            else:
-                rowsq = jnp.sum(scaled * scaled, axis=1, keepdims=True)
+            rowsq = row_sq(scaled, sq0)
 
         hs = meta.hs
         acc = jnp.zeros((tile, hs), jnp.float32)
@@ -674,20 +633,7 @@ def _make_kernel(
             if meta.has_l2:
                 norm = norm + rowsq[t : t + tile, :]
 
-        if meta.has_l2:
-            acc = acc / jnp.sqrt(norm)
-        h = _transfer(acc + rd(c1), transfers[0])
-
-        for (w, bb), name in zip(mids, transfers[1:]):
-            h = _transfer(
-                jnp.dot(
-                    h, rd(w), preferred_element_type=jnp.float32, precision=prec
-                )
-                + rd(bb),
-                name,
-            )
-
-        result = h * rd(out_a) + rd(out_c)
+        result = mlp_affine(acc, norm)
         if out_t:
             # TRANSPOSED output block [o_pad, tile]: o_pad rides the
             # sublane dim (pads 8 -> 8, not 8 lanes -> 128) so the HBM
@@ -1475,9 +1421,12 @@ def _flat_hbm_estimate(
     dim pads to a 128 multiple (k=1: 132->256 = 1.9x; k=8: 1056->1152 =
     1.09x) and the [rows, o_pad] output pads its lanes to 128 (16x for
     o_pad=8)."""
-    # transposed output (out_t): o_pad (typ. 8) sublanes x tile lanes —
-    # the 128-lane pad disappears
-    out_lane = 8 if out_t else LANE
+    # transposed output (out_t): o_pad sublanes x tile lanes — the
+    # 128-lane pad disappears. o_pad = final net output width padded to
+    # 8 sublanes (typ. 8, but a >8-output net doubles it — use the real
+    # value or a near-budget shape is admitted and then OOMs on device)
+    o_pad = _round_up(spec.net.outputs, 8)
+    out_lane = o_pad if out_t else _round_up(o_pad, LANE)
     if hops_per_row > 1:
         k = hops_per_row
         _, _, L, q_sz, rows2d_k, halo_rows, r_k = _flat_geometry_k(
@@ -1486,10 +1435,10 @@ def _flat_hbm_estimate(
         grid_total = max(1, -(-(c * r_k - halo_rows) // q_sz))
         need_rows = (grid_total - 1) * q_sz + rows2d_k
         if out_t:
-            # [grid, k, o_pad~8, q]: 8 sublanes exact, q lanes pad to 128
-            out_bytes = grid_total * k * 8 * _round_up(q_sz, LANE) * 4
+            # [grid, k, o_pad, q]: o_pad sublanes exact, q lanes pad to 128
+            out_bytes = grid_total * k * o_pad * _round_up(q_sz, LANE) * 4
         else:
-            out_bytes = grid_total * tile * LANE * 4
+            out_bytes = grid_total * tile * _round_up(o_pad, LANE) * 4
         return need_rows * _round_up(L, LANE) * 4 + out_bytes
     _, hop, _, rows2d, halo_rows, r = _flat_geometry(
         spec, n_evals, tile, distinct
@@ -1562,7 +1511,10 @@ def fused_flat_batch_offline_outputs(
     output blocks — 16x smaller output array and 15/16 less output write
     bandwidth, measured bit-exact and +4-8% on hardware (r4); it is what
     lets distinct c=1024 run 8192 evals/channel at full k=1 speed.
-    Ignored when ``hops_per_row`` > 1 (residue-major output there).
+    At ``hops_per_row`` > 1 it is honored too: the kernel writes
+    [o_pad, q] blocks (q-lane pad, ~2x, instead of the o_pad 8->128 16x
+    lane pad) — the k=8 capacity tier's HBM admission estimates in the
+    router and the mesh escalation DEPEND on this.
 
     ``hops_per_row`` > 1 packs k hop-rows per slab row (k*hop lanes),
     shrinking the physical lane pad from 1.9x to ~1.1x (k=8) — bit-exact
@@ -1716,7 +1668,7 @@ def fused_flat_batch_offline_outputs(
     else:
         return _flat_core(
             spec, meta, operands, xs, tile, interpret, n_evals,
-            per_channel=distinct,
+            per_channel=distinct, out_t=out_t,
         )
     if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
         data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))

@@ -847,19 +847,53 @@ def test_out_t_transposed_output_matches(sample_config, audio):
 
     xs = jnp.stack([jnp.asarray(audio[:40000])] * 3)
     plist = [_perturbed_params(params, i) for i in range(3)]
-    for p in (params, plist):
-        b1 = np.asarray(
-            fd.fused_flat_batch_offline_outputs(
-                spec, p, xs, tile=128, interpret=True
+    # spy on _fused_call so the flat [C, n] branch demonstrably FORWARDS
+    # out_t (it silently dropped it once — both sides then compared the
+    # same layout and this test was vacuous)
+    seen = []
+    real_call = fd._fused_call
+
+    def spy(*a, **kw):
+        seen.append(kw.get("out_t", False))
+        return real_call(*a, **kw)
+
+    fd._fused_call = spy
+    try:
+        for p in (params, plist):
+            seen.clear()
+            b1 = np.asarray(
+                fd.fused_flat_batch_offline_outputs(
+                    spec, p, xs, tile=128, interpret=True, out_t=False
+                )
             )
-        )
-        bt = np.asarray(
-            fd.fused_flat_batch_offline_outputs(
-                spec, p, xs, tile=128, interpret=True, out_t=True
+            bt = np.asarray(
+                fd.fused_flat_batch_offline_outputs(
+                    spec, p, xs, tile=128, interpret=True, out_t=True
+                )
             )
-        )
-        np.testing.assert_array_equal(b1, bt)
+            assert seen == [False, True]
+            np.testing.assert_array_equal(b1, bt)
+    finally:
+        fd._fused_call = real_call
     # the estimate drops: distinct c=1024 x 8192 evals fits under the
     # fallback budget with the transposed output
     e = fd._flat_hbm_estimate(spec, 8192, 1024, 512, True, out_t=True)
     assert e <= fd._FLAT_HBM_BUDGET
+
+    # the out_t estimate tracks the net's real padded output width: a
+    # 9-output net (o_pad 16) must cost more than the 1-output sample
+    # net (o_pad 8), or near-budget shapes get admitted and OOM on device
+    import dataclasses
+
+    net9 = dataclasses.replace(
+        spec.net,
+        layer_sizes=spec.net.layer_sizes[:-1]
+        + ((spec.net.layer_sizes[-1][0], 9),),
+    )
+    spec9 = dataclasses.replace(spec, net=net9)
+    for k in (1, 8):
+        e8 = fd._flat_hbm_estimate(spec, 4096, 64, 512, False,
+                                   hops_per_row=k, out_t=True)
+        e16 = fd._flat_hbm_estimate(spec9, 4096, 64, 512, False,
+                                    hops_per_row=k, out_t=True)
+        assert e16 > e8
