@@ -826,24 +826,11 @@ def _fused_call(
         # o_pad 16x lane pad) — the deep-capacity combination.
         k = hops_per_row
         grid_dims = (grid,)
-        if out_t:
-            out_shape = jax.ShapeDtypeStruct(
-                (grid, k, meta.o_pad, q_sz), jnp.float32
-            )
-            out_spec = pl.BlockSpec(
-                (1, k, meta.o_pad, q_sz),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            out_shape = jax.ShapeDtypeStruct(
-                (grid, k, q_sz, meta.o_pad), jnp.float32
-            )
-            out_spec = pl.BlockSpec(
-                (1, k, q_sz, meta.o_pad),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+        dims = (k, meta.o_pad, q_sz) if out_t else (k, q_sz, meta.o_pad)
+        out_shape = jax.ShapeDtypeStruct((grid, *dims), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, *dims), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
     elif channels is not None:
         # batched: flat 2-D slab, channel ch's rows at [ch*ch_rows, ...);
         # grid (channels, tiles-per-channel)
@@ -1035,6 +1022,13 @@ def fused_offline_outputs(
     ``n_evals`` overrides the evaluation count derived from ``len(x)``
     (must not exceed it). With ``len(x) == fused_input_samples(spec,
     n_evals, tile)`` the host-side tail pad is skipped entirely.
+
+    ``out_t`` writes TRANSPOSED [o_pad, tile] kernel output blocks (16x
+    smaller HBM output, bit-exact, +4-8% at batched scale — see
+    :func:`fused_flat_batch_offline_outputs`). Only valid with
+    ``input_mode='raw'`` and ``phase_split=1``; other combinations
+    raise ``ValueError``. Single-stream throughput is neutral, so it
+    stays opt-in here while the flat batched path defaults to it.
     """
     if not fusable(spec):
         from syllable_detector_tpu.models.detector import offline_outputs
@@ -1230,9 +1224,12 @@ def fused_batch_offline_outputs(
             if interp or _flat_hbm_estimate(
                 spec, ne, c, flat_tile, distinct, out_t=True
             ) <= _flat_hbm_budget():
+                # out_t=True explicitly: the admission estimate above
+                # assumes the transposed output — keep guard and launch
+                # structurally coupled, not via the callee's default
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
-                    n_evals=n_evals,
+                    n_evals=n_evals, out_t=True,
                 )
             # over budget at k=1: the multi-hop slab (k=8) shrinks the
             # lane pad 1.9x -> 1.09x, often enough to stay flat (the r3
@@ -1243,7 +1240,7 @@ def fused_batch_offline_outputs(
             ) <= _flat_hbm_budget():
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
-                    n_evals=n_evals, hops_per_row=8,
+                    n_evals=n_evals, hops_per_row=8, out_t=True,
                 )
     if tile is None:
         tile = 256  # the grid kernel's historical default
@@ -1704,7 +1701,7 @@ def _flat_core(
     interpret: bool,
     n_evals: int,
     per_channel: bool = False,
-    out_t: bool = False,
+    out_t: bool = True,
 ) -> jax.Array:
     """Flat-layout launch for a [c, n] batch (one per-channel repack).
     Fully traceable — runs under ``shard_map``/``lax.map`` with traced
@@ -1749,7 +1746,7 @@ def _flat_core_k(
     n_evals: int,
     per_channel: bool = False,
     hops_per_row: int = 8,
-    out_t: bool = False,
+    out_t: bool = True,
 ) -> jax.Array:
     """Multi-hop flat-layout launch for a [c, n] batch (one per-channel
     repack into k-hop slab rows); fully traceable like :func:`_flat_core`."""
