@@ -160,12 +160,12 @@ def batched_throughput(
             fused_flat_batch_offline_outputs,
         )
 
-        tile = tile or (512 if distinct else 2048)
-        # distinct pads each channel's rows to a tile multiple, so larger
-        # per-channel chunks amortize the pad — but the flat slab's 132->256
-        # lane pad (1.9x) makes c=1024 x 8192 evals exceed HBM; 4096
-        # evals/channel beyond 256 channels fits (6.75 GiB) at 11% pad
-        # overhead (measured 97.1M vs 87.2M at 2048)
+        # distinct: tile trades per-channel row padding (ne=8192 rows
+        # round up +6%/+12.5%/+25% at t512/1024/2048) against program
+        # count and per-channel operand re-fetches. r4 out_t sweep
+        # (scripts/out_t_tile_sweep.py, medians of 3): t512 110.8M,
+        # t1024 113.3M, t2048 103.7M -> 1024 wins with out_t
+        tile = tile or (1024 if distinct else 2048)
         if n_evals is None:
             if distinct:
                 n_evals = (1 << 13) if c <= 256 else (1 << 12)
@@ -503,18 +503,18 @@ def _run(cfg, spec, params, dev):
             log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
         # the ACTUAL reference deployment shape at chip scale: a DIFFERENT
         # net on every one of 1024 channels. Fastest fitting config (r4
-        # hardware A/B, scripts/out_t_hw.py): k=1 with the TRANSPOSED
-        # kernel output (16x smaller output array) fits 8192 evals/ch
-        # (8.8 GiB) and measured 110.8M vs 97.2M at the r3 k=1/ne4096
-        # shape; the multi-hop k=8 slab remains the deeper-capacity tier
-        # (~0.75x speed, scripts/multihop_hw.py)
+        # hardware A/B, scripts/out_t_hw.py + out_t_tile_sweep.py): k=1,
+        # TRANSPOSED kernel output (16x smaller output array), tile 1024 —
+        # fits 8192 evals/ch (9.3 GiB) and measured 113.3M (t512 110.8M,
+        # t2048 103.7M; r3 k=1/ne4096 was 97.2M); the multi-hop k=8 slab
+        # remains the deeper-capacity tier (~0.75x, scripts/multihop_hw.py)
         try:
             plist_1k = [_perturbed_params(params, i) for i in range(1024)]
             try:
                 distinct_c1024 = batched_throughput(
                     spec, plist_1k, dev, 1024, n_evals=1 << 13, out_t=True
                 )
-                distinct_c1024_cfg = "k1_ne8192_outT"
+                distinct_c1024_cfg = "k1_ne8192_outT_t1024"
             except Exception as e:
                 log(f"distinct c=1024 out_t failed ({type(e).__name__}: "
                     f"{str(e)[:100]}); falling back to k=1 ne=4096")

@@ -325,6 +325,10 @@ class Detector:
         self._history = jnp.zeros((self.spec.history, self.spec.n_bins), jnp.float32)
         self._frames_seen = 0  # global frame counter (for warm-up discard)
         self.last_outputs = np.zeros(self.spec.net.outputs, np.float32)
+        # trailing partial interleaved frame awaiting the next capture
+        # chunk (append_interleaved_data)
+        self._interleave_rem = np.zeros(0, np.float32)
+        self._interleave_channels = None
 
     @property
     def last_detected(self) -> bool:
@@ -342,11 +346,21 @@ class Detector:
         buffer (frame-major [s0c0, s0c1, ..., s1c0, ...]) — the
         reference's strided appendInterleavedData
         (CircularShortTimeFourierTransform.swift:203-217); Linux capture
-        APIs deliver multi-channel audio interleaved."""
+        APIs deliver multi-channel audio interleaved.
+
+        A trailing PARTIAL frame (length not a multiple of ``channels`` —
+        a short read or xrun boundary) is retained and prepended to the
+        next call with the same ``channels``, so no samples are silently
+        dropped; a call with a different ``channels`` discards the stale
+        remainder (the framing changed)."""
         if not 0 <= channel < channels:
             raise ValueError(f"channel {channel} out of range 0..{channels - 1}")
         flat = np.asarray(samples, np.float32).reshape(-1)
+        if len(self._interleave_rem) and self._interleave_channels == channels:
+            flat = np.concatenate([self._interleave_rem, flat])
         n = len(flat) // channels
+        self._interleave_rem = flat[n * channels :].copy()
+        self._interleave_channels = channels
         self.append_audio_data(
             np.ascontiguousarray(flat[: n * channels].reshape(n, channels)[:, channel])
         )

@@ -134,6 +134,9 @@ class DetectorBank:
         self.last_outputs = np.zeros(
             (self.n_lanes, self.spec.net.outputs), np.float32
         )
+        # trailing partial interleaved frame awaiting its next capture
+        # chunk (append_interleaved_audio_data)
+        self._interleave_rem = np.zeros(0, np.float32)
 
     # -- feeding ------------------------------------------------------------
 
@@ -164,9 +167,17 @@ class DetectorBank:
         lanes (frame-major, the layout Linux capture APIs deliver) — the
         bank-level counterpart of the reference's appendInterleavedData
         (CircularShortTimeFourierTransform.swift:203-217). Returns each
-        lane's :meth:`append_audio_data` accept/drop flag."""
+        lane's :meth:`append_audio_data` accept/drop flag.
+
+        A trailing PARTIAL frame (buffer length not a multiple of
+        ``n_lanes`` — a short read or an xrun boundary) is retained and
+        prepended to the next call: silently discarding it would shift
+        the affected lanes' stream clocks early with no gap accounting."""
         flat = np.asarray(samples, np.float32).reshape(-1)
+        if len(self._interleave_rem):
+            flat = np.concatenate([self._interleave_rem, flat])
         n = len(flat) // self.n_lanes
+        self._interleave_rem = flat[n * self.n_lanes :].copy()
         frames = flat[: n * self.n_lanes].reshape(n, self.n_lanes)
         return [
             self.append_audio_data(lane, np.ascontiguousarray(frames[:, lane]))
@@ -324,6 +335,7 @@ class DetectorBank:
             "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
             "overflows": list(self.overflows),
             "dropped_samples": list(self.dropped_samples),
+            "interleave_rem": self._interleave_rem.copy(),
         }
 
     def set_state(self, state: dict) -> None:
@@ -338,9 +350,17 @@ class DetectorBank:
                 ]
                 for segs in state["segments"]
             ]
-        else:  # legacy (round-3) single-residual schema
+        else:  # legacy (round-3) single-residual schema: a LOCKSTEP
+            # frames_seen counter and one residual per lane. Each emitted
+            # hop trimmed ``hop`` samples off the residual front, so
+            # residual[0] sits at absolute stream sample
+            # frames_seen * hop — restore the segment start and per-lane
+            # hop counters from it, or the stream clock rewinds to 0 and
+            # post-restore sample indices duplicate pre-crash ones.
+            legacy_fs = int(state.get("frames_seen", 0))
+            start0 = legacy_fs * self.spec.hop
             segments = [
-                [_Segment(0, np.asarray(r, np.float32).copy())]
+                [_Segment(start0, np.asarray(r, np.float32).copy())]
                 if len(np.asarray(r).reshape(-1))
                 else []
                 for r in state["residuals"]
@@ -349,26 +369,32 @@ class DetectorBank:
             raise ValueError(
                 f"state has {len(segments)} lanes, bank has {self.n_lanes}"
             )
+        legacy_fs = int(state.get("frames_seen", 0))
         self._segments = segments
         self._offered = [
             int(v)
             for v in state.get(
                 "offered",
                 [
-                    (segs[-1].start + len(segs[-1].data)) if segs else 0
+                    (segs[-1].start + len(segs[-1].data))
+                    if segs
+                    else legacy_fs * self.spec.hop
                     for segs in segments
                 ],
             )
         ]
         self.hops_emitted = [
             int(v)
-            for v in state.get("hops_emitted", [0] * self.n_lanes)
+            for v in state.get("hops_emitted", [legacy_fs] * self.n_lanes)
         ]
         self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
         self.overflows = list(state.get("overflows", [0] * self.n_lanes))
         self.dropped_samples = list(
             state.get("dropped_samples", [0] * self.n_lanes)
         )
+        self._interleave_rem = np.asarray(
+            state.get("interleave_rem", np.zeros(0, np.float32)), np.float32
+        ).copy()
 
     def save_state(self, path) -> None:
         state = self.get_state()
@@ -393,6 +419,7 @@ class DetectorBank:
             last_outputs=state["last_outputs"],
             overflows=np.asarray(state["overflows"], np.int64),
             dropped_samples=np.asarray(state["dropped_samples"], np.int64),
+            interleave_rem=state["interleave_rem"],
             **arrays,
         )
 
@@ -417,6 +444,11 @@ class DetectorBank:
                         "last_outputs": data["last_outputs"],
                         "overflows": list(data["overflows"]),
                         "dropped_samples": list(data["dropped_samples"]),
+                        "interleave_rem": (
+                            data["interleave_rem"]
+                            if "interleave_rem" in data.files
+                            else np.zeros(0, np.float32)
+                        ),
                     }
                 )
                 return

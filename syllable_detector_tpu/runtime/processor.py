@@ -144,8 +144,13 @@ class _Lane:
     stat_output: SummaryStat
     detections: int = 0
     overflows: int = 0  # dropped buffers (the reference fatalErrors instead,
-    # CircularShortTimeFourierTransform.swift:199)
+    # CircularShortTimeFourierTransform.swift:199). Written ONLY by the
+    # capture thread; the worker's bank-cap drops count in bank_overflows
+    # (a lone += from each thread — a shared field would lose increments
+    # across the two threads' read-modify-writes)
     dropped_samples: int = 0  # total samples lost in those drops
+    bank_overflows: int = 0  # worker-thread only: bank max_buffer drops
+    bank_dropped_samples: int = 0
     last_audio_ns: Optional[int] = None  # monotonic stamp of the last
     # capture callback — a dead/unplugged mic shows as a growing age
     # (the reference's GUI shows per-channel RMS going quiet instead,
@@ -219,7 +224,13 @@ class Processor:
             self._lanes.append(
                 _Lane(
                     entry=e,
-                    detector=None if self._banks else Detector(e.config),
+                    # honor an explicit method= in per-lane mode too (the
+                    # default stays "matmul" here: live per-lane drains hit
+                    # many hop-count buckets, and each cold fused bucket is
+                    # a 5-10 min Mosaic compile unless warmed)
+                    detector=None
+                    if self._banks
+                    else Detector(e.config, method=method or "matmul"),
                     ring=ring,
                     resampler=resampler,
                     stat_input=SummaryStat(StatMax()),
@@ -383,8 +394,9 @@ class Processor:
                             # the bank's max_buffer cap dropped the chunk:
                             # surface it on the lane like a ring overflow,
                             # so audio loss stays visible to monitoring
-                            lane.overflows += 1
-                            lane.dropped_samples += len(samples)
+                            # (worker-thread-only counters — see _Lane)
+                            lane.bank_overflows += 1
+                            lane.bank_dropped_samples += len(samples)
                 outs = bank.drain()  # [len(idxs), n_max, outputs] padded
                 counts = bank.last_counts
             except Exception as e:
@@ -494,8 +506,10 @@ class Processor:
                 "input_channel": lane.entry.input_channel,
                 "output_channel": lane.entry.output_channel,
                 "detections": lane.detections,
-                "overflows": lane.overflows,
-                "dropped_samples": lane.dropped_samples,
+                "overflows": lane.overflows + lane.bank_overflows,
+                "dropped_samples": (
+                    lane.dropped_samples + lane.bank_dropped_samples
+                ),
                 "last_audio_age_s": (
                     (now - lane.last_audio_ns) / 1e9
                     if lane.last_audio_ns is not None

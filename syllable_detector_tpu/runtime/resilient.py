@@ -196,6 +196,10 @@ class ResilientDetector:
         # the bank accepts, ("gap", lane, n) compact markers for chunks
         # the bank's cap drops (replayed as note_gap — data-free)
         self._journal: list[tuple] = []
+        # per-lane index of the lane's trailing gap marker in _journal
+        # (None once an append for the lane lands after it) — O(1)
+        # coalescing of consecutive overflow drops
+        self._gap_idx: list = [None] * self.n_lanes
         self._ctx = mp.get_context("spawn")
         self._proc = None
         self._conn = None
@@ -269,7 +273,25 @@ class ResilientDetector:
                 attempts += 1
                 if attempts > self.max_restarts:
                     raise
-                self._start_child()
+                # the recovery itself (spawn, ready handshake, set_state,
+                # journal replay) can crash too — keep IT supervised, or
+                # one unlucky replay failure escapes with a dead child
+                # pinned on self._proc/_conn and every later call fails
+                while True:
+                    try:
+                        self._start_child()
+                        break
+                    except DetectorChildError:
+                        # semantic failure replaying state: deterministic,
+                        # a respawn would replay it at full cold-compile
+                        # cost — surface immediately
+                        raise
+                    except Exception:
+                        self._kill_child()
+                        self.restarts += 1
+                        attempts += 1
+                        if attempts > self.max_restarts:
+                            raise
                 if covered_by_replay:
                     return None
 
@@ -286,18 +308,37 @@ class ResilientDetector:
     # -- detector API --------------------------------------------------------
 
     def append_audio_data(self, samples: np.ndarray, lane: int = 0) -> None:
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        # own the data: np.asarray on an already-float32 buffer is a
+        # VIEW — a capture loop that reuses one persistent buffer would
+        # retroactively rewrite every journal entry to the last block's
+        # contents, silently corrupting crash-recovery replay (the pipe
+        # send pickles a snapshot, so live operation LOOKS correct). A
+        # journaled slice would also pin its whole base recording alive.
+        samples = np.array(samples, np.float32, copy=True).reshape(-1)
         n = len(samples)
         if self._buffered[lane] + n > self._max_buffer_samples:
             # the child bank would drop this chunk at its cap — journal a
             # compact gap marker (no data) so replay reproduces the bank's
-            # overflow accounting without retaining unbounded audio
-            self._journal.append(("gap", lane, n))
+            # overflow accounting without retaining unbounded audio.
+            # Consecutive drops on a lane COALESCE into one marker (order
+            # only matters within a lane): a stalled drain loop otherwise
+            # grows the journal by one tuple per dropped chunk forever.
+            # Replay applies one note_gap with the summed n — stream-clock
+            # and dropped-sample accounting are identical; only the
+            # overflow EVENT count merges (live counts stay per-chunk).
+            gi = self._gap_idx[lane]
+            if gi is not None:
+                _, _, prev = self._journal[gi]
+                self._journal[gi] = ("gap", lane, prev + n)
+            else:
+                self._gap_idx[lane] = len(self._journal)
+                self._journal.append(("gap", lane, n))
             self._supervised(("note_gap", lane, n), covered_by_replay=True)
             return
         # journal FIRST: if the child dies handling this append, the
         # restart's replay applies it — and covered_by_replay then skips
         # the resend (sending again would double-apply the chunk)
+        self._gap_idx[lane] = None
         self._journal.append(("append", lane, samples))
         self._buffered[lane] += n
         self._supervised(("append", lane, samples), covered_by_replay=True)
@@ -312,6 +353,7 @@ class ResilientDetector:
     def _sync_snapshot(self, state) -> None:
         self._snapshot = state
         self._journal.clear()
+        self._gap_idx = [None] * self.n_lanes
         self._buffered = [
             sum(len(d) for _, d, _ in segs) for segs in state["segments"]
         ]

@@ -52,7 +52,7 @@ def random_config(rng: np.random.Generator) -> SyllableDetectorConfig:
     t_range = int(rng.integers(1, 8))
     n_bins = bins[1] - bins[0]
     d = n_bins * t_range
-    scaling = str(rng.choice(["linear", "linear", "db"]))
+    scaling = str(rng.choice(["linear", "linear", "db", "log"]))
 
     hidden = int(rng.integers(1, 6))
     outputs = int(rng.integers(1, 3))
@@ -214,6 +214,68 @@ def test_random_config_pipeline(seed):
             )
         )
         np.testing.assert_allclose(fb, vb, rtol=5e-3, atol=1e-3)
+
+        # flat layout (the hot batched path), shared + distinct, both
+        # output layouts, and the k=8 multi-hop slab — random geometries,
+        # all vs the same vmap oracle. These layouts carried subtle
+        # routing bugs (a silently-dropped out_t flag) that only
+        # geometry-diverse property coverage catches systematically.
+        # Gated to even seeds: each variant compiles its own interpret
+        # kernel, ~13 s per geometry.
+        from syllable_detector_tpu.kernels.fused_detector import (
+            fused_flat_batch_offline_outputs,
+        )
+
+        for p, want_b in (
+            ((params, None), (plist, vb)) if seed % 2 == 0 else ()
+        ):
+            flat_prev = None
+            for kwargs in (
+                {"out_t": False},
+                {"out_t": True},
+                {"hops_per_row": 8, "out_t": False},
+                {"hops_per_row": 8, "out_t": True},
+            ):
+                fl = np.asarray(
+                    fused_flat_batch_offline_outputs(
+                        spec, p, xs, tile=64, interpret=True, **kwargs
+                    )
+                )
+                if flat_prev is None:
+                    flat_prev = fl
+                    oracle = want_b if want_b is not None else np.asarray(
+                        jax.vmap(
+                            lambda xx: offline_outputs(spec, params, xx)
+                        )(xs)
+                    )
+                    np.testing.assert_allclose(
+                        fl, oracle, rtol=5e-3, atol=1e-3
+                    )
+                else:
+                    # layouts agree to float32 rounding for ANY geometry
+                    # (k=8 slab parts can reassociate a GEMM term);
+                    # bit-exactness on the sample net's geometry is
+                    # asserted by the dedicated kernel tests
+                    np.testing.assert_allclose(
+                        fl, flat_prev, rtol=1e-5, atol=1e-6
+                    )
+
+    # phase-split sub-blocked kernel agrees with the whole-tile kernel
+    # across random fusable geometries (odd seeds, balancing the even-seed
+    # flat-layout block above)
+    if fusable(spec) and len(got) and seed % 2 == 1:
+        f1 = np.asarray(
+            fused_offline_outputs(
+                spec, params, jnp.asarray(x), tile=64, interpret=True
+            )
+        )
+        fs = np.asarray(
+            fused_offline_outputs(
+                spec, params, jnp.asarray(x), tile=64, interpret=True,
+                phase_split=2,
+            )
+        )
+        np.testing.assert_allclose(fs, f1, rtol=1e-5, atol=1e-6)
 
     # DetectorBank (batched live drain) equals independent Detectors for
     # every random geometry, fused or matmul-fallback alike
