@@ -137,14 +137,17 @@ def _perturbed_params(params, seed, scale=0.05):
 
 def batched_throughput(
     spec, params, dev, c, tile=None, n_evals=None, layout="flat",
-    hops_per_row=1, out_t=False,
+    hops_per_row=1, out_t=True,
 ):
     """Windows/s for a c-channel batched fused scan (the multi-detector
     deployment shape). ``params`` may be a list of c DISTINCT nets.
 
     layout='flat' (default, r3): channels as consecutive row ranges of one
     slab through the single-stream kernel, pre-slabbed zero-copy input —
-    measured 122M w/s shared / ~100M distinct at c=64-1024.
+    measured (r4, out_t) 128.9M w/s shared c=1024 / 113.3M distinct
+    c=1024. out_t defaults True to match the production API
+    (fused_flat_batch_offline_outputs): bit-exact and strictly less
+    output HBM/write bandwidth.
     layout='grid': the legacy channel-grid kernel (tile 512, lax.map slabs
     above SWEEP_SLAB channels) for A/B comparison.
     """
