@@ -501,7 +501,10 @@ def _run(cfg, spec, params, dev):
         try:
             plist = [_perturbed_params(params, i) for i in range(64)]
             batched_c64_distinct = batched_throughput(spec, plist, dev, 64)
-            log(f"batched c=64 DISTINCT nets: {batched_c64_distinct:,.0f} windows/s")
+            # r4 defaults (k=1, out_t, tile 1024, ne 8192); r3's series ran
+            # tile 512 without out_t — not directly comparable
+            log(f"batched c=64 DISTINCT nets [k1_ne8192_outT_t1024]: "
+                f"{batched_c64_distinct:,.0f} windows/s")
         except Exception as e:
             log(f"batched c=64 distinct failed: {type(e).__name__}: {str(e)[:120]}")
         # the ACTUAL reference deployment shape at chip scale: a DIFFERENT
@@ -521,10 +524,14 @@ def _run(cfg, spec, params, dev):
             except Exception as e:
                 log(f"distinct c=1024 out_t failed ({type(e).__name__}: "
                     f"{str(e)[:100]}); falling back to k=1 ne=4096")
+                # fallback inherits batched_throughput's r4 defaults
+                # (out_t=True, distinct tile 1024) — label accordingly so
+                # the longitudinal record stays comparable (r3's 97.1M
+                # baseline was k1_ne4096 at tile 512 WITHOUT out_t)
                 distinct_c1024 = batched_throughput(
                     spec, plist_1k, dev, 1024, n_evals=1 << 12
                 )
-                distinct_c1024_cfg = "k1_ne4096"
+                distinct_c1024_cfg = "k1_ne4096_outT_t1024"
             log(
                 f"batched c=1024 DISTINCT nets [{distinct_c1024_cfg}]: "
                 f"{distinct_c1024:,.0f} windows/s "

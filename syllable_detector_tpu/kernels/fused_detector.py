@@ -1390,19 +1390,32 @@ _FLAT_HBM_BUDGET = 11 << 30  # measured: 12.8G requirement OOMs a v5e chip
 _FLAT_HBM_HEADROOM = 4 << 30
 
 
+_flat_hbm_budget_cache: int | None = None
+
+
 def _flat_hbm_budget() -> int:
     """Usable HBM bytes for the flat slab + output, derived from the local
     device's reported memory limit (minus a fixed scratch headroom) so the
     guard scales across chip generations; falls back to the measured v5e
-    constant when the backend exposes no memory stats (CPU/interpret)."""
+    constant when the backend exposes no memory stats (CPU/interpret).
+    Memoized per process: the limit is constant for the process lifetime
+    and the live-drain router consults it 2-3x per drain (a backend query
+    through the tunneled runtime is measurable against the hop deadline)."""
+    global _flat_hbm_budget_cache
+    if _flat_hbm_budget_cache is not None:
+        return _flat_hbm_budget_cache
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
     except Exception:
-        return _FLAT_HBM_BUDGET
+        return _FLAT_HBM_BUDGET  # backend not ready: don't cache
     limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
-    if not limit:
-        return _FLAT_HBM_BUDGET
-    return max(int(limit) - _FLAT_HBM_HEADROOM, int(limit) // 2)
+    budget = (
+        max(int(limit) - _FLAT_HBM_HEADROOM, int(limit) // 2)
+        if limit
+        else _FLAT_HBM_BUDGET
+    )
+    _flat_hbm_budget_cache = budget
+    return budget
 
 
 def _flat_hbm_estimate(

@@ -540,6 +540,10 @@ class Detector:
             "history": np.asarray(self._history, np.float32).copy(),
             "frames_seen": int(self._frames_seen),
             "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
+            # pending partial interleaved frame (append_interleaved_data);
+            # channels stored as int, 0 = none (npz-friendly, no pickling)
+            "interleave_rem": self._interleave_rem.copy(),
+            "interleave_channels": int(self._interleave_channels or 0),
         }
 
     def set_state(self, state: dict) -> None:
@@ -557,6 +561,11 @@ class Detector:
         self._history = jnp.asarray(history)
         self._frames_seen = int(state["frames_seen"])
         self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
+        self._interleave_rem = np.asarray(
+            state.get("interleave_rem", np.zeros(0, np.float32)), np.float32
+        ).copy()
+        ich = int(state.get("interleave_channels", 0))
+        self._interleave_channels = ich if ich > 0 else None
 
     def save_state(self, path) -> None:
         np.savez(path, **self.get_state())

@@ -342,6 +342,9 @@ class DetectorBank:
         """Restore a :meth:`get_state` snapshot (possibly in a different
         process); continuing the streams afterwards produces exactly the
         outputs an uninterrupted bank would."""
+        # legacy (round-3) lockstep frame counter; 0 under the new schema,
+        # where it only backstops snapshots missing offered/hops_emitted
+        legacy_fs = int(state.get("frames_seen", 0))
         if "segments" in state:
             segments = [
                 [
@@ -357,7 +360,6 @@ class DetectorBank:
             # frames_seen * hop — restore the segment start and per-lane
             # hop counters from it, or the stream clock rewinds to 0 and
             # post-restore sample indices duplicate pre-crash ones.
-            legacy_fs = int(state.get("frames_seen", 0))
             start0 = legacy_fs * self.spec.hop
             segments = [
                 [_Segment(start0, np.asarray(r, np.float32).copy())]
@@ -369,7 +371,6 @@ class DetectorBank:
             raise ValueError(
                 f"state has {len(segments)} lanes, bank has {self.n_lanes}"
             )
-        legacy_fs = int(state.get("frames_seen", 0))
         self._segments = segments
         self._offered = [
             int(v)

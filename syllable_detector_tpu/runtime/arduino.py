@@ -276,7 +276,11 @@ class NativeFirmwareTransport(Transport):
     def _load_locked(cls):
         import ctypes
         import os
-        import subprocess
+
+        from syllable_detector_tpu.utils.native_build import (
+            NativeBuildError,
+            ensure_native_library,
+        )
 
         native = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
@@ -285,30 +289,21 @@ class NativeFirmwareTransport(Transport):
             "native",
         )
         path = os.path.join(native, "libsdfirmware.so")
-        if not os.path.exists(path):
-            src = os.path.join(native, "arduino_firmware.cpp")
-            # compile to a per-process temp name and rename into place
-            # (atomic on POSIX): the in-process lock cannot stop ANOTHER
-            # process (parallel pytest, a ResilientDetector child) from
-            # CDLLing a half-written .so mid-build
-            tmp = f"{path}.tmp{os.getpid()}"
-            try:
-                proc = subprocess.run(
-                    ["g++", "-O2", "-Wall", "-Wextra", "-std=c++17", "-fPIC",
-                     "-shared", "-o", tmp, src],
-                    capture_output=True,
-                )
-            except OSError as e:
+        try:
+            ensure_native_library(
+                os.path.join(native, "arduino_firmware.cpp"),
+                path,
+                extra_flags=("-Wextra",),
+            )
+        except NativeBuildError as e:
+            if e.stderr:
                 raise ArduinoError(
-                    f"building the native firmware needs a C++ toolchain "
-                    f"(g++ unavailable: {e}); use SimulatedArduinoTransport"
+                    "native firmware compile failed:\n" + e.stderr[:2000]
                 ) from e
-            if proc.returncode != 0:
-                raise ArduinoError(
-                    "native firmware compile failed:\n"
-                    + proc.stderr.decode(errors="replace")[:2000]
-                )
-            os.rename(tmp, path)
+            raise ArduinoError(
+                f"building the native firmware needs a C++ toolchain "
+                f"({e}); use SimulatedArduinoTransport"
+            ) from e
         lib = ctypes.CDLL(path)
         lib.sdfw_new.restype = ctypes.c_void_p
         lib.sdfw_new.argtypes = [ctypes.c_int32]

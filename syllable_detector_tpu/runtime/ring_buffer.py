@@ -15,10 +15,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from syllable_detector_tpu.utils.native_build import (
+    NativeBuildError,
+    ensure_native_library,
+)
 
 __all__ = ["RingBuffer", "native_available"]
 
@@ -34,23 +38,12 @@ def _load_library():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "ring_buffer.cpp")
-            if not os.path.exists(src):
-                return None
-            # temp-compile + atomic rename: another PROCESS racing the
-            # first build must never CDLL a half-written .so
-            tmp = f"{_LIB_PATH}.tmp{os.getpid()}"
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
-                     "-o", tmp, src],
-                    check=True,
-                    capture_output=True,
-                )
-                os.rename(tmp, _LIB_PATH)
-            except (OSError, subprocess.CalledProcessError):
-                return None
+        try:
+            ensure_native_library(
+                os.path.join(_NATIVE_DIR, "ring_buffer.cpp"), _LIB_PATH
+            )
+        except NativeBuildError:
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -18,11 +18,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional, Union
 
 import numpy as np
+
+from syllable_detector_tpu.utils.native_build import (
+    NativeBuildError,
+    ensure_native_library,
+)
 
 __all__ = ["av_available", "read_av", "write_av"]
 
@@ -44,23 +48,14 @@ def _load_library():
         if _lib is not None or _lib_tried:
             return _lib
         _lib_tried = True
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "av_codec.cpp")
-            if not os.path.exists(src):
-                return None
-            # temp-compile + atomic rename: another PROCESS racing the
-            # first build must never CDLL a half-written .so
-            tmp = f"{_LIB_PATH}.tmp{os.getpid()}"
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-Wall", "-std=c++17", "-fPIC", "-shared",
-                     "-o", tmp, src] + _AV_LINK,
-                    check=True,
-                    capture_output=True,
-                )
-                os.rename(tmp, _LIB_PATH)
-            except (OSError, subprocess.CalledProcessError):
-                return None  # no toolchain or no FFmpeg dev libraries
+        try:
+            ensure_native_library(
+                os.path.join(_NATIVE_DIR, "av_codec.cpp"),
+                _LIB_PATH,
+                link=_AV_LINK,
+            )
+        except NativeBuildError:
+            return None  # no toolchain or no FFmpeg dev libraries
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -140,6 +140,39 @@ def test_detector_state_checkpoint_resume(sample_config, rng, tmp_path, method):
         bad.set_state(state)
 
 
+def test_detector_state_preserves_interleave_carry(sample_config, rng, tmp_path):
+    """Checkpoint/restore mid-interleaved-capture keeps the pending
+    partial frame: chunk lengths that are NOT multiples of ``channels``
+    leave a carry in _interleave_rem, and dropping it on restore would
+    permanently swap which interleaved slot each lane reads."""
+    channels, channel = 2, 1
+    x = make_audio(rng, seconds=0.5)
+    other = make_audio(rng, seconds=0.5)
+    inter = np.empty(2 * len(x), np.float32)
+    inter[0::2], inter[1::2] = other, x  # our channel is slot 1
+
+    base = Detector(sample_config)
+    base.append_audio_data(x)
+    want = base.drain()
+
+    d1 = Detector(sample_config)
+    cut = len(inter) // 2 + 7  # odd: mid-frame, carry pending
+    d1.append_interleaved_data(inter[:cut], channels, channel)
+    first = d1.drain()
+    assert len(d1.get_state()["interleave_rem"]) == 1
+    path = tmp_path / "state.npz"
+    d1.save_state(path)
+
+    d2 = Detector(sample_config)
+    d2.load_state(path)
+    d2.append_interleaved_data(inter[cut:], channels, channel)
+    rest = d2.drain()
+
+    got = np.concatenate([first, rest]) if len(first) or len(rest) else first
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_spec_validation(sample_config):
     import dataclasses
 

@@ -595,23 +595,37 @@ def test_flat_hbm_budget_scales_with_device(monkeypatch):
         def memory_stats(self):
             return self._stats
 
+    def fresh_budget():
+        # the budget memoizes per process (the device limit is constant,
+        # and the live-drain router consults it 2-3x per drain) — reset
+        # the memo so each monkeypatched device is actually queried
+        monkeypatch.setattr(fd, "_flat_hbm_budget_cache", None)
+        return fd._flat_hbm_budget()
+
     # a hypothetical 96 GiB chip: budget = limit - headroom
     monkeypatch.setattr(
         jax, "local_devices", lambda: [_Dev({"bytes_limit": 96 << 30})]
+    )
+    assert fresh_budget() == (96 << 30) - fd._FLAT_HBM_HEADROOM
+    # memoized: a second call must NOT re-query the (now different) device
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: (_ for _ in ()).throw(RuntimeError())
     )
     assert fd._flat_hbm_budget() == (96 << 30) - fd._FLAT_HBM_HEADROOM
     # a tiny limit keeps at least half the chip usable
     monkeypatch.setattr(
         jax, "local_devices", lambda: [_Dev({"bytes_limit": 6 << 30})]
     )
-    assert fd._flat_hbm_budget() == 3 << 30
+    assert fresh_budget() == 3 << 30
     # no stats (CPU backend) -> measured fallback
     monkeypatch.setattr(jax, "local_devices", lambda: [_Dev(None)])
-    assert fd._flat_hbm_budget() == fd._FLAT_HBM_BUDGET
+    assert fresh_budget() == fd._FLAT_HBM_BUDGET
+    # backend error -> fallback, NOT cached (the backend may not be up yet)
     monkeypatch.setattr(
         jax, "local_devices", lambda: (_ for _ in ()).throw(RuntimeError())
     )
-    assert fd._flat_hbm_budget() == fd._FLAT_HBM_BUDGET
+    assert fresh_budget() == fd._FLAT_HBM_BUDGET
+    assert fd._flat_hbm_budget_cache is None
 
 
 def test_flat_rejects_impossible_n_evals(sample_config, audio):

@@ -104,3 +104,40 @@ def test_spsc_threads(ring_kind):
     assert not errors, errors
     assert not t1.is_alive() and not t2.is_alive()
     assert r.fill == 0
+
+
+def test_ensure_native_library_contract(tmp_path):
+    """Shared build helper (utils.native_build): builds via a temp name +
+    atomic rename, removes the temp on compile failure, and raises with
+    compiler stderr attached."""
+    import pytest
+
+    from syllable_detector_tpu.utils.native_build import (
+        NativeBuildError,
+        ensure_native_library,
+    )
+
+    # success: a trivial translation unit builds and loads
+    src = tmp_path / "ok.cpp"
+    src.write_text('extern "C" int forty_two() { return 42; }\n')
+    out = tmp_path / "libok.so"
+    assert ensure_native_library(str(src), str(out)) == str(out)
+    import ctypes
+
+    assert ctypes.CDLL(str(out)).forty_two() == 42
+    # existing library: returned as-is without rebuilding (src untouched)
+    src.unlink()
+    assert ensure_native_library(str(src), str(out)) == str(out)
+
+    # missing source
+    with pytest.raises(NativeBuildError, match="not found"):
+        ensure_native_library(str(tmp_path / "nope.cpp"), str(tmp_path / "x.so"))
+
+    # compile failure: stderr captured, no temp file left behind
+    bad = tmp_path / "bad.cpp"
+    bad.write_text("this is not C++\n")
+    with pytest.raises(NativeBuildError) as ei:
+        ensure_native_library(str(bad), str(tmp_path / "libbad.so"))
+    assert ei.value.stderr  # compiler diagnostics attached
+    leftovers = [p.name for p in tmp_path.iterdir() if ".tmp" in p.name]
+    assert leftovers == []
