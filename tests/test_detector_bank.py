@@ -316,3 +316,126 @@ def test_interleaved_append(sample_config):
 
     with _pytest.raises(ValueError, match="out of range"):
         det.append_interleaved_data(inter, channels=2, channel=2)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_bank_fuzz_random_lifecycle_vs_segment_oracle(
+    sample_config, tmp_path, seed
+):
+    """Adversarial lifecycle fuzz: random per-lane appends, explicit gaps
+    (the overflow path), drains at arbitrary points, and one mid-stream
+    save/restore roundtrip. Ground truth is the segment oracle: each
+    gap-free run of a lane's stream must produce exactly the outputs of a
+    fresh Detector fed that run, with sample indices
+    ``segment_start + first_output_sample + k*hop``
+    (TrackDetector.swift:38-42, 67-68 accounting)."""
+    rng = np.random.default_rng(seed)
+    cfgs = [
+        sample_config,
+        _perturbed_cfg(sample_config, seed + 1),
+        _perturbed_cfg(sample_config, seed + 2),
+    ]
+    n_lanes = len(cfgs)
+    streams = [make_audio(rng, seconds=0.8) for _ in cfgs]
+    bank = DetectorBank(cfgs, method="matmul")
+
+    # event log per lane: ("data", chunk) | ("gap", n)
+    events = [[] for _ in range(n_lanes)]
+    pos = [0] * n_lanes
+    got_outs = [[] for _ in range(n_lanes)]
+    got_idx = [[] for _ in range(n_lanes)]
+    n_gaps = [0] * n_lanes
+    restored = False
+
+    def collect():
+        outs = bank.drain()
+        for i in range(n_lanes):
+            c = int(bank.last_counts[i])
+            if c:
+                got_outs[i].append(outs[i, :c])
+                got_idx[i].append(bank.last_sample_indices[i])
+
+    for step in range(24):
+        for i in range(n_lanes):
+            r = rng.random()
+            if r < 0.6:  # append a random chunk
+                n = int(rng.integers(50, 6000))
+                chunk = streams[i][pos[i] : pos[i] + n]
+                if len(chunk):
+                    assert bank.append_audio_data(i, chunk)
+                    events[i].append(("data", chunk))
+                    pos[i] += len(chunk)
+            elif r < 0.75:  # capture gap (same path as an overflow drop)
+                n = int(rng.integers(1, 4000))
+                bank.note_gap(i, n)
+                events[i].append(("gap", n))
+                n_gaps[i] += 1
+            # else: lane starved this step
+        if rng.random() < 0.4:
+            collect()
+        if step == 11 and not restored:  # mid-stream checkpoint/restore
+            path = tmp_path / "bank.npz"
+            bank.save_state(path)
+            bank = DetectorBank(cfgs, method="matmul")
+            bank.load_state(path)
+            restored = True
+
+    # drain everything still evaluable
+    for _ in range(8):
+        before = sum(len(o) for outs in got_outs for o in outs)
+        collect()
+        if sum(len(o) for outs in got_outs for o in outs) == before:
+            break
+
+    spec = bank.spec
+    for i in range(n_lanes):
+        # oracle: rebuild the gap-free segments from the event log
+        segments = []  # (abs_start, [chunks])
+        clock = 0
+        open_seg = None
+        for kind, payload in events[i]:
+            if kind == "data":
+                if open_seg is None:
+                    open_seg = (clock, [payload])
+                    segments.append(open_seg)
+                else:
+                    open_seg[1].append(payload)
+                clock += len(payload)
+            else:
+                clock += payload
+                open_seg = None
+        want_rows, want_idx = [], []
+        for start, chunks in segments:
+            oracle = Detector(cfgs[i])
+            oracle.append_audio_data(np.concatenate(chunks))
+            o = oracle.drain()
+            if len(o):
+                want_rows.append(o)
+                want_idx.append(
+                    start
+                    + spec.first_output_sample
+                    + spec.hop * np.arange(len(o), dtype=np.int64)
+                )
+        got = (
+            np.concatenate(got_outs[i])
+            if got_outs[i]
+            else np.zeros((0, spec.net.outputs), np.float32)
+        )
+        want = (
+            np.concatenate(want_rows)
+            if want_rows
+            else np.zeros((0, spec.net.outputs), np.float32)
+        )
+        assert got.shape == want.shape, f"lane {i}"
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+        gidx = (
+            np.concatenate(got_idx[i]) if got_idx[i] else np.zeros(0, np.int64)
+        )
+        widx = (
+            np.concatenate(want_idx) if want_idx else np.zeros(0, np.int64)
+        )
+        np.testing.assert_array_equal(gidx, widx)
+        assert bank.overflows[i] == n_gaps[i]
+        assert bank.dropped_samples[i] == sum(
+            n for k, n in events[i] if k == "gap"
+        )
