@@ -51,8 +51,10 @@ __all__ = [
     "fit_mapminmax",
     "init_layer_params",
     "train",
+    "train_ensemble",
     "train_step",
     "make_data_parallel_step",
+    "make_ensemble_step",
     "export_trained_config",
 ]
 
@@ -74,6 +76,13 @@ class TrainSettings:
     epochs: int = 200
     batch_size: int = 4096
     seed: int = 0
+    # independent weight inits trained side by side (vmapped); the best by
+    # full-data loss is kept. The tiny MLP has a mean-prediction plateau
+    # (hidden units initialized too alike never differentiate) that traps
+    # a substantial fraction of random inits — restarts make training
+    # deterministic-ish in practice, like MATLAB operators re-running
+    # train until the net "took".
+    n_init: int = 4
 
     def __post_init__(self):
         # the MATLAB exporter's preamble validation (convert_to_text.m:41-54)
@@ -169,9 +178,14 @@ def fit_mapminmax(features: np.ndarray) -> ProcessingSpec:
 
 
 def init_layer_params(
-    key, sizes: list[int], scale: float = 0.5
+    key, sizes: list[int], scale: float = 2.0
 ) -> list[dict]:
-    """Small-uniform init (MATLAB nnet-style ranges)."""
+    """Uniform init, bounds ``scale/sqrt(fan_in)`` (weights) and ``scale``
+    (biases). Default scale 2.0 measured: at 0.5 the hidden tansig units
+    start near-identical and ~5/6 of inits collapse onto the
+    mean-prediction plateau (loss == label variance, zero separation);
+    at 2.0 ~5/6 converge — the Nguyen-Widrow idea of spreading the
+    units' active regions, done by magnitude."""
     params = []
     for i in range(len(sizes) - 1):
         key, k1, k2 = jax.random.split(key, 3)
@@ -243,6 +257,53 @@ def make_data_parallel_step(mesh: Mesh, net_spec: NetSpec, lr: float, axis: str 
     )
 
 
+def _make_restart_step(
+    net_spec: NetSpec,
+    lr: float,
+    mesh: Mesh | None = None,
+    data_axis: str = "data",
+):
+    """Train step over K stacked weight inits sharing one batch (vmapped —
+    restarts cost one wider program, not K sequential runs). Without a
+    mesh the batch is local; with one, the batch shards over ``data_axis``
+    and per-init grads are pmean-averaged across devices (dp), params
+    replicated."""
+    opt = optax.adam(lr)
+
+    def stacked_step(params, opt_state, feats, labels):
+        def grads_one(p):
+            def loss(layer_params):
+                return _loss_fn(
+                    net_spec, dict(p, layers=layer_params), feats, labels
+                )
+
+            return jax.value_and_grad(loss)(p["layers"])
+
+        values, grads = jax.vmap(grads_one)(params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            values = jax.lax.pmean(values, data_axis)
+        # opt_state is per-init (vmap(opt.init)) so every leaf — adam's
+        # step count included — carries the stacked leading dim; the
+        # update vmaps over it (bias corrections stay per init)
+        updates, opt_state = jax.vmap(opt.update)(
+            grads, opt_state, params["layers"]
+        )
+        layers = optax.apply_updates(params["layers"], updates)
+        return dict(params, layers=layers), opt_state, values
+
+    if mesh is None:
+        return jax.jit(stacked_step)
+    return jax.jit(
+        jax.shard_map(
+            stacked_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis)),
+            out_specs=(P(), P(), P()),
+        )
+    )
+
+
 def train(
     settings: TrainSettings,
     features: np.ndarray,
@@ -255,9 +316,12 @@ def train(
     The output mapminmax (gain 2, yMin -1) maps net outputs from [-1, 1] to
     [0, 1] probabilities, like MATLAB's exported nets (sample.txt:17-20);
     training therefore fits apply_net's post-chain output directly to the
-    0/1 labels. The detection threshold is picked by maximizing Youden's J
-    (recall minus false-alarm rate) over a grid of score quantiles
-    (:func:`_pick_threshold`).
+    0/1 labels. ``settings.n_init`` independent weight inits train side by
+    side in one vmapped program and the best by full-data loss is kept
+    (see :class:`TrainSettings`). The detection threshold is picked by
+    maximizing Youden's J (recall minus false-alarm rate) over a grid of
+    score quantiles (:func:`_pick_threshold`). With ``mesh``, batches
+    shard over its first axis (dp) and grads are pmean-averaged.
     """
     net_spec = _build_net_spec(settings)
     mm_in = fit_mapminmax(features)
@@ -272,27 +336,34 @@ def train(
 
     key = jax.random.PRNGKey(settings.seed)
     sizes = [settings.n_features, *settings.hidden, 1]
-    params = {
-        "layers": init_layer_params(key, sizes),
-        "process_inputs": in_params,
-        "process_outputs": out_params,
-    }
+    K = max(1, settings.n_init)
+    params = _stack_trees(
+        [
+            {
+                "layers": init_layer_params(jax.random.fold_in(key, i), sizes),
+                "process_inputs": in_params,
+                "process_outputs": out_params,
+            }
+            for i in range(K)
+        ]
+    )
 
     opt = optax.adam(settings.learning_rate)
-    opt_state = opt.init(params["layers"])
+    opt_state = jax.vmap(opt.init)(params["layers"])  # per-init state
 
     feats = jnp.asarray(features, jnp.float32)
     labs = jnp.asarray(labels, jnp.float32)
     n = len(feats)
     bs = min(settings.batch_size, n)
-
-    dp_step = None
     if mesh is not None:
-        dp_step = make_data_parallel_step(
-            mesh, net_spec, settings.learning_rate, axis=mesh.axis_names[0]
-        )
         n_dev = mesh.devices.size
         bs = (bs // n_dev) * n_dev or n_dev
+    step = _make_restart_step(
+        net_spec,
+        settings.learning_rate,
+        mesh=mesh,
+        data_axis=mesh.axis_names[0] if mesh is not None else "data",
+    )
 
     rng = np.random.default_rng(settings.seed)
     for epoch in range(settings.epochs):
@@ -300,20 +371,213 @@ def train(
         losses = []
         for start in range(0, n - bs + 1, bs):
             idx = order[start : start + bs]
-            fb, lb = feats[idx], labs[idx]
-            if dp_step is not None:
-                params, opt_state, value = dp_step(params, opt_state, fb, lb)
-            else:
-                params, opt_state, value = train_step(
-                    net_spec, params, opt_state, fb, lb, settings.learning_rate
-                )
-            losses.append(float(value))
+            params, opt_state, values = step(
+                params, opt_state, feats[idx], labs[idx]
+            )
+            losses.append(np.asarray(values))
         if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-            print(f"epoch {epoch}: loss {np.mean(losses):.5f}")
+            print(
+                f"epoch {epoch}: loss {np.stack(losses).mean(0).min():.5f} "
+                f"(best of {K} inits)"
+            )
 
+    full = jax.vmap(lambda p: _loss_fn(net_spec, p, feats, labs))(params)
+    best = int(np.argmin(np.asarray(full)))
+    params = jax.tree.map(lambda x: x[best], params)
     preds = np.asarray(apply_net(net_spec, params, feats)[..., 0])
     threshold = _pick_threshold(preds, labels)
     return net_spec, params, threshold
+
+
+def make_ensemble_step(
+    net_spec: NetSpec,
+    lr: float,
+    mesh: Mesh | None = None,
+    channel_axis: str = "channel",
+):
+    """Train step for a CHANNEL-STACKED ensemble of independent nets — the
+    training-side counterpart of the fused kernel's per-channel distinct
+    networks (the reference trains one MATLAB net per audio channel,
+    Processor.swift:57-59; here all of them train in ONE device program).
+
+    Stacked pytrees carry a leading channel dim on every leaf
+    ([C, out, in] weights, [C, D] mapminmax params, ...); the per-channel
+    loss/grad is ``vmap``ped over it and adam updates the stack
+    elementwise (adam is elementwise, so this is exactly C independent
+    optimizers). With ``mesh``, channels shard over ``channel_axis`` via
+    ``shard_map`` — no collectives cross channels (the nets are
+    independent), so scaling is embarrassingly parallel over ICI.
+    """
+    opt = optax.adam(lr)
+
+    def grads_one(params, feats, labels):
+        def loss(layer_params):
+            p = dict(params, layers=layer_params)
+            return _loss_fn(net_spec, p, feats, labels)
+
+        return jax.value_and_grad(loss)(params["layers"])
+
+    def stacked_step(params, opt_state, feats, labels):
+        # params: stacked pytree; feats [C, bs, D]; labels [C, bs]
+        values, grads = jax.vmap(grads_one)(params, feats, labels)
+        # per-channel opt_state (vmap(opt.init)): every leaf, adam's step
+        # count included, has the leading channel dim — required for the
+        # shard_map specs and keeps bias corrections per channel
+        updates, opt_state = jax.vmap(opt.update)(
+            grads, opt_state, params["layers"]
+        )
+        layers = optax.apply_updates(params["layers"], updates)
+        return dict(params, layers=layers), opt_state, values
+
+    if mesh is None:
+        return jax.jit(stacked_step)
+    ax = P(channel_axis)
+    return jax.jit(
+        jax.shard_map(
+            stacked_step,
+            mesh=mesh,
+            in_specs=(ax, ax, ax, ax),
+            out_specs=(ax, ax, ax),
+        )
+    )
+
+
+def _stack_trees(trees):
+    return jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees
+    )
+
+
+def train_ensemble(
+    settings: TrainSettings,
+    features_list: list[np.ndarray],
+    labels_list: list[np.ndarray],
+    mesh: Mesh | None = None,
+    channel_axis: str = "channel",
+    verbose: bool = False,
+):
+    """Train C independent per-channel nets in one device program ->
+    (net_spec, [params_c], [threshold_c]).
+
+    Every channel gets its own mapminmax fit, weight inits
+    (``settings.n_init`` restarts per channel, best by full-data loss —
+    see :class:`TrainSettings`), batch sampling, and Youden-J threshold;
+    geometry (``settings``) is shared, exactly like :class:`DetectorBank`
+    lanes. Channels with fewer evaluations than the longest wrap their
+    batch sampling (mod their own length). With ``mesh``,
+    C * n_init must divide evenly over the ``channel_axis`` devices.
+    """
+    C = len(features_list)
+    K = max(1, settings.n_init)
+    if C == 0 or len(labels_list) != C:
+        raise ValueError("features_list and labels_list must pair one-to-one")
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in (channel_axis,)]))
+        if (C * K) % n_dev:
+            raise ValueError(
+                f"{C} channels x {K} inits do not shard evenly over "
+                f"{n_dev} '{channel_axis}' devices"
+            )
+    net_spec = _build_net_spec(settings)
+    mm_out = ProcessingSpec(
+        name="mapminmax",
+        x_offsets=np.zeros(1, np.float32),
+        gains=np.full(1, 2.0, np.float32),
+        y_offset=-1.0,
+    )
+    sizes = [settings.n_features, *settings.hidden, 1]
+    per_params = []
+    for c in range(C):
+        if features_list[c].shape[1] != settings.n_features:
+            raise ValueError(
+                f"channel {c} features have {features_list[c].shape[1]} "
+                f"columns, settings expect {settings.n_features}"
+            )
+        _, in_params = specs_to_chain(
+            [ProcessingSpec("l2normalize"), fit_mapminmax(features_list[c])]
+        )
+        _, out_params = specs_to_chain([mm_out])
+        key = jax.random.fold_in(jax.random.PRNGKey(settings.seed), c)
+        for k in range(K):  # flat stack index = c * K + k (channel-major)
+            per_params.append(
+                {
+                    "layers": init_layer_params(
+                        jax.random.fold_in(key, k), sizes
+                    ),
+                    "process_inputs": in_params,
+                    "process_outputs": out_params,
+                }
+            )
+    params = _stack_trees(per_params)
+
+    opt = optax.adam(settings.learning_rate)
+    opt_state = jax.vmap(opt.init)(params["layers"])  # per-init state
+    step = make_ensemble_step(
+        net_spec, settings.learning_rate, mesh=mesh, channel_axis=channel_axis
+    )
+
+    ns = [len(f) for f in features_list]
+    bs = min(settings.batch_size, min(ns))
+    steps_per_epoch = max(1, min(ns) // bs)
+    feats_dev = [jnp.asarray(f, jnp.float32) for f in features_list]
+    labs_dev = [jnp.asarray(l, jnp.float32) for l in labels_list]
+
+    rngs = [np.random.default_rng(settings.seed + c) for c in range(C)]
+    for epoch in range(settings.epochs):
+        orders = [r.permutation(n) for r, n in zip(rngs, ns)]
+        losses = []
+        for s in range(steps_per_epoch):
+            idx = [
+                np.take(
+                    orders[c], np.arange(s * bs, (s + 1) * bs), mode="wrap"
+                )
+                for c in range(C)
+            ]
+            fb = jnp.stack([feats_dev[c][idx[c]] for c in range(C)])
+            lb = jnp.stack([labs_dev[c][idx[c]] for c in range(C)])
+            # every init of a channel sees the channel's batch
+            params, opt_state, values = step(
+                params,
+                opt_state,
+                jnp.repeat(fb, K, axis=0),
+                jnp.repeat(lb, K, axis=0),
+            )
+            losses.append(np.asarray(values))
+        if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
+            mean = np.mean(np.stack(losses), axis=0).reshape(C, K)
+            print(
+                f"epoch {epoch}: loss "
+                + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
+                + (f" (best of {K} inits)" if K > 1 else "")
+            )
+
+    # best init per channel by full-data loss
+    full = np.asarray(
+        jnp.stack(
+            [
+                jax.vmap(
+                    lambda p: _loss_fn(
+                        net_spec, p, feats_dev[c], labs_dev[c]
+                    )
+                )(
+                    jax.tree.map(
+                        lambda x, c=c: x[c * K : (c + 1) * K], params
+                    )
+                )
+                for c in range(C)
+            ]
+        )
+    )
+    params_list, thresholds = [], []
+    for c in range(C):
+        best = c * K + int(np.argmin(full[c]))
+        params_c = jax.tree.map(lambda x: x[best], params)
+        preds = np.asarray(
+            apply_net(net_spec, params_c, feats_dev[c])[..., 0]
+        )
+        params_list.append(params_c)
+        thresholds.append(_pick_threshold(preds, labels_list[c]))
+    return net_spec, params_list, thresholds
 
 
 def _pick_threshold(preds: np.ndarray, labels: np.ndarray) -> float:

@@ -245,3 +245,126 @@ def test_log_scaling_survives_digital_silence(settings):
         s = dataclasses.replace(settings, scaling=scaling)
         feats, labels = features_and_labels(s, audio, intervals)
         assert np.isfinite(feats).all(), scaling
+
+
+def _two_channel_dataset(settings):
+    """Two channels with DIFFERENT syllable timing/seeds."""
+    feats, labels, audios, ivals = [], [], [], []
+    for seed in (3, 9):
+        audio, intervals = make_labeled_audio(seconds=3.0, seed=seed)
+        f, l = features_and_labels(settings, audio, intervals)
+        feats.append(f)
+        labels.append(l)
+        audios.append(audio)
+        ivals.append(intervals)
+    return feats, labels, audios, ivals
+
+
+def test_train_ensemble_distinct_nets(settings):
+    """C independent nets train in ONE device program (the training-side
+    counterpart of the fused kernel's per-channel distinct networks);
+    each must separate ITS channel's syllables, and the nets must differ."""
+    import dataclasses
+
+    from syllable_detector_tpu.models.neural_net import apply_net
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(settings, epochs=150)
+    feats, labels, _, _ = _two_channel_dataset(s)
+    net_spec, params_list, thresholds = train_ensemble(s, feats, labels)
+    assert len(params_list) == len(thresholds) == 2
+    for c in range(2):
+        preds = np.asarray(
+            apply_net(net_spec, params_list[c], feats[c])[..., 0]
+        )
+        sep = preds[labels[c] > 0.5].mean() - preds[labels[c] < 0.5].mean()
+        assert sep > 0.3, (c, sep)
+        assert 0 < thresholds[c] < 1
+    w0 = np.asarray(params_list[0]["layers"][0]["w"])
+    w1 = np.asarray(params_list[1]["layers"][0]["w"])
+    assert np.abs(w0 - w1).max() > 1e-3  # genuinely distinct nets
+
+
+def test_train_ensemble_mesh_matches_single(settings):
+    """Channel-sharded ensemble over a 2-device mesh is the SAME
+    computation (no collectives cross channels): results match the
+    unsharded ensemble to float tolerance."""
+    import dataclasses
+
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(settings, epochs=40)
+    feats, labels, _, _ = _two_channel_dataset(s)
+    _, single, thr_single = train_ensemble(s, feats, labels)
+    mesh = make_mesh(2, axis="channel")
+    _, sharded, thr_sharded = train_ensemble(s, feats, labels, mesh=mesh)
+    for c in range(2):
+        for ls, lm in zip(single[c]["layers"], sharded[c]["layers"]):
+            np.testing.assert_allclose(
+                np.asarray(ls["w"]), np.asarray(lm["w"]), rtol=1e-4, atol=1e-5
+            )
+        assert thr_single[c] == pytest.approx(thr_sharded[c], abs=1e-3)
+
+    s1 = dataclasses.replace(s, n_init=1)  # 3 x 1 nets over 2 devices
+    with pytest.raises(ValueError, match="shard evenly"):
+        train_ensemble(
+            s1, feats + feats[:1], labels + labels[:1], mesh=mesh
+        )
+
+
+def test_train_ensemble_cli_roundtrip(tmp_path):
+    """Repeatable -a/-l pairs train per-channel nets together; each
+    exported net drives the CLI and detects its own channel's syllables."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syllable_detector_tpu.cli import main as cli_main
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    wavs, label_files, ivals = [], [], []
+    for i, seed in enumerate((3, 9)):
+        audio, intervals = make_labeled_audio(seconds=3.0, seed=seed)
+        wav = tmp_path / f"train{i}.wav"
+        write_wav(wav, audio, 44100, dtype="float32")
+        lab = tmp_path / f"labels{i}.csv"
+        lab.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+        wavs.append(wav)
+        label_files.append(lab)
+        ivals.append(intervals)
+
+    out = tmp_path / "net_{ch}.txt"
+    rc = train_main(
+        ["-a", str(wavs[0]), "-l", str(label_files[0]),
+         "-a", str(wavs[1]), "-l", str(label_files[1]),
+         "-o", str(out), "--epochs", "150", "--quiet"]
+    )
+    assert rc == 0
+    nets = [tmp_path / "net_0.txt", tmp_path / "net_1.txt"]
+    assert all(n.exists() for n in nets)
+
+    for i in range(2):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(["-n", str(nets[i]), "-a", str(wavs[i])])
+        assert rc == 0
+        lines = [l for l in buf.getvalue().splitlines() if l]
+        assert lines
+        hits = sum(
+            1
+            for l in lines
+            if any(
+                lo - 0.1 <= float(l.split(",")[2]) <= hi + 0.1
+                for lo, hi in ivals[i]
+            )
+        )
+        assert hits / len(lines) > 0.8
+
+
+def test_train_cli_mismatched_pairs(tmp_path):
+    from syllable_detector_tpu.train import main as train_main
+
+    rc = train_main(
+        ["-a", "a.wav", "-a", "b.wav", "-l", "only.csv", "-o", "x.txt"]
+    )
+    assert rc == 1
