@@ -911,3 +911,88 @@ def test_out_t_transposed_output_matches(sample_config, audio):
         e16 = fd._flat_hbm_estimate(spec9, 4096, 64, 512, False,
                                     hops_per_row=k, out_t=True)
         assert e16 > e8
+
+
+def _deepen(spec, params, mid_units=6, transfer="LogSig", seed=0):
+    """Graft an extra hidden layer (arbitrary transfer) between the sample
+    net's hidden layer and its output layer — the fused kernel's multi-mid
+    path (fold_constants mids / transfers[1:]) otherwise only ever sees the
+    sample net's single-hidden geometry. Mirrors what the train CLI emits
+    for --hidden H1 H2 (training/trainer.py builds [features, *hidden, 1])."""
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    layers = list(params["layers"])
+    h1_out = layers[0]["w"].shape[0]
+    n_out = layers[-1]["w"].shape[0]
+    mid = {
+        "w": (rng.standard_normal((mid_units, h1_out)) * 0.5).astype(
+            np.float32
+        ),
+        "b": (rng.standard_normal(mid_units) * 0.1).astype(np.float32),
+    }
+    out = {
+        "w": (rng.standard_normal((n_out, mid_units)) * 0.5).astype(
+            np.float32
+        ),
+        "b": np.asarray(layers[-1]["b"], np.float32),
+    }
+    params2 = dict(params)
+    params2["layers"] = [layers[0], mid, out]
+    net2 = dataclasses.replace(
+        spec.net,
+        layer_sizes=(
+            spec.net.layer_sizes[0],
+            (h1_out, mid_units),
+            (mid_units, n_out),
+        ),
+        transfers=(spec.net.transfers[0], transfer, spec.net.transfers[-1]),
+    )
+    return dataclasses.replace(spec, net=net2), params2
+
+
+@pytest.mark.parametrize("transfer", ["LogSig", "SatLin", "TanSig"])
+def test_fused_deep_net(sample_config, audio, transfer):
+    """2-hidden-layer nets (any supported mid transfer) through the fused
+    kernel match the unfused pipeline."""
+    spec, params = detector_spec_from_config(sample_config)
+    spec2, params2 = _deepen(spec, params, transfer=transfer)
+    assert fusable(spec2)
+    _, meta = fold_constants(spec2, params2)
+    assert meta.n_mids == 2
+    want = np.asarray(offline_outputs(spec2, params2, jnp.asarray(audio)))
+    got = np.asarray(
+        fused_offline_outputs(spec2, params2, jnp.asarray(audio), interpret=True)
+    )
+    np.testing.assert_allclose(got, want[: got.shape[0]], rtol=1e-3, atol=2e-4)
+
+
+def test_flat_batch_deep_distinct(sample_config, audio):
+    """Distinct deep nets through the flat batched path (stacked mids)."""
+    import jax
+
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+    from syllable_detector_tpu.models.neural_net import stack_params
+
+    spec, params = detector_spec_from_config(sample_config)
+    spec2, params2 = _deepen(spec, params)
+    c, n = 3, 9000
+    xs = jnp.stack([jnp.asarray(audio[i : i + n]) for i in range(c)])
+    plist = [
+        _perturbed_params(params2, 40 + i) for i in range(c)
+    ]
+    want = np.asarray(
+        jax.vmap(lambda pp, x: offline_outputs(spec2, pp, x))(
+            stack_params(plist), xs
+        )
+    )
+    got = np.asarray(
+        fused_flat_batch_offline_outputs(
+            spec2, plist, xs, tile=64, interpret=True
+        )
+    )
+    np.testing.assert_allclose(
+        got, want[:, : got.shape[1]], rtol=1e-3, atol=2e-4
+    )

@@ -368,3 +368,48 @@ def test_train_cli_mismatched_pairs(tmp_path):
         ["-a", "a.wav", "-a", "b.wav", "-l", "only.csv", "-o", "x.txt"]
     )
     assert rc == 1
+
+
+def test_train_cli_deep_net_fused(tmp_path):
+    """--hidden 8 4 exports a 2-hidden-layer net that the FUSED kernel can
+    serve (the reference's patternnet supports arbitrary depth,
+    convert_to_text.m writes every layer; a deep net must not silently fall
+    off the flagship path)."""
+    import numpy as np
+
+    from syllable_detector_tpu.config.model_format import load_config
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fusable,
+        fused_offline_outputs,
+    )
+    from syllable_detector_tpu.models.detector import (
+        detector_spec_from_config,
+        offline_outputs,
+    )
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=2.0)
+    wav = tmp_path / "train.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    labels = tmp_path / "labels.csv"
+    labels.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+    net = tmp_path / "net_deep.txt"
+    rc = train_main(
+        ["-a", str(wav), "-l", str(labels), "-o", str(net),
+         "--hidden", "8", "4", "--epochs", "40", "--quiet"]
+    )
+    assert rc == 0 and net.exists()
+
+    cfg = load_config(net)
+    assert [l.outputs for l in cfg.layers] == [8, 4, 1]
+    spec, params = detector_spec_from_config(cfg)
+    assert fusable(spec)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(audio[: 44100])
+    want = np.asarray(offline_outputs(spec, params, x))
+    got = np.asarray(fused_offline_outputs(spec, params, x, interpret=True))
+    np.testing.assert_allclose(
+        got, want[: got.shape[0]], rtol=1e-3, atol=2e-4
+    )
