@@ -91,7 +91,17 @@ def main(argv=None) -> int:
         )
         return 1
 
-    audios, feats_list, labels_list = [], [], []
+    multi = len(args.audio) > 1
+    if args.channel_parallel and not multi:
+        print("--channel-parallel requires multiple -a/-l pairs "
+              "(use --data-parallel for a single net).", file=sys.stderr)
+        return 1
+    if args.data_parallel and multi:
+        print("--data-parallel applies to single-net training; with "
+              "multiple -a/-l pairs use --channel-parallel.", file=sys.stderr)
+        return 1
+
+    feats_list, labels_list = [], []
     rate = None
     settings = None
     for audio_path, labels_path in zip(args.audio, args.labels):
@@ -154,7 +164,6 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
-        audios.append(audio)
         feats_list.append(feats)
         labels_list.append(labels)
 
@@ -169,9 +178,16 @@ def main(argv=None) -> int:
             verbose=not args.quiet,
         )
         cfg = export_trained_config(settings, net_spec, params, threshold)
-        save_config(cfg, args.output)
+        # honor a {ch} template even with one pair (scripts templated for
+        # variable channel counts shouldn't get a literal '{ch}' file)
+        out = (
+            _channel_output_path(args.output, 0)
+            if "{ch}" in args.output
+            else args.output
+        )
+        save_config(cfg, out)
         if not args.quiet:
-            print(f"threshold {threshold:.4f}; wrote {args.output}")
+            print(f"threshold {threshold:.4f}; wrote {out}")
         return 0
 
     # multi-pair: one DISTINCT net per channel, trained in one vmapped

@@ -19,8 +19,9 @@ from syllable_detector_tpu.training.trainer import (
     fit_mapminmax,
     init_layer_params,
     train,
+    train_ensemble,
     train_step,
-    make_data_parallel_step,
+    make_ensemble_step,
     export_trained_config,
 )
 
@@ -33,7 +34,8 @@ __all__ = [
     "fit_mapminmax",
     "init_layer_params",
     "train",
+    "train_ensemble",
     "train_step",
-    "make_data_parallel_step",
+    "make_ensemble_step",
     "export_trained_config",
 ]

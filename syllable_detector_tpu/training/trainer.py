@@ -34,7 +34,11 @@ from syllable_detector_tpu.config.model_format import (
     first_output_sample,
 )
 from syllable_detector_tpu.models.detector import WINDOW
-from syllable_detector_tpu.models.neural_net import NetSpec, apply_net
+from syllable_detector_tpu.models.neural_net import (
+    NetSpec,
+    apply_net,
+    stack_params,
+)
 from syllable_detector_tpu.ops.processing import specs_to_chain
 from syllable_detector_tpu.ops.scaling import apply_scaling
 from syllable_detector_tpu.ops.stft import (
@@ -53,7 +57,6 @@ __all__ = [
     "train",
     "train_ensemble",
     "train_step",
-    "make_data_parallel_step",
     "make_ensemble_step",
     "export_trained_config",
 ]
@@ -230,33 +233,6 @@ def train_step(net_spec: NetSpec, params, opt_state, feats, labels, lr=1e-3):
     return dict(params, layers=layers), opt_state, value
 
 
-def make_data_parallel_step(mesh: Mesh, net_spec: NetSpec, lr: float, axis: str = "data"):
-    """Data-parallel train step: batch sharded over ``axis``, gradients
-    psum-averaged across devices — replicated params, dp over the mesh."""
-    opt = optax.adam(lr)
-
-    def local_step(params, opt_state, feats, labels):
-        def loss(layer_params):
-            p = dict(params, layers=layer_params)
-            return _loss_fn(net_spec, p, feats, labels)
-
-        value, grads = jax.value_and_grad(loss)(params["layers"])
-        grads = jax.lax.pmean(grads, axis)
-        value = jax.lax.pmean(value, axis)
-        updates, opt_state = opt.update(grads, opt_state, params["layers"])
-        layers = optax.apply_updates(params["layers"], updates)
-        return dict(params, layers=layers), opt_state, value
-
-    return jax.jit(
-        jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis)),
-            out_specs=(P(), P(), P()),
-        )
-    )
-
-
 def _make_restart_step(
     net_spec: NetSpec,
     lr: float,
@@ -323,6 +299,8 @@ def train(
     score quantiles (:func:`_pick_threshold`). With ``mesh``, batches
     shard over its first axis (dp) and grads are pmean-averaged.
     """
+    if len(features) == 0:
+        raise ValueError("features has no rows")
     net_spec = _build_net_spec(settings)
     mm_in = fit_mapminmax(features)
     mm_out = ProcessingSpec(
@@ -337,7 +315,7 @@ def train(
     key = jax.random.PRNGKey(settings.seed)
     sizes = [settings.n_features, *settings.hidden, 1]
     K = max(1, settings.n_init)
-    params = _stack_trees(
+    params = stack_params(
         [
             {
                 "layers": init_layer_params(jax.random.fold_in(key, i), sizes),
@@ -351,12 +329,17 @@ def train(
     opt = optax.adam(settings.learning_rate)
     opt_state = jax.vmap(opt.init)(params["layers"])  # per-init state
 
+    n = len(features)
     feats = jnp.asarray(features, jnp.float32)
     labs = jnp.asarray(labels, jnp.float32)
-    n = len(feats)
     bs = min(settings.batch_size, n)
     if mesh is not None:
         n_dev = mesh.devices.size
+        if n < n_dev:
+            raise ValueError(
+                f"{n} feature rows cannot shard over {n_dev} devices; "
+                f"use a smaller mesh or more data"
+            )
         bs = (bs // n_dev) * n_dev or n_dev
     step = _make_restart_step(
         net_spec,
@@ -392,6 +375,7 @@ def train(
 def make_ensemble_step(
     net_spec: NetSpec,
     lr: float,
+    n_init: int = 1,
     mesh: Mesh | None = None,
     channel_axis: str = "channel",
 ):
@@ -400,15 +384,19 @@ def make_ensemble_step(
     networks (the reference trains one MATLAB net per audio channel,
     Processor.swift:57-59; here all of them train in ONE device program).
 
-    Stacked pytrees carry a leading channel dim on every leaf
-    ([C, out, in] weights, [C, D] mapminmax params, ...); the per-channel
-    loss/grad is ``vmap``ped over it and adam updates the stack
-    elementwise (adam is elementwise, so this is exactly C independent
-    optimizers). With ``mesh``, channels shard over ``channel_axis`` via
-    ``shard_map`` — no collectives cross channels (the nets are
-    independent), so scaling is embarrassingly parallel over ICI.
+    Stacked pytrees carry a flat leading ``C * n_init`` dim on every leaf
+    ([C*K, out, in] weights, channel-major: flat index ``c*K + k``); the
+    batch is [C, bs, D] — every init of a channel shares the channel's
+    batch (broadcast inside the step, so no K-fold batch copy crosses
+    the host→device boundary). Adam updates the stack elementwise (adam
+    is elementwise, so this is exactly C*K independent optimizers). With
+    ``mesh``, channels shard over ``channel_axis`` via ``shard_map`` —
+    no collectives cross channels (the nets are independent), so scaling
+    is embarrassingly parallel over ICI; C must divide the axis size so
+    every device holds whole channels (all K inits of a channel together).
     """
     opt = optax.adam(lr)
+    K = max(1, n_init)
 
     def grads_one(params, feats, labels):
         def loss(layer_params):
@@ -417,17 +405,32 @@ def make_ensemble_step(
 
         return jax.value_and_grad(loss)(params["layers"])
 
-    def stacked_step(params, opt_state, feats, labels):
-        # params: stacked pytree; feats [C, bs, D]; labels [C, bs]
-        values, grads = jax.vmap(grads_one)(params, feats, labels)
-        # per-channel opt_state (vmap(opt.init)): every leaf, adam's step
-        # count included, has the leading channel dim — required for the
-        # shard_map specs and keeps bias corrections per channel
-        updates, opt_state = jax.vmap(opt.update)(
-            grads, opt_state, params["layers"]
+    def channel_step(p_c, o_c, f_c, l_c):
+        # p_c: one channel's K stacked inits; f_c/l_c: its shared batch
+        values, grads = jax.vmap(lambda p: grads_one(p, f_c, l_c))(p_c)
+        # per-init opt_state (vmap(opt.init)): every leaf, adam's step
+        # count included, has the leading init dim — keeps bias
+        # corrections per init
+        updates, o_c = jax.vmap(opt.update)(grads, o_c, p_c["layers"])
+        layers = optax.apply_updates(p_c["layers"], updates)
+        return dict(p_c, layers=layers), o_c, values
+
+    def fold(t):  # [C*K, ...] -> [C, K, ...] (free: a reshape view)
+        return jax.tree.map(
+            lambda x: x.reshape(x.shape[0] // K, K, *x.shape[1:]), t
         )
-        layers = optax.apply_updates(params["layers"], updates)
-        return dict(params, layers=layers), opt_state, values
+
+    def flat(t):  # [C, K, ...] -> [C*K, ...]
+        return jax.tree.map(
+            lambda x: x.reshape(x.shape[0] * K, *x.shape[2:]), t
+        )
+
+    def stacked_step(params, opt_state, feats, labels):
+        # params: flat [C*K, ...] stacked pytree; feats [C, bs, D]
+        p2, o2, values = jax.vmap(channel_step)(
+            fold(params), fold(opt_state), feats, labels
+        )
+        return flat(p2), flat(o2), values.reshape(-1)
 
     if mesh is None:
         return jax.jit(stacked_step)
@@ -439,12 +442,6 @@ def make_ensemble_step(
             in_specs=(ax, ax, ax, ax),
             out_specs=(ax, ax, ax),
         )
-    )
-
-
-def _stack_trees(trees):
-    return jax.tree.map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees
     )
 
 
@@ -463,19 +460,23 @@ def train_ensemble(
     (``settings.n_init`` restarts per channel, best by full-data loss —
     see :class:`TrainSettings`), batch sampling, and Youden-J threshold;
     geometry (``settings``) is shared, exactly like :class:`DetectorBank`
-    lanes. Channels with fewer evaluations than the longest wrap their
-    batch sampling (mod their own length). With ``mesh``,
-    C * n_init must divide evenly over the ``channel_axis`` devices.
+    lanes. An epoch covers the LONGEST channel once; channels with fewer
+    evaluations wrap their batch sampling (mod their own length). With
+    ``mesh``, C must divide evenly over the ``channel_axis`` devices
+    (every device holds whole channels — all n_init inits together).
     """
     C = len(features_list)
     K = max(1, settings.n_init)
     if C == 0 or len(labels_list) != C:
         raise ValueError("features_list and labels_list must pair one-to-one")
+    for c, f in enumerate(features_list):
+        if len(f) == 0:
+            raise ValueError(f"channel {c} has no feature rows")
     if mesh is not None:
         n_dev = int(np.prod([mesh.shape[a] for a in (channel_axis,)]))
-        if (C * K) % n_dev:
+        if C % n_dev:
             raise ValueError(
-                f"{C} channels x {K} inits do not shard evenly over "
+                f"{C} channels do not shard evenly over "
                 f"{n_dev} '{channel_axis}' devices"
             )
     net_spec = _build_net_spec(settings)
@@ -508,17 +509,22 @@ def train_ensemble(
                     "process_outputs": out_params,
                 }
             )
-    params = _stack_trees(per_params)
+    params = stack_params(per_params)
 
     opt = optax.adam(settings.learning_rate)
     opt_state = jax.vmap(opt.init)(params["layers"])  # per-init state
     step = make_ensemble_step(
-        net_spec, settings.learning_rate, mesh=mesh, channel_axis=channel_axis
+        net_spec,
+        settings.learning_rate,
+        n_init=K,
+        mesh=mesh,
+        channel_axis=channel_axis,
     )
 
     ns = [len(f) for f in features_list]
     bs = min(settings.batch_size, min(ns))
-    steps_per_epoch = max(1, min(ns) // bs)
+    # an epoch covers the LONGEST channel once; shorter channels wrap
+    steps_per_epoch = max(1, max(ns) // bs)
     feats_dev = [jnp.asarray(f, jnp.float32) for f in features_list]
     labs_dev = [jnp.asarray(l, jnp.float32) for l in labels_list]
 
@@ -535,13 +541,9 @@ def train_ensemble(
             ]
             fb = jnp.stack([feats_dev[c][idx[c]] for c in range(C)])
             lb = jnp.stack([labs_dev[c][idx[c]] for c in range(C)])
-            # every init of a channel sees the channel's batch
-            params, opt_state, values = step(
-                params,
-                opt_state,
-                jnp.repeat(fb, K, axis=0),
-                jnp.repeat(lb, K, axis=0),
-            )
+            # every init of a channel shares the channel's batch (the
+            # step broadcasts over inits — no K-fold copy here)
+            params, opt_state, values = step(params, opt_state, fb, lb)
             losses.append(np.asarray(values))
         if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
             mean = np.mean(np.stack(losses), axis=0).reshape(C, K)

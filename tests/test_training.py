@@ -413,3 +413,111 @@ def test_train_cli_deep_net_fused(tmp_path):
     np.testing.assert_allclose(
         got, want[: got.shape[0]], rtol=1e-3, atol=2e-4
     )
+
+
+def test_train_input_validation(settings):
+    """Clear ValueErrors instead of ZeroDivisionError/np.stack([]) crashes
+    on degenerate inputs (review findings): empty datasets and meshes
+    larger than the dataset must fail loudly, not train zero steps."""
+    import dataclasses
+
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(settings, epochs=1)
+    empty = np.zeros((0, s.n_features), np.float32)
+    with pytest.raises(ValueError, match="no rows"):
+        train(s, empty, np.zeros(0, np.float32))
+    with pytest.raises(ValueError, match="channel 1 has no feature rows"):
+        train_ensemble(
+            s,
+            [np.zeros((4, s.n_features), np.float32), empty],
+            [np.zeros(4, np.float32), np.zeros(0, np.float32)],
+        )
+    mesh = make_mesh(8, axis="data")
+    with pytest.raises(ValueError, match="cannot shard over 8 devices"):
+        train(
+            s,
+            np.zeros((5, s.n_features), np.float32),
+            np.zeros(5, np.float32),
+            mesh=mesh,
+        )
+
+
+def test_train_ensemble_epoch_covers_longest_channel(settings, monkeypatch):
+    """An epoch is sized by the LONGEST channel (shorter channels wrap
+    their sampling) — a data-rich channel must not be undertrained to the
+    shortest channel's length (review finding: min(ns) sizing left wrap
+    mode dead and starved big channels)."""
+    import dataclasses
+
+    from syllable_detector_tpu.training import trainer as trainer_mod
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(
+        settings, epochs=1, batch_size=8, n_init=1, hidden=(2,)
+    )
+    rng = np.random.default_rng(0)
+    feats = [
+        rng.standard_normal((10, s.n_features)).astype(np.float32),
+        rng.standard_normal((40, s.n_features)).astype(np.float32),
+    ]
+    labels = [
+        (rng.random(10) > 0.5).astype(np.float32),
+        (rng.random(40) > 0.5).astype(np.float32),
+    ]
+
+    seen = []
+    real_step = trainer_mod.make_ensemble_step
+
+    def counting(*a, **kw):
+        step = real_step(*a, **kw)
+
+        def wrapped(params, opt_state, fb, lb):
+            seen.append(np.asarray(fb).shape)
+            return step(params, opt_state, fb, lb)
+
+        return wrapped
+
+    monkeypatch.setattr(trainer_mod, "make_ensemble_step", counting)
+    train_ensemble(s, feats, labels)
+    # bs = min(8, 10) = 8; epoch covers max(ns)=40 -> 5 steps, and the
+    # batch crossing the host boundary is [C, bs, D] (no K-fold repeat)
+    assert len(seen) == 5
+    assert seen[0] == (2, 8, s.n_features)
+
+
+def test_train_cli_parallel_flag_validation(tmp_path):
+    """--channel-parallel without multiple pairs (and --data-parallel with
+    them) error out instead of being silently ignored (review finding)."""
+    from syllable_detector_tpu.train import main as train_main
+
+    rc = train_main(
+        ["-a", "a.wav", "-l", "a.csv", "-o", "x.txt", "--channel-parallel"]
+    )
+    assert rc == 1
+    rc = train_main(
+        ["-a", "a.wav", "-l", "a.csv", "-a", "b.wav", "-l", "b.csv",
+         "-o", "x.txt", "--data-parallel"]
+    )
+    assert rc == 1
+
+
+def test_train_cli_single_pair_ch_template(tmp_path):
+    """A {ch} output template with ONE -a/-l pair substitutes channel 0
+    instead of writing a literal '{ch}' file (review finding)."""
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=2.0)
+    wav = tmp_path / "train.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    lab = tmp_path / "labels.csv"
+    lab.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+    out = tmp_path / "net_{ch}.txt"
+    rc = train_main(
+        ["-a", str(wav), "-l", str(lab), "-o", str(out),
+         "--epochs", "3", "--quiet"]
+    )
+    assert rc == 0
+    assert (tmp_path / "net_0.txt").exists()
+    assert not (tmp_path / "net_{ch}.txt").exists()
