@@ -21,7 +21,7 @@ from syllable_detector_tpu.training.trainer import (
     train,
     train_ensemble,
     train_step,
-    make_ensemble_step,
+    make_ensemble_epoch,
     export_trained_config,
 )
 
@@ -36,6 +36,6 @@ __all__ = [
     "train",
     "train_ensemble",
     "train_step",
-    "make_ensemble_step",
+    "make_ensemble_epoch",
     "export_trained_config",
 ]

@@ -57,7 +57,7 @@ __all__ = [
     "train",
     "train_ensemble",
     "train_step",
-    "make_ensemble_step",
+    "make_ensemble_epoch",
     "export_trained_config",
 ]
 
@@ -233,16 +233,24 @@ def train_step(net_spec: NetSpec, params, opt_state, feats, labels, lr=1e-3):
     return dict(params, layers=layers), opt_state, value
 
 
-def _make_restart_step(
+def _make_restart_epoch(
     net_spec: NetSpec,
     lr: float,
     mesh: Mesh | None = None,
     data_axis: str = "data",
 ):
-    """Train step over K stacked weight inits sharing one batch (vmapped —
-    restarts cost one wider program, not K sequential runs). Without a
-    mesh the batch is local; with one, the batch shards over ``data_axis``
-    and per-init grads are pmean-averaged across devices (dp), params
+    """One whole EPOCH as a single device program: ``lax.scan`` over the
+    steps, each gathering its batch on device from the resident feature
+    array — the host sends one [S, bs] index array per epoch instead of
+    dispatching every optimizer step (over a tunneled TPU each dispatch
+    is a ~30 ms round trip; compiler-friendly control flow keeps the
+    whole epoch on chip).
+
+    K stacked weight inits share every batch (vmapped — restarts cost
+    one wider program, not K sequential runs). Without a mesh the batch
+    is local; with one, the [S, bs] indices shard over ``data_axis``
+    (each device gathers its rows from the replicated features) and
+    per-init grads are pmean-averaged across devices (dp), params
     replicated."""
     opt = optax.adam(lr)
 
@@ -268,13 +276,27 @@ def _make_restart_step(
         layers = optax.apply_updates(params["layers"], updates)
         return dict(params, layers=layers), opt_state, values
 
+    def epoch(params, opt_state, feats, labels, idx):
+        # feats [n, D] resident on device; idx [S, bs_local] int32
+        def body(carry, idx_s):
+            params, opt_state = carry
+            params, opt_state, values = stacked_step(
+                params, opt_state, feats[idx_s], labels[idx_s]
+            )
+            return (params, opt_state), values
+
+        (params, opt_state), values = jax.lax.scan(
+            body, (params, opt_state), idx
+        )
+        return params, opt_state, values  # values [S, K]
+
     if mesh is None:
-        return jax.jit(stacked_step)
+        return jax.jit(epoch)
     return jax.jit(
         jax.shard_map(
-            stacked_step,
+            epoch,
             mesh=mesh,
-            in_specs=(P(), P(), P(data_axis), P(data_axis)),
+            in_specs=(P(), P(), P(), P(), P(None, data_axis)),
             out_specs=(P(), P(), P()),
         )
     )
@@ -341,26 +363,23 @@ def train(
                 f"use a smaller mesh or more data"
             )
         bs = (bs // n_dev) * n_dev or n_dev
-    step = _make_restart_step(
+    epoch_fn = _make_restart_epoch(
         net_spec,
         settings.learning_rate,
         mesh=mesh,
         data_axis=mesh.axis_names[0] if mesh is not None else "data",
     )
+    steps = n // bs  # one epoch = one device program of this many steps
 
     rng = np.random.default_rng(settings.seed)
     for epoch in range(settings.epochs):
-        order = rng.permutation(n)
-        losses = []
-        for start in range(0, n - bs + 1, bs):
-            idx = order[start : start + bs]
-            params, opt_state, values = step(
-                params, opt_state, feats[idx], labs[idx]
-            )
-            losses.append(np.asarray(values))
+        idx = rng.permutation(n)[: steps * bs].reshape(steps, bs)
+        params, opt_state, values = epoch_fn(
+            params, opt_state, feats, labs, jnp.asarray(idx, jnp.int32)
+        )
         if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
             print(
-                f"epoch {epoch}: loss {np.stack(losses).mean(0).min():.5f} "
+                f"epoch {epoch}: loss {np.asarray(values).mean(0).min():.5f} "
                 f"(best of {K} inits)"
             )
 
@@ -372,28 +391,32 @@ def train(
     return net_spec, params, threshold
 
 
-def make_ensemble_step(
+def make_ensemble_epoch(
     net_spec: NetSpec,
     lr: float,
     n_init: int = 1,
     mesh: Mesh | None = None,
     channel_axis: str = "channel",
 ):
-    """Train step for a CHANNEL-STACKED ensemble of independent nets — the
-    training-side counterpart of the fused kernel's per-channel distinct
-    networks (the reference trains one MATLAB net per audio channel,
-    Processor.swift:57-59; here all of them train in ONE device program).
+    """One EPOCH of a CHANNEL-STACKED ensemble of independent nets as a
+    single device program — the training-side counterpart of the fused
+    kernel's per-channel distinct networks (the reference trains one
+    MATLAB net per audio channel, Processor.swift:57-59; here all of
+    them train together, and a whole epoch of steps runs in one
+    ``lax.scan`` with per-step batches gathered ON DEVICE from the
+    resident [C, n_max, D] feature stack — the host sends one
+    [S, C, bs] index array per epoch instead of dispatching every step).
 
     Stacked pytrees carry a flat leading ``C * n_init`` dim on every leaf
-    ([C*K, out, in] weights, channel-major: flat index ``c*K + k``); the
-    batch is [C, bs, D] — every init of a channel shares the channel's
-    batch (broadcast inside the step, so no K-fold batch copy crosses
-    the host→device boundary). Adam updates the stack elementwise (adam
-    is elementwise, so this is exactly C*K independent optimizers). With
-    ``mesh``, channels shard over ``channel_axis`` via ``shard_map`` —
-    no collectives cross channels (the nets are independent), so scaling
-    is embarrassingly parallel over ICI; C must divide the axis size so
-    every device holds whole channels (all K inits of a channel together).
+    ([C*K, out, in] weights, channel-major: flat index ``c*K + k``);
+    every init of a channel shares the channel's batch (broadcast inside
+    the step, so no K-fold batch copy exists anywhere). Adam updates the
+    stack elementwise (adam is elementwise, so this is exactly C*K
+    independent optimizers). With ``mesh``, channels shard over
+    ``channel_axis`` via ``shard_map`` — no collectives cross channels
+    (the nets are independent), so scaling is embarrassingly parallel
+    over ICI; C must divide the axis size so every device holds whole
+    channels (all K inits of a channel together).
     """
     opt = optax.adam(lr)
     K = max(1, n_init)
@@ -425,22 +448,33 @@ def make_ensemble_step(
             lambda x: x.reshape(x.shape[0] * K, *x.shape[2:]), t
         )
 
-    def stacked_step(params, opt_state, feats, labels):
-        # params: flat [C*K, ...] stacked pytree; feats [C, bs, D]
-        p2, o2, values = jax.vmap(channel_step)(
-            fold(params), fold(opt_state), feats, labels
+    def epoch(params, opt_state, feats_all, labs_all, idx):
+        # params: flat [C*K, ...] stacked pytree; feats_all [C, n_max, D]
+        # resident on device; idx [S, C, bs] int32 (each row within its
+        # channel's true length — padding rows are never indexed)
+        def body(carry, idx_s):
+            params, opt_state = carry
+            fb = jnp.take_along_axis(feats_all, idx_s[..., None], axis=1)
+            lb = jnp.take_along_axis(labs_all, idx_s, axis=1)
+            p2, o2, values = jax.vmap(channel_step)(
+                fold(params), fold(opt_state), fb, lb
+            )
+            return (flat(p2), flat(o2)), values.reshape(-1)
+
+        (params, opt_state), values = jax.lax.scan(
+            body, (params, opt_state), idx
         )
-        return flat(p2), flat(o2), values.reshape(-1)
+        return params, opt_state, values  # values [S, C*K]
 
     if mesh is None:
-        return jax.jit(stacked_step)
+        return jax.jit(epoch)
     ax = P(channel_axis)
     return jax.jit(
         jax.shard_map(
-            stacked_step,
+            epoch,
             mesh=mesh,
-            in_specs=(ax, ax, ax, ax),
-            out_specs=(ax, ax, ax),
+            in_specs=(ax, ax, ax, ax, P(None, channel_axis)),
+            out_specs=(ax, ax, P(None, channel_axis)),
         )
     )
 
@@ -513,7 +547,7 @@ def train_ensemble(
 
     opt = optax.adam(settings.learning_rate)
     opt_state = jax.vmap(opt.init)(params["layers"])  # per-init state
-    step = make_ensemble_step(
+    epoch_fn = make_ensemble_epoch(
         net_spec,
         settings.learning_rate,
         n_init=K,
@@ -525,41 +559,53 @@ def train_ensemble(
     bs = min(settings.batch_size, min(ns))
     # an epoch covers the LONGEST channel once; shorter channels wrap
     steps_per_epoch = max(1, max(ns) // bs)
-    feats_dev = [jnp.asarray(f, jnp.float32) for f in features_list]
-    labs_dev = [jnp.asarray(l, jnp.float32) for l in labels_list]
+    # channels stack into one device-resident [C, n_max, D] array (pad
+    # rows are never indexed — every idx entry stays within its channel)
+    n_max = max(ns)
+    feats_all = np.zeros((C, n_max, settings.n_features), np.float32)
+    labs_all = np.zeros((C, n_max), np.float32)
+    for c in range(C):
+        feats_all[c, : ns[c]] = features_list[c]
+        labs_all[c, : ns[c]] = labels_list[c]
+    feats_all = jnp.asarray(feats_all)
+    labs_all = jnp.asarray(labs_all)
 
     rngs = [np.random.default_rng(settings.seed + c) for c in range(C)]
     for epoch in range(settings.epochs):
         orders = [r.permutation(n) for r, n in zip(rngs, ns)]
-        losses = []
-        for s in range(steps_per_epoch):
-            idx = [
+        idx = np.stack(
+            [
                 np.take(
-                    orders[c], np.arange(s * bs, (s + 1) * bs), mode="wrap"
-                )
+                    orders[c],
+                    np.arange(steps_per_epoch * bs),
+                    mode="wrap",
+                ).reshape(steps_per_epoch, bs)
                 for c in range(C)
-            ]
-            fb = jnp.stack([feats_dev[c][idx[c]] for c in range(C)])
-            lb = jnp.stack([labs_dev[c][idx[c]] for c in range(C)])
-            # every init of a channel shares the channel's batch (the
-            # step broadcasts over inits — no K-fold copy here)
-            params, opt_state, values = step(params, opt_state, fb, lb)
-            losses.append(np.asarray(values))
+            ],
+            axis=1,
+        )  # [S, C, bs]
+        params, opt_state, values = epoch_fn(
+            params, opt_state, feats_all, labs_all, jnp.asarray(idx, jnp.int32)
+        )
         if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-            mean = np.mean(np.stack(losses), axis=0).reshape(C, K)
+            mean = np.asarray(values).mean(axis=0).reshape(C, K)
             print(
                 f"epoch {epoch}: loss "
                 + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
                 + (f" (best of {K} inits)" if K > 1 else "")
             )
 
-    # best init per channel by full-data loss
+    # best init per channel by full-data loss (each channel's true prefix
+    # of the padded stack)
     full = np.asarray(
         jnp.stack(
             [
                 jax.vmap(
-                    lambda p: _loss_fn(
-                        net_spec, p, feats_dev[c], labs_dev[c]
+                    lambda p, c=c: _loss_fn(
+                        net_spec,
+                        p,
+                        feats_all[c, : ns[c]],
+                        labs_all[c, : ns[c]],
                     )
                 )(
                     jax.tree.map(
@@ -575,7 +621,7 @@ def train_ensemble(
         best = c * K + int(np.argmin(full[c]))
         params_c = jax.tree.map(lambda x: x[best], params)
         preds = np.asarray(
-            apply_net(net_spec, params_c, feats_dev[c])[..., 0]
+            apply_net(net_spec, params_c, feats_all[c, : ns[c]])[..., 0]
         )
         params_list.append(params_c)
         thresholds.append(_pick_threshold(preds, labels_list[c]))

@@ -447,14 +447,17 @@ def test_train_ensemble_epoch_covers_longest_channel(settings, monkeypatch):
     """An epoch is sized by the LONGEST channel (shorter channels wrap
     their sampling) — a data-rich channel must not be undertrained to the
     shortest channel's length (review finding: min(ns) sizing left wrap
-    mode dead and starved big channels)."""
+    mode dead and starved big channels). Also pins the epoch-program
+    contract: ONE device call per epoch with an [S, C, bs] index tensor
+    (batches gather on device; no per-step host dispatch, no K-fold
+    batch copy)."""
     import dataclasses
 
     from syllable_detector_tpu.training import trainer as trainer_mod
     from syllable_detector_tpu.training.trainer import train_ensemble
 
     s = dataclasses.replace(
-        settings, epochs=1, batch_size=8, n_init=1, hidden=(2,)
+        settings, epochs=2, batch_size=8, n_init=1, hidden=(2,)
     )
     rng = np.random.default_rng(0)
     feats = [
@@ -467,23 +470,25 @@ def test_train_ensemble_epoch_covers_longest_channel(settings, monkeypatch):
     ]
 
     seen = []
-    real_step = trainer_mod.make_ensemble_step
+    real_epoch = trainer_mod.make_ensemble_epoch
 
     def counting(*a, **kw):
-        step = real_step(*a, **kw)
+        epoch = real_epoch(*a, **kw)
 
-        def wrapped(params, opt_state, fb, lb):
-            seen.append(np.asarray(fb).shape)
-            return step(params, opt_state, fb, lb)
+        def wrapped(params, opt_state, feats_all, labs_all, idx):
+            idx = np.asarray(idx)
+            seen.append(idx.shape)
+            # wrap sampling keeps every index within its channel's length
+            assert idx[:, 0].max() < 10 and idx[:, 1].max() < 40
+            return epoch(params, opt_state, feats_all, labs_all, idx)
 
         return wrapped
 
-    monkeypatch.setattr(trainer_mod, "make_ensemble_step", counting)
+    monkeypatch.setattr(trainer_mod, "make_ensemble_epoch", counting)
     train_ensemble(s, feats, labels)
-    # bs = min(8, 10) = 8; epoch covers max(ns)=40 -> 5 steps, and the
-    # batch crossing the host boundary is [C, bs, D] (no K-fold repeat)
-    assert len(seen) == 5
-    assert seen[0] == (2, 8, s.n_features)
+    # bs = min(8, 10) = 8; epoch covers max(ns)=40 -> 5 steps; one call
+    # per epoch with the full [S, C, bs] index tensor
+    assert seen == [(5, 2, 8), (5, 2, 8)]
 
 
 def test_train_cli_parallel_flag_validation(tmp_path):
