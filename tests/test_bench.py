@@ -1,0 +1,86 @@
+"""bench.py contract tests: the fresh-process retry shell.
+
+The driver invokes bench.py exactly once per round; a transient TPU
+backend failure (init UNAVAILABLE / mid-run FAILED_PRECONDITION) poisons
+the whole process, so main() must retry in brand-new interpreters while
+preserving the one-JSON-line stdout contract. The measurement itself runs
+on hardware (not testable here); these tests pin the wrapper logic.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+class _Result:
+    def __init__(self, rc):
+        self.returncode = rc
+
+
+def _run_wrapper(monkeypatch, returncodes, timeouts=()):
+    """Drive bench.main() with a stubbed subprocess.run; returns the calls
+    (cmd, env-flag, timeout) and the wrapper's exit code (None = clean)."""
+    calls = []
+    seq = list(returncodes)
+
+    def fake_run(cmd, env=None, timeout=None):
+        calls.append((list(cmd), env.get("SD_BENCH_CHILD"), timeout))
+        rc = seq.pop(0)
+        if rc == "timeout":
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return _Result(rc)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    monkeypatch.delenv("SD_BENCH_CHILD", raising=False)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    exit_code = None
+    try:
+        bench.main()
+    except SystemExit as e:
+        exit_code = e.code
+    return calls, exit_code
+
+
+def test_bench_retries_fresh_processes(monkeypatch):
+    calls, exit_code = _run_wrapper(monkeypatch, [1, 1, 0])
+    assert exit_code is None  # clean return after the third child succeeds
+    assert len(calls) == 3
+    # every attempt is a NEW interpreter flagged as the measurement child
+    for cmd, child_flag, timeout in calls:
+        assert cmd[0] == sys.executable
+        assert cmd[1].endswith("bench.py")
+        assert child_flag == "1"
+        assert timeout == 2400
+
+
+def test_bench_first_success_runs_once(monkeypatch):
+    calls, exit_code = _run_wrapper(monkeypatch, [0])
+    assert exit_code is None
+    assert len(calls) == 1
+
+
+def test_bench_exhausted_retries_propagate_failure(monkeypatch):
+    calls, exit_code = _run_wrapper(monkeypatch, [1, "timeout", 7])
+    assert len(calls) == 3
+    assert exit_code == 7  # last child's exit code surfaces to the driver
+
+
+def test_bench_child_env_skips_wrapper(monkeypatch):
+    """SD_BENCH_CHILD=1 must route straight to the measurement (no
+    recursive subprocess spawning)."""
+    monkeypatch.setenv("SD_BENCH_CHILD", "1")
+
+    def boom(*a, **kw):  # any subprocess call would be the recursion bug
+        raise AssertionError("child must not spawn another child")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    ran = []
+    monkeypatch.setattr(bench, "_bench", lambda: ran.append(True))
+    bench.main()
+    assert ran == [True]
