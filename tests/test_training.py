@@ -526,3 +526,54 @@ def test_train_cli_single_pair_ch_template(tmp_path):
     assert rc == 0
     assert (tmp_path / "net_0.txt").exists()
     assert not (tmp_path / "net_{ch}.txt").exists()
+
+
+def test_train_step_public_primitive(settings):
+    """train_step (the exported single-step API for custom loops) reduces
+    the loss on a toy batch and leaves processing params frozen."""
+    import jax
+    import optax
+
+    from syllable_detector_tpu.training.trainer import (
+        _build_net_spec,
+        _loss_fn,
+        fit_mapminmax,
+        init_layer_params,
+        train_step,
+    )
+    from syllable_detector_tpu.ops.processing import specs_to_chain
+    from syllable_detector_tpu.config.model_format import ProcessingSpec
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((64, settings.n_features)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.float32)
+    net_spec = _build_net_spec(settings)
+    _, in_params = specs_to_chain(
+        [ProcessingSpec("l2normalize"), fit_mapminmax(feats)]
+    )
+    _, out_params = specs_to_chain(
+        [ProcessingSpec("mapminmax", x_offsets=np.zeros(1, np.float32),
+                        gains=np.full(1, 2.0, np.float32), y_offset=-1.0)]
+    )
+    sizes = [settings.n_features, *settings.hidden, 1]
+    params = {
+        "layers": init_layer_params(jax.random.PRNGKey(0), sizes),
+        "process_inputs": in_params,
+        "process_outputs": out_params,
+    }
+    opt_state = optax.adam(1e-3).init(params["layers"])
+    loss0 = float(_loss_fn(net_spec, params, feats, labels))
+    for _ in range(50):
+        params, opt_state, value = train_step(
+            net_spec, params, opt_state, feats, labels
+        )
+    loss1 = float(_loss_fn(net_spec, params, feats, labels))
+    assert loss1 < loss0 * 0.9, (loss0, loss1)
+    # processing params stay frozen — only the layers train
+    import jax as _jax
+
+    for got, want in zip(
+        _jax.tree.leaves(params["process_inputs"]),
+        _jax.tree.leaves(in_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
