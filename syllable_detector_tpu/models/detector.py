@@ -183,7 +183,11 @@ def streaming_init(spec: DetectorSpec, prefix: jax.Array | None = None) -> dict:
     res = jnp.zeros((r,), jnp.float32)
     if prefix is not None:
         prefix = jnp.asarray(prefix, jnp.float32)
-        assert prefix.shape == (r,), (prefix.shape, r)
+        if prefix.shape != (r,):
+            raise ValueError(
+                f"prefix must be the stream's first {r} samples "
+                f"(spec.residual), got shape {prefix.shape}"
+            )
         res = prefix
     return {
         "residual": res,
@@ -204,7 +208,11 @@ def streaming_step(
     """
     hop = spec.hop
     h_hops = chunk.shape[0] // hop
-    assert chunk.shape[0] == h_hops * hop, "chunk must be a multiple of hop"
+    if chunk.shape[0] != h_hops * hop:
+        raise ValueError(
+            f"chunk length {chunk.shape[0]} must be a multiple of the "
+            f"hop ({hop})"
+        )
     samples = jnp.concatenate([carry["residual"], chunk])
     frames = frame_signal(samples, h_hops, spec.window_length, spec.window_overlap)
     band = spectral_frames(
