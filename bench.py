@@ -274,6 +274,11 @@ def main():
                 log(f"bench attempt {attempt}/{attempts} timed out (40 min)")
             if last == 0:
                 return
+            if last == 3:
+                # deterministic failure (parity assertion) — retrying would
+                # re-pay the full measurement for the same answer
+                log("bench failed deterministically (parity); not retrying")
+                sys.exit(3)
             log(f"bench attempt {attempt}/{attempts} failed (exit {last})"
                 + ("; retrying in a fresh process" if attempt < attempts
                    else ""))
@@ -281,7 +286,15 @@ def main():
                 _time.sleep(30)
         sys.exit(last)
 
-    _bench()
+    try:
+        _bench()
+    except AssertionError:
+        # the fused-vs-unfused parity contract — a real lowering bug, not a
+        # transient; exit 3 tells the parent shell not to retry
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        sys.exit(3)
 
 
 def _bench():

@@ -26,32 +26,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from syllable_detector_tpu.utils.synth import make_labeled_audio
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_labeled_audio(seconds=3.0, rate=44100, seed=0):
-    """Same synthetic syllables as tests/test_training.py."""
-    rng = np.random.default_rng(seed)
-    n = int(seconds * rate)
-    t = np.arange(n) / rate
-    x = 0.01 * rng.standard_normal(n)
-    intervals = []
-    pos = 0.3
-    while pos + 0.25 < seconds:
-        lo, hi = pos, pos + 0.15
-        m = (t >= lo) & (t < hi)
-        tt = t[m] - lo
-        f0 = 3000.0 + 1500.0 * np.sin(2 * np.pi * 8 * tt)
-        x[m] += 0.6 * np.sin(2 * np.pi * np.cumsum(f0) / rate)
-        intervals.append((lo + 0.04, hi - 0.01))
-        pos += 0.55
-    return x.astype(np.float32), intervals
-
-
 def main():
-    from syllable_detector_tpu.config.model_format import loads_config, dumps_config
+    from syllable_detector_tpu.config.model_format import (
+        dumps_config,
+        first_output_sample,
+        loads_config,
+    )
     from syllable_detector_tpu.models.detector import Detector
     from syllable_detector_tpu.models.neural_net import apply_net
     from syllable_detector_tpu.training.trainer import (
@@ -120,7 +107,11 @@ def main():
         det.append_audio_data(audios[c])
         outs = det.drain()
         hop = settings.window_length - settings.window_overlap
-        first = settings.window_length + hop * (settings.time_range - 1)
+        first = first_output_sample(
+            settings.window_length,
+            settings.window_overlap,
+            settings.time_range,
+        )
         t = (first + hop * np.arange(len(outs))) / settings.sampling_rate
         fired = outs[:, 0] >= np.float32(cfg.thresholds[0])
         inside = np.zeros(len(outs), bool)

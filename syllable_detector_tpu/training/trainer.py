@@ -363,6 +363,14 @@ def train(
                 f"use a smaller mesh or more data"
             )
         bs = (bs // n_dev) * n_dev or n_dev
+        # place the dataset in the epoch program's replicated layout ONCE —
+        # otherwise every epoch call re-broadcasts it from device 0 (each
+        # device gathers its own batch rows locally, so replication is the
+        # price of device-resident gathers; fine for song-scale datasets)
+        from jax.sharding import NamedSharding
+
+        feats = jax.device_put(feats, NamedSharding(mesh, P()))
+        labs = jax.device_put(labs, NamedSharding(mesh, P()))
     epoch_fn = _make_restart_epoch(
         net_spec,
         settings.learning_rate,
@@ -567,8 +575,20 @@ def train_ensemble(
     for c in range(C):
         feats_all[c, : ns[c]] = features_list[c]
         labs_all[c, : ns[c]] = labels_list[c]
-    feats_all = jnp.asarray(feats_all)
-    labs_all = jnp.asarray(labs_all)
+    if mesh is not None:
+        # channel-sharded placement up front — one transfer, no per-epoch
+        # reshard (each device holds only its own channels' data)
+        from jax.sharding import NamedSharding
+
+        feats_all = jax.device_put(
+            feats_all, NamedSharding(mesh, P(channel_axis))
+        )
+        labs_all = jax.device_put(
+            labs_all, NamedSharding(mesh, P(channel_axis))
+        )
+    else:
+        feats_all = jnp.asarray(feats_all)
+        labs_all = jnp.asarray(labs_all)
 
     rngs = [np.random.default_rng(settings.seed + c) for c in range(C)]
     for epoch in range(settings.epochs):

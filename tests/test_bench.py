@@ -84,3 +84,12 @@ def test_bench_child_env_skips_wrapper(monkeypatch):
     monkeypatch.setattr(bench, "_bench", lambda: ran.append(True))
     bench.main()
     assert ran == [True]
+
+
+def test_bench_deterministic_failure_skips_retries(monkeypatch):
+    """Exit 3 (parity assertion in the child) is deterministic — the
+    wrapper must surface it immediately instead of re-paying the full
+    measurement twice."""
+    calls, exit_code = _run_wrapper(monkeypatch, [3, 0, 0])
+    assert len(calls) == 1
+    assert exit_code == 3

@@ -16,23 +16,10 @@ from syllable_detector_tpu.training.trainer import (
 )
 
 
-def make_labeled_audio(seconds=4.0, rate=44100, seed=0):
-    """Syllable = loud band-limited chirp bursts; silence/noise elsewhere."""
-    rng = np.random.default_rng(seed)
-    n = int(seconds * rate)
-    t = np.arange(n) / rate
-    x = 0.01 * rng.standard_normal(n)
-    intervals = []
-    pos = 0.3
-    while pos + 0.25 < seconds:
-        lo, hi = pos, pos + 0.15
-        m = (t >= lo) & (t < hi)
-        tt = t[m] - lo
-        f0 = 3000.0 + 1500.0 * np.sin(2 * np.pi * 8 * tt)
-        x[m] += 0.6 * np.sin(2 * np.pi * np.cumsum(f0) / rate)
-        intervals.append((lo + 0.04, hi - 0.01))  # interior, past window fill
-        pos += 0.55
-    return x.astype(np.float32), intervals
+from syllable_detector_tpu.utils.synth import make_labeled_audio  # shared
+
+# (generator lives in utils/synth.py so the hardware smokes exercise the
+# same data the suite pins)
 
 
 @pytest.fixture(scope="module")
