@@ -320,6 +320,11 @@ def train(
     maximizing Youden's J (recall minus false-alarm rate) over a grid of
     score quantiles (:func:`_pick_threshold`). With ``mesh``, batches
     shard over its first axis (dp) and grads are pmean-averaged.
+
+    Dispatch structure: each epoch is one device program (``lax.scan``
+    over the steps, batches gathered on device); with ``verbose=False``
+    the WHOLE run is a single program — bit-identical batch sequence
+    either way.
     """
     if len(features) == 0:
         raise ValueError("features has no rows")
@@ -380,16 +385,32 @@ def train(
     steps = n // bs  # one epoch = one device program of this many steps
 
     rng = np.random.default_rng(settings.seed)
-    for epoch in range(settings.epochs):
-        idx = rng.permutation(n)[: steps * bs].reshape(steps, bs)
-        params, opt_state, values = epoch_fn(
+
+    def epoch_indices():
+        return rng.permutation(n)[: steps * bs].reshape(steps, bs)
+
+    if verbose:
+        for epoch in range(settings.epochs):
+            params, opt_state, values = epoch_fn(
+                params, opt_state, feats, labs,
+                jnp.asarray(epoch_indices(), jnp.int32),
+            )
+            if epoch % 25 == 0 or epoch == settings.epochs - 1:
+                print(
+                    f"epoch {epoch}: loss "
+                    f"{np.asarray(values).mean(0).min():.5f} "
+                    f"(best of {K} inits)"
+                )
+    else:
+        # quiet: the WHOLE training run is one device program — the scan
+        # runs epochs*steps optimizer steps from one stacked index tensor
+        # (bit-identical batch sequence to the per-epoch path)
+        idx = np.concatenate(
+            [epoch_indices() for _ in range(settings.epochs)]
+        )
+        params, opt_state, _ = epoch_fn(
             params, opt_state, feats, labs, jnp.asarray(idx, jnp.int32)
         )
-        if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-            print(
-                f"epoch {epoch}: loss {np.asarray(values).mean(0).min():.5f} "
-                f"(best of {K} inits)"
-            )
 
     full = jax.vmap(lambda p: _loss_fn(net_spec, p, feats, labs))(params)
     best = int(np.argmin(np.asarray(full)))
@@ -591,9 +612,10 @@ def train_ensemble(
         labs_all = jnp.asarray(labs_all)
 
     rngs = [np.random.default_rng(settings.seed + c) for c in range(C)]
-    for epoch in range(settings.epochs):
+
+    def epoch_indices():
         orders = [r.permutation(n) for r, n in zip(rngs, ns)]
-        idx = np.stack(
+        return np.stack(
             [
                 np.take(
                     orders[c],
@@ -604,16 +626,30 @@ def train_ensemble(
             ],
             axis=1,
         )  # [S, C, bs]
-        params, opt_state, values = epoch_fn(
-            params, opt_state, feats_all, labs_all, jnp.asarray(idx, jnp.int32)
-        )
-        if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-            mean = np.asarray(values).mean(axis=0).reshape(C, K)
-            print(
-                f"epoch {epoch}: loss "
-                + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
-                + (f" (best of {K} inits)" if K > 1 else "")
+
+    if verbose:
+        for epoch in range(settings.epochs):
+            params, opt_state, values = epoch_fn(
+                params, opt_state, feats_all, labs_all,
+                jnp.asarray(epoch_indices(), jnp.int32),
             )
+            if epoch % 25 == 0 or epoch == settings.epochs - 1:
+                mean = np.asarray(values).mean(axis=0).reshape(C, K)
+                print(
+                    f"epoch {epoch}: loss "
+                    + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
+                    + (f" (best of {K} inits)" if K > 1 else "")
+                )
+    else:
+        # quiet: the WHOLE ensemble training is one device program
+        # (bit-identical batch sequence to the per-epoch path)
+        idx = np.concatenate(
+            [epoch_indices() for _ in range(settings.epochs)]
+        )
+        params, opt_state, _ = epoch_fn(
+            params, opt_state, feats_all, labs_all,
+            jnp.asarray(idx, jnp.int32),
+        )
 
     # best init per channel by full-data loss (each channel's true prefix
     # of the padded stack)

@@ -473,8 +473,11 @@ def test_train_ensemble_epoch_covers_longest_channel(settings, monkeypatch):
 
     monkeypatch.setattr(trainer_mod, "make_ensemble_epoch", counting)
     train_ensemble(s, feats, labels)
-    # bs = min(8, 10) = 8; epoch covers max(ns)=40 -> 5 steps; one call
-    # per epoch with the full [S, C, bs] index tensor
+    # bs = min(8, 10) = 8; epoch covers max(ns)=40 -> 5 steps; quiet mode
+    # stacks both epochs into ONE device call: [E*S, C, bs]
+    assert seen == [(10, 2, 8)]
+    seen.clear()
+    train_ensemble(s, feats, labels, verbose=True)  # per-epoch calls
     assert seen == [(5, 2, 8), (5, 2, 8)]
 
 
@@ -564,3 +567,44 @@ def test_train_step_public_primitive(settings):
         _jax.tree.leaves(in_params),
     ):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+
+def test_train_quiet_matches_verbose(settings):
+    """Quiet mode runs the WHOLE training as one device program; it must
+    produce bit-identical results to the per-epoch verbose path (same
+    rng, same stacked batch sequence)."""
+    import dataclasses
+    import io
+    from contextlib import redirect_stdout
+
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(
+        settings, epochs=6, batch_size=16, n_init=2, hidden=(2,)
+    )
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((50, s.n_features)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.float32)
+
+    _, p_quiet, t_quiet = train(s, feats, labels, verbose=False)
+    with redirect_stdout(io.StringIO()):
+        _, p_verbose, t_verbose = train(s, feats, labels, verbose=True)
+    for a, b in zip(
+        __import__("jax").tree.leaves(p_quiet),
+        __import__("jax").tree.leaves(p_verbose),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t_quiet == t_verbose
+
+    _, pl_quiet, _ = train_ensemble(s, [feats, feats], [labels, labels])
+    with redirect_stdout(io.StringIO()):
+        _, pl_verbose, _ = train_ensemble(
+            s, [feats, feats], [labels, labels], verbose=True
+        )
+    for c in range(2):
+        for a, b in zip(
+            __import__("jax").tree.leaves(pl_quiet[c]),
+            __import__("jax").tree.leaves(pl_verbose[c]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
