@@ -80,6 +80,11 @@ def main(argv=None) -> int:
     p.add_argument("--channel-parallel", action="store_true",
                    help="Shard the per-channel net ensemble across local "
                         "devices (multi-pair mode).")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Orbax checkpoint directory: save every "
+                        "--checkpoint-every epochs and RESUME bit-exactly "
+                        "from the latest checkpoint if one exists.")
+    p.add_argument("--checkpoint-every", type=int, default=25)
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -176,6 +181,8 @@ def main(argv=None) -> int:
         net_spec, params, threshold = train(
             settings, feats_list[0], labels_list[0], mesh=mesh,
             verbose=not args.quiet,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
         cfg = export_trained_config(settings, net_spec, params, threshold)
         # honor a {ch} template even with one pair (scripts templated for
@@ -203,6 +210,8 @@ def main(argv=None) -> int:
         net_spec, params_list, thresholds = train_ensemble(
             settings, feats_list, labels_list, mesh=mesh,
             verbose=not args.quiet,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
     except ValueError as e:
         print(str(e), file=sys.stderr)

@@ -41,11 +41,20 @@ def latest_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(directory: str, step: Optional[int] = None) -> Any:
-    """Restore the given (or latest) step's pytree; None if none exists."""
+def restore_checkpoint(
+    directory: str, step: Optional[int] = None, template: Any = None
+) -> Any:
+    """Restore the given (or latest) step's pytree; None if none exists.
+
+    ``template``: a pytree of the same structure to restore INTO — required
+    when the saved state contains typed containers (optax NamedTuple
+    optimizer states restore as plain dicts otherwise).
+    """
     if step is None:
         step = latest_step(directory)
         if step is None:
             return None
     path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
-    return _checkpointer().restore(path)
+    if template is None:
+        return _checkpointer().restore(path)
+    return _checkpointer().restore(path, item=template)

@@ -302,12 +302,45 @@ def _make_restart_epoch(
     )
 
 
+def _save_train_state(directory: str, epoch: int, params, opt_state) -> None:
+    from syllable_detector_tpu.training.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        directory,
+        epoch,
+        {
+            "params": jax.tree.map(np.asarray, params),
+            "opt_state": jax.tree.map(np.asarray, opt_state),
+        },
+    )
+
+
+def _maybe_resume(directory: str, params, opt_state):
+    """Restore (params, opt_state, epochs_completed) from the latest
+    checkpoint in ``directory`` (typed containers restore into the live
+    templates), or return the inputs unchanged with epoch 0."""
+    from syllable_detector_tpu.training.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+    )
+
+    step = latest_step(directory)
+    if step is None:
+        return params, opt_state, 0
+    state = restore_checkpoint(
+        directory, step, template={"params": params, "opt_state": opt_state}
+    )
+    return state["params"], state["opt_state"], step
+
+
 def train(
     settings: TrainSettings,
     features: np.ndarray,
     labels: np.ndarray,
     mesh: Mesh | None = None,
     verbose: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Full training loop -> (net_spec, params, threshold).
 
@@ -325,6 +358,12 @@ def train(
     over the steps, batches gathered on device); with ``verbose=False``
     the WHOLE run is a single program — bit-identical batch sequence
     either way.
+
+    With ``checkpoint_dir``, (params, opt_state) checkpoint every
+    ``checkpoint_every`` epochs (orbax) and an interrupted run RESUMES
+    from the latest checkpoint bit-exactly (the epoch rng fast-forwards
+    past completed epochs); checkpointing forces the per-epoch dispatch
+    structure.
     """
     if len(features) == 0:
         raise ValueError("features has no rows")
@@ -389,18 +428,33 @@ def train(
     def epoch_indices():
         return rng.permutation(n)[: steps * bs].reshape(steps, bs)
 
-    if verbose:
-        for epoch in range(settings.epochs):
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        params, opt_state, start_epoch = _maybe_resume(
+            checkpoint_dir, params, opt_state
+        )
+        for _ in range(start_epoch):  # fast-forward the epoch rng
+            rng.permutation(n)
+        if verbose and start_epoch:
+            print(f"resumed from checkpoint at epoch {start_epoch}")
+
+    if verbose or checkpoint_dir is not None:
+        for epoch in range(start_epoch, settings.epochs):
             params, opt_state, values = epoch_fn(
                 params, opt_state, feats, labs,
                 jnp.asarray(epoch_indices(), jnp.int32),
             )
-            if epoch % 25 == 0 or epoch == settings.epochs - 1:
+            if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
                 print(
                     f"epoch {epoch}: loss "
                     f"{np.asarray(values).mean(0).min():.5f} "
                     f"(best of {K} inits)"
                 )
+            if checkpoint_dir is not None and (
+                (epoch + 1) % checkpoint_every == 0
+                or epoch == settings.epochs - 1
+            ):
+                _save_train_state(checkpoint_dir, epoch + 1, params, opt_state)
     else:
         # quiet: the WHOLE training run is one device program — the scan
         # runs epochs*steps optimizer steps from one stacked index tensor
@@ -515,6 +569,8 @@ def train_ensemble(
     mesh: Mesh | None = None,
     channel_axis: str = "channel",
     verbose: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Train C independent per-channel nets in one device program ->
     (net_spec, [params_c], [threshold_c]).
@@ -527,6 +583,8 @@ def train_ensemble(
     evaluations wrap their batch sampling (mod their own length). With
     ``mesh``, C must divide evenly over the ``channel_axis`` devices
     (every device holds whole channels — all n_init inits together).
+    ``checkpoint_dir``/``checkpoint_every`` behave as in :func:`train`
+    (orbax checkpoints, bit-exact resume, per-epoch dispatch).
     """
     C = len(features_list)
     K = max(1, settings.n_init)
@@ -627,19 +685,35 @@ def train_ensemble(
             axis=1,
         )  # [S, C, bs]
 
-    if verbose:
-        for epoch in range(settings.epochs):
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        params, opt_state, start_epoch = _maybe_resume(
+            checkpoint_dir, params, opt_state
+        )
+        for _ in range(start_epoch):  # fast-forward every channel's rng
+            for r, n in zip(rngs, ns):
+                r.permutation(n)
+        if verbose and start_epoch:
+            print(f"resumed from checkpoint at epoch {start_epoch}")
+
+    if verbose or checkpoint_dir is not None:
+        for epoch in range(start_epoch, settings.epochs):
             params, opt_state, values = epoch_fn(
                 params, opt_state, feats_all, labs_all,
                 jnp.asarray(epoch_indices(), jnp.int32),
             )
-            if epoch % 25 == 0 or epoch == settings.epochs - 1:
+            if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
                 mean = np.asarray(values).mean(axis=0).reshape(C, K)
                 print(
                     f"epoch {epoch}: loss "
                     + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
                     + (f" (best of {K} inits)" if K > 1 else "")
                 )
+            if checkpoint_dir is not None and (
+                (epoch + 1) % checkpoint_every == 0
+                or epoch == settings.epochs - 1
+            ):
+                _save_train_state(checkpoint_dir, epoch + 1, params, opt_state)
     else:
         # quiet: the WHOLE ensemble training is one device program
         # (bit-identical batch sequence to the per-epoch path)

@@ -608,3 +608,42 @@ def test_train_quiet_matches_verbose(settings):
             __import__("jax").tree.leaves(pl_verbose[c]),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_train_checkpoint_resume_bit_exact(settings, tmp_path):
+    """An interrupted checkpointed run resumes from the latest orbax
+    checkpoint and finishes BIT-EXACTLY equal to an uninterrupted run
+    (params + adam state roundtrip, epoch rng fast-forward)."""
+    import dataclasses
+
+    import jax
+
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((60, settings.n_features)).astype(np.float32)
+    labels = (feats[:, 1] > 0).astype(np.float32)
+
+    # --- single net ---
+    s6 = dataclasses.replace(settings, epochs=6, batch_size=16,
+                             n_init=2, hidden=(2,))
+    s4 = dataclasses.replace(s6, epochs=4)
+    _, p_full, t_full = train(s6, feats, labels)  # uninterrupted oracle
+    d = tmp_path / "ckpt_single"
+    _, _, _ = train(s4, feats, labels, checkpoint_dir=str(d),
+                    checkpoint_every=2)  # "interrupted" at epoch 4
+    _, p_res, t_res = train(s6, feats, labels, checkpoint_dir=str(d),
+                            checkpoint_every=2)  # resumes at 4, runs 2
+    for a, b in zip(jax.tree.leaves(p_res), jax.tree.leaves(p_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t_res == t_full
+
+    # --- ensemble ---
+    d2 = tmp_path / "ckpt_ens"
+    fl, ll = [feats, feats[:40]], [labels, labels[:40]]
+    _, pl_full, _ = train_ensemble(s6, fl, ll)
+    train_ensemble(s4, fl, ll, checkpoint_dir=str(d2), checkpoint_every=2)
+    _, pl_res, _ = train_ensemble(s6, fl, ll, checkpoint_dir=str(d2),
+                                  checkpoint_every=2)
+    for c in range(2):
+        for a, b in zip(jax.tree.leaves(pl_res[c]), jax.tree.leaves(pl_full[c])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
