@@ -647,3 +647,74 @@ def test_train_checkpoint_resume_bit_exact(settings, tmp_path):
     for c in range(2):
         for a, b in zip(jax.tree.leaves(pl_res[c]), jax.tree.leaves(pl_full[c])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_program_matches_manual_step_loop(settings):
+    """Independent oracle for the epoch device program: a K=1 restart
+    epoch (lax.scan + on-device gathers) must equal a hand-rolled host
+    loop of the public train_step over the same batches (tight float
+    tolerance — vmap/scan compile to different fusions than the scalar
+    step, so last-ulp drift is expected, drift beyond it is a bug)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from syllable_detector_tpu.config.model_format import ProcessingSpec
+    from syllable_detector_tpu.models.neural_net import stack_params
+    from syllable_detector_tpu.ops.processing import specs_to_chain
+    from syllable_detector_tpu.training.trainer import (
+        _build_net_spec,
+        _make_restart_epoch,
+        fit_mapminmax,
+        init_layer_params,
+        train_step,
+    )
+
+    s = dataclasses.replace(settings, hidden=(3,))
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((40, s.n_features)).astype(np.float32)
+    labels = (feats[:, 2] > 0).astype(np.float32)
+    _, in_params = specs_to_chain(
+        [ProcessingSpec("l2normalize"), fit_mapminmax(feats)]
+    )
+    _, out_params = specs_to_chain(
+        [ProcessingSpec("mapminmax", x_offsets=np.zeros(1, np.float32),
+                        gains=np.full(1, 2.0, np.float32), y_offset=-1.0)]
+    )
+    sizes = [s.n_features, *s.hidden, 1]
+    base = {
+        "layers": init_layer_params(jax.random.PRNGKey(3), sizes),
+        "process_inputs": in_params,
+        "process_outputs": out_params,
+    }
+    lr = 2e-3
+    idx = rng.integers(0, len(feats), size=(4, 8))  # 4 steps of 8
+
+    # oracle: public single-step API, host loop
+    params_o = base
+    opt_state_o = optax.adam(lr).init(base["layers"])
+    fj = jnp.asarray(feats)
+    lj = jnp.asarray(labels)
+    for step in range(idx.shape[0]):
+        params_o, opt_state_o, _ = train_step(
+            _build_net_spec(s), params_o, opt_state_o,
+            fj[idx[step]], lj[idx[step]], lr=lr,
+        )
+
+    # epoch program: K=1 stacked
+    opt = optax.adam(lr)
+    stacked = stack_params([base])
+    opt_state = jax.vmap(opt.init)(stacked["layers"])
+    epoch_fn = _make_restart_epoch(_build_net_spec(s), lr)
+    params_e, _, _ = epoch_fn(
+        stacked, opt_state, fj, lj, jnp.asarray(idx, jnp.int32)
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(lambda x: x[0], params_e)),
+        jax.tree.leaves(params_o),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
