@@ -648,6 +648,18 @@ def test_train_checkpoint_resume_bit_exact(settings, tmp_path):
         for a, b in zip(jax.tree.leaves(pl_res[c]), jax.tree.leaves(pl_full[c])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # --- mesh path: checkpoints hold gathered host arrays; resume
+    # resharding must reproduce the uninterrupted mesh run ---
+    mesh = make_mesh(8, axis="data")
+    _, p_mfull, _ = train(s6, feats, labels, mesh=mesh)
+    d3 = tmp_path / "ckpt_mesh"
+    train(s4, feats, labels, mesh=mesh, checkpoint_dir=str(d3),
+          checkpoint_every=2)
+    _, p_mres, _ = train(s6, feats, labels, mesh=mesh,
+                         checkpoint_dir=str(d3), checkpoint_every=2)
+    for a, b in zip(jax.tree.leaves(p_mres), jax.tree.leaves(p_mfull)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_epoch_program_matches_manual_step_loop(settings):
     """Independent oracle for the epoch device program: a K=1 restart
