@@ -18,6 +18,7 @@ ensemble analogue of the reference's one-net-per-channel deployment.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -333,6 +334,118 @@ def _maybe_resume(directory: str, params, opt_state):
     return state["params"], state["opt_state"], step
 
 
+def _check_fingerprint(directory: str, fingerprint: dict) -> None:
+    """Claim a checkpoint directory for THIS training configuration.
+
+    A checkpoint is only a valid resume point for the run that produced
+    it: silently adopting a stale directory (different data, seed,
+    geometry, or single-vs-ensemble mode) would train a chimera while
+    claiming a bit-exact resume. The fingerprint (everything defining the
+    batch sequence except ``epochs`` — extending a finished run IS the
+    legit use) is stored as JSON on first use and must match afterwards.
+    """
+    import json
+
+    fingerprint = json.loads(json.dumps(fingerprint))  # normalize tuples
+    path = os.path.join(directory, "fingerprint.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            saved = json.load(fh)
+        if saved != fingerprint:
+            diff = {
+                k: (saved.get(k), fingerprint.get(k))
+                for k in set(saved) | set(fingerprint)
+                if saved.get(k) != fingerprint.get(k)
+            }
+            raise ValueError(
+                f"checkpoint directory {directory!r} belongs to a different "
+                f"training run (mismatched {sorted(diff)}); use a fresh "
+                f"directory"
+            )
+    else:
+        os.makedirs(directory, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(fingerprint, fh)
+
+
+# stacked per-epoch index tensors are capped at this size per device
+# program (keeps host+HBM index memory bounded on huge datasets)
+_INDEX_BUDGET_BYTES = 64 << 20
+
+
+def _run_training_loop(
+    settings: TrainSettings,
+    epoch_fn,
+    data: tuple,
+    epoch_indices,
+    params,
+    opt_state,
+    verbose: bool,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    print_fn,
+    fingerprint: dict,
+):
+    """The shared epoch driver for train()/train_ensemble().
+
+    Dispatch structure: as many epochs as possible run per device program
+    (their [S, ...] index tensors concatenate; the batch sequence is
+    bit-identical however the epochs are chunked — pinned by the
+    quiet-vs-verbose test), bounded by the verbose print cadence (1), the
+    checkpoint interval, and ``_INDEX_BUDGET_BYTES``. ``epoch_indices()``
+    draws one epoch's indices AND advances the rng — calling it without
+    using the result is the resume fast-forward.
+    """
+    if checkpoint_dir is not None and checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        _check_fingerprint(checkpoint_dir, fingerprint)
+        params, opt_state, start_epoch = _maybe_resume(
+            checkpoint_dir, params, opt_state
+        )
+        if start_epoch > settings.epochs:
+            raise ValueError(
+                f"checkpoint at epoch {start_epoch} is beyond "
+                f"settings.epochs={settings.epochs}; raise epochs to "
+                f"continue or use a fresh directory"
+            )
+        for _ in range(start_epoch):  # fast-forward the epoch rng
+            epoch_indices()
+        if verbose and start_epoch:
+            print(f"resumed from checkpoint at epoch {start_epoch}")
+
+    epoch = start_epoch
+    cap = None  # epochs per program under the index budget (lazy: needs one draw)
+    while epoch < settings.epochs:
+        first = epoch_indices()
+        if cap is None:
+            cap = max(1, _INDEX_BUDGET_BYTES // max(1, first.nbytes))
+        k = min(cap, settings.epochs - epoch)
+        if verbose:
+            k = 1
+        if checkpoint_dir is not None:
+            k = min(k, checkpoint_every - epoch % checkpoint_every)
+        idx = (
+            np.concatenate([first] + [epoch_indices() for _ in range(k - 1)])
+            if k > 1
+            else first
+        )
+        params, opt_state, values = epoch_fn(
+            params, opt_state, *data, jnp.asarray(idx, jnp.int32)
+        )
+        epoch += k
+        if verbose and (
+            (epoch - 1) % 25 == 0 or epoch == settings.epochs
+        ):
+            print_fn(epoch - 1, values)
+        if checkpoint_dir is not None and (
+            epoch % checkpoint_every == 0 or epoch == settings.epochs
+        ):
+            _save_train_state(checkpoint_dir, epoch, params, opt_state)
+    return params, opt_state
+
+
 def train(
     settings: TrainSettings,
     features: np.ndarray,
@@ -354,16 +467,18 @@ def train(
     score quantiles (:func:`_pick_threshold`). With ``mesh``, batches
     shard over its first axis (dp) and grads are pmean-averaged.
 
-    Dispatch structure: each epoch is one device program (``lax.scan``
-    over the steps, batches gathered on device); with ``verbose=False``
-    the WHOLE run is a single program — bit-identical batch sequence
-    either way.
+    Dispatch structure: epochs run as device programs (``lax.scan`` over
+    the steps, batches gathered on device); quietly they chunk as many
+    epochs per program as the checkpoint interval and a 64 MiB index
+    budget allow (typically the whole run), verbose prints force one
+    epoch per program — the batch sequence is bit-identical however the
+    epochs are chunked.
 
     With ``checkpoint_dir``, (params, opt_state) checkpoint every
     ``checkpoint_every`` epochs (orbax) and an interrupted run RESUMES
     from the latest checkpoint bit-exactly (the epoch rng fast-forwards
-    past completed epochs); checkpointing forces the per-epoch dispatch
-    structure.
+    past completed epochs). The directory is fingerprinted to the run's
+    configuration and data; reusing it for a different run raises.
     """
     if len(features) == 0:
         raise ValueError("features has no rows")
@@ -426,45 +541,34 @@ def train(
     rng = np.random.default_rng(settings.seed)
 
     def epoch_indices():
-        return rng.permutation(n)[: steps * bs].reshape(steps, bs)
+        return (
+            rng.permutation(n)[: steps * bs].reshape(steps, bs)
+            .astype(np.int32)
+        )
 
-    start_epoch = 0
-    if checkpoint_dir is not None:
-        params, opt_state, start_epoch = _maybe_resume(
-            checkpoint_dir, params, opt_state
-        )
-        for _ in range(start_epoch):  # fast-forward the epoch rng
-            rng.permutation(n)
-        if verbose and start_epoch:
-            print(f"resumed from checkpoint at epoch {start_epoch}")
+    from dataclasses import asdict
 
-    if verbose or checkpoint_dir is not None:
-        for epoch in range(start_epoch, settings.epochs):
-            params, opt_state, values = epoch_fn(
-                params, opt_state, feats, labs,
-                jnp.asarray(epoch_indices(), jnp.int32),
-            )
-            if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-                print(
-                    f"epoch {epoch}: loss "
-                    f"{np.asarray(values).mean(0).min():.5f} "
-                    f"(best of {K} inits)"
-                )
-            if checkpoint_dir is not None and (
-                (epoch + 1) % checkpoint_every == 0
-                or epoch == settings.epochs - 1
-            ):
-                _save_train_state(checkpoint_dir, epoch + 1, params, opt_state)
-    else:
-        # quiet: the WHOLE training run is one device program — the scan
-        # runs epochs*steps optimizer steps from one stacked index tensor
-        # (bit-identical batch sequence to the per-epoch path)
-        idx = np.concatenate(
-            [epoch_indices() for _ in range(settings.epochs)]
+    fingerprint = {
+        "mode": "single",
+        "settings": {
+            k: v for k, v in asdict(settings).items() if k != "epochs"
+        },
+        "n": int(n),
+        "bs": int(bs),
+        "mesh": list(mesh.shape.items()) if mesh is not None else None,
+        "data_sum": float(np.asarray(features, np.float64).sum()),
+    }
+
+    def print_fn(epoch, values):
+        print(
+            f"epoch {epoch}: loss {np.asarray(values).mean(0).min():.5f} "
+            f"(best of {K} inits)"
         )
-        params, opt_state, _ = epoch_fn(
-            params, opt_state, feats, labs, jnp.asarray(idx, jnp.int32)
-        )
+
+    params, opt_state = _run_training_loop(
+        settings, epoch_fn, (feats, labs), epoch_indices, params, opt_state,
+        verbose, checkpoint_dir, checkpoint_every, print_fn, fingerprint,
+    )
 
     full = jax.vmap(lambda p: _loss_fn(net_spec, p, feats, labs))(params)
     best = int(np.argmin(np.asarray(full)))
@@ -683,47 +787,36 @@ def train_ensemble(
                 for c in range(C)
             ],
             axis=1,
-        )  # [S, C, bs]
+        ).astype(np.int32)  # [S, C, bs]
 
-    start_epoch = 0
-    if checkpoint_dir is not None:
-        params, opt_state, start_epoch = _maybe_resume(
-            checkpoint_dir, params, opt_state
-        )
-        for _ in range(start_epoch):  # fast-forward every channel's rng
-            for r, n in zip(rngs, ns):
-                r.permutation(n)
-        if verbose and start_epoch:
-            print(f"resumed from checkpoint at epoch {start_epoch}")
+    from dataclasses import asdict
 
-    if verbose or checkpoint_dir is not None:
-        for epoch in range(start_epoch, settings.epochs):
-            params, opt_state, values = epoch_fn(
-                params, opt_state, feats_all, labs_all,
-                jnp.asarray(epoch_indices(), jnp.int32),
-            )
-            if verbose and (epoch % 25 == 0 or epoch == settings.epochs - 1):
-                mean = np.asarray(values).mean(axis=0).reshape(C, K)
-                print(
-                    f"epoch {epoch}: loss "
-                    + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
-                    + (f" (best of {K} inits)" if K > 1 else "")
-                )
-            if checkpoint_dir is not None and (
-                (epoch + 1) % checkpoint_every == 0
-                or epoch == settings.epochs - 1
-            ):
-                _save_train_state(checkpoint_dir, epoch + 1, params, opt_state)
-    else:
-        # quiet: the WHOLE ensemble training is one device program
-        # (bit-identical batch sequence to the per-epoch path)
-        idx = np.concatenate(
-            [epoch_indices() for _ in range(settings.epochs)]
+    fingerprint = {
+        "mode": "ensemble",
+        "settings": {
+            k: v for k, v in asdict(settings).items() if k != "epochs"
+        },
+        "ns": [int(n) for n in ns],
+        "bs": int(bs),
+        "mesh": list(mesh.shape.items()) if mesh is not None else None,
+        "data_sum": [
+            float(np.asarray(f, np.float64).sum()) for f in features_list
+        ],
+    }
+
+    def print_fn(epoch, values):
+        mean = np.asarray(values).mean(axis=0).reshape(C, K)
+        print(
+            f"epoch {epoch}: loss "
+            + " ".join(f"{v:.5f}" for v in mean.min(axis=1))
+            + (f" (best of {K} inits)" if K > 1 else "")
         )
-        params, opt_state, _ = epoch_fn(
-            params, opt_state, feats_all, labs_all,
-            jnp.asarray(idx, jnp.int32),
-        )
+
+    params, opt_state = _run_training_loop(
+        settings, epoch_fn, (feats_all, labs_all), epoch_indices, params,
+        opt_state, verbose, checkpoint_dir, checkpoint_every, print_fn,
+        fingerprint,
+    )
 
     # best init per channel by full-data loss (each channel's true prefix
     # of the padded stack)

@@ -730,3 +730,43 @@ def test_epoch_program_matches_manual_step_loop(settings):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_checkpoint_guards(settings, tmp_path):
+    """checkpoint_every < 1 and stale-directory reuse fail loudly instead
+    of ZeroDivisionError / silently training a chimera of two runs."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((30, settings.n_features)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.float32)
+    s = dataclasses.replace(settings, epochs=2, batch_size=8,
+                            n_init=1, hidden=(2,))
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        train(s, feats, labels, checkpoint_dir=str(tmp_path / "x"),
+              checkpoint_every=0)
+
+    d = tmp_path / "ckpt"
+    train(s, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
+    # different seed => different batch sequence => not a valid resume
+    s2 = dataclasses.replace(s, seed=s.seed + 1)
+    with pytest.raises(ValueError, match="different training run"):
+        train(s2, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
+    # different data likewise
+    with pytest.raises(ValueError, match="different training run"):
+        train(s, feats * 2.0, labels, checkpoint_dir=str(d),
+              checkpoint_every=1)
+    # ensemble checkpoints don't resume single-net runs
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    with pytest.raises(ValueError, match="different training run"):
+        train_ensemble(s, [feats], [labels], checkpoint_dir=str(d),
+                       checkpoint_every=1)
+    # shrinking epochs below the checkpoint is an error, not a no-op lie
+    s1 = dataclasses.replace(s, epochs=1)
+    with pytest.raises(ValueError, match="beyond"):
+        train(s1, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
+    # extending epochs in the same dir remains legit (resume + continue)
+    s4 = dataclasses.replace(s, epochs=4)
+    train(s4, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
