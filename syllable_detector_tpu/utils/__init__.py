@@ -3,6 +3,7 @@
 from syllable_detector_tpu.utils.wav import read_wav, write_wav
 from syllable_detector_tpu.utils.fmt import fmt_float32, fmt_double
 from syllable_detector_tpu.utils.stats import SummaryStat, StatMean, StatMax
+from syllable_detector_tpu.utils.synth import make_labeled_audio
 from syllable_detector_tpu.utils.timing import Time
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "StatMean",
     "StatMax",
     "Time",
+    "make_labeled_audio",
 ]
