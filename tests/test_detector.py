@@ -246,3 +246,23 @@ def test_warm_up_compiles_all_drain_shapes(sample_config):
     det2.append_audio_data(make_audio(rng, seconds=0.05))
     det2.drain()
     assert detector_mod._drain_step._cache_size() == size1
+
+
+def test_streaming_precondition_errors(sample_config):
+    """Mis-sized prefix/chunk raise ValueError (not a vanishing assert):
+    a silent size mismatch would shift every output's sample accounting."""
+    import jax.numpy as jnp
+    import pytest
+
+    from syllable_detector_tpu.models.detector import (
+        detector_spec_from_config,
+        streaming_init,
+        streaming_step,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    with pytest.raises(ValueError, match="residual"):
+        streaming_init(spec, prefix=jnp.zeros(spec.residual + 1))
+    carry = streaming_init(spec)
+    with pytest.raises(ValueError, match="multiple of the"):
+        streaming_step(spec, params, carry, jnp.zeros(spec.hop + 1))
