@@ -266,3 +266,41 @@ def test_streaming_precondition_errors(sample_config):
     carry = streaming_init(spec)
     with pytest.raises(ValueError, match="multiple of the"):
         streaming_step(spec, params, carry, jnp.zeros(spec.hop + 1))
+
+
+def test_detector_fused_streaming_deep_net(sample_config, rng):
+    """A 2-hidden-layer net through the LIVE Detector(method='fused')
+    streaming path at odd chunkings: the exported deep config must ride
+    the fused drain (not silently fall back) and match the offline
+    oracle — the train CLI emits such nets for --hidden H1 H2."""
+    from test_kernels import _deepen
+
+    from syllable_detector_tpu.training.trainer import (
+        TrainSettings,
+        export_trained_config,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    spec2, params2 = _deepen(spec, params)
+    cfg2 = export_trained_config(TrainSettings(), spec2.net, params2, 0.5)
+    assert [l.outputs for l in cfg2.layers] == [4, 6, 1]
+
+    audio = make_audio(rng, seconds=0.7)
+    det = Detector(cfg2, method="fused")
+    assert det.method == "fused"  # deep nets must not fall off the path
+    outs = []
+    pos = 0
+    for size in (1307, 997, 4099, 256, 9000):
+        det.append_audio_data(audio[pos : pos + size])
+        pos += size
+        outs.append(det.drain())
+    det.append_audio_data(audio[pos:])
+    outs.append(det.drain())
+    got = np.concatenate([o for o in outs if len(o)])
+
+    spec_rt, params_rt = detector_spec_from_config(cfg2)
+    want = np.asarray(offline_outputs(spec_rt, params_rt, jnp.asarray(audio)))
+    np.testing.assert_allclose(
+        got, want[: len(got)], rtol=1e-3, atol=2e-4
+    )
+    assert len(got) >= len(want) - 8  # all but the tail partial drains out
