@@ -439,3 +439,50 @@ def test_bank_fuzz_random_lifecycle_vs_segment_oracle(
         assert bank.dropped_samples[i] == sum(
             n for k, n in events[i] if k == "gap"
         )
+
+
+def test_bank_deep_distinct_nets(sample_config):
+    """Deep (2-hidden-layer) DISTINCT nets through the bank's batched
+    fused drain match independent detectors — the one-net-per-channel
+    deployment with --hidden H1 H2 geometry."""
+    from test_kernels import _deepen
+
+    from syllable_detector_tpu.models.detector import (
+        detector_spec_from_config,
+    )
+    from syllable_detector_tpu.training.trainer import (
+        TrainSettings,
+        export_trained_config,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    cfgs = []
+    for seed in (0, 3):
+        spec2, params2 = _deepen(spec, params, seed=seed)
+        cfgs.append(
+            export_trained_config(TrainSettings(), spec2.net, params2, 0.5)
+        )
+    bank = DetectorBank(cfgs, method="fused")
+    singles = [Detector(c) for c in cfgs]
+
+    rng = np.random.default_rng(11)
+    streams = [make_audio(rng, seconds=0.5) for _ in cfgs]
+    outs_bank = [[] for _ in cfgs]
+    outs_single = [[] for _ in cfgs]
+    pos = 0
+    for size in (1307, 997, 4099, 9000):
+        for lane, (s, d) in enumerate(zip(streams, singles)):
+            bank.append_audio_data(lane, s[pos : pos + size])
+            d.append_audio_data(s[pos : pos + size])
+        pos += size
+        drained = bank.drain()
+        for lane in range(len(cfgs)):
+            if len(drained[lane]):
+                outs_bank[lane].append(drained[lane])
+            o = singles[lane].drain()
+            if len(o):
+                outs_single[lane].append(o)
+    for lane in range(len(cfgs)):
+        got = np.concatenate(outs_bank[lane])
+        want = np.concatenate(outs_single[lane])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
