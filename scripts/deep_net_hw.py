@@ -33,6 +33,7 @@ from syllable_detector_tpu.kernels.fused_detector import (
     fused_input_samples,
     fused_offline_outputs,
 )
+from syllable_detector_tpu.utils.synth import deepen_net
 from syllable_detector_tpu.models.detector import (
     detector_spec_from_config,
     offline_outputs,
@@ -43,38 +44,10 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def deepen(spec, params, mid_units=6, transfer="LogSig", seed=0):
-    """Same grafting as tests/test_kernels.py _deepen."""
-    rng = np.random.default_rng(seed)
-    layers = list(params["layers"])
-    h1_out = layers[0]["w"].shape[0]
-    n_out = layers[-1]["w"].shape[0]
-    mid = {
-        "w": (rng.standard_normal((mid_units, h1_out)) * 0.5).astype(np.float32),
-        "b": (rng.standard_normal(mid_units) * 0.1).astype(np.float32),
-    }
-    out = {
-        "w": (rng.standard_normal((n_out, mid_units)) * 0.5).astype(np.float32),
-        "b": np.asarray(layers[-1]["b"], np.float32),
-    }
-    params2 = dict(params)
-    params2["layers"] = [layers[0], mid, out]
-    net2 = dataclasses.replace(
-        spec.net,
-        layer_sizes=(
-            spec.net.layer_sizes[0],
-            (h1_out, mid_units),
-            (mid_units, n_out),
-        ),
-        transfers=(spec.net.transfers[0], transfer, spec.net.transfers[-1]),
-    )
-    return dataclasses.replace(spec, net=net2), params2
-
-
 def main():
     cfg = load_config("/root/reference/sample.txt")
     spec, params = detector_spec_from_config(cfg)
-    spec2, params2 = deepen(spec, params)
+    spec2, params2 = deepen_net(spec, params)
     assert fusable(spec2)
     _, meta = fold_constants(spec2, params2)
     log(f"deep net: layer_sizes={spec2.net.layer_sizes} "

@@ -19,14 +19,14 @@ ensemble analogue of the reference's one-net-per-channel deployment.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from syllable_detector_tpu.config.model_format import (
     LayerSpec,
@@ -421,9 +421,7 @@ def _run_training_loop(
         first = epoch_indices()
         if cap is None:
             cap = max(1, _INDEX_BUDGET_BYTES // max(1, first.nbytes))
-        k = min(cap, settings.epochs - epoch)
-        if verbose:
-            k = 1
+        k = 1 if verbose else min(cap, settings.epochs - epoch)
         if checkpoint_dir is not None:
             k = min(k, checkpoint_every - epoch % checkpoint_every)
         idx = (
@@ -526,8 +524,6 @@ def train(
         # otherwise every epoch call re-broadcasts it from device 0 (each
         # device gathers its own batch rows locally, so replication is the
         # price of device-resident gathers; fine for song-scale datasets)
-        from jax.sharding import NamedSharding
-
         feats = jax.device_put(feats, NamedSharding(mesh, P()))
         labs = jax.device_put(labs, NamedSharding(mesh, P()))
     epoch_fn = _make_restart_epoch(
@@ -546,8 +542,6 @@ def train(
             .astype(np.int32)
         )
 
-    from dataclasses import asdict
-
     fingerprint = {
         "mode": "single",
         "settings": {
@@ -556,7 +550,8 @@ def train(
         "n": int(n),
         "bs": int(bs),
         "mesh": list(mesh.shape.items()) if mesh is not None else None,
-        "data_sum": float(np.asarray(features, np.float64).sum()),
+        # dtype=float64 sums without materializing a float64 copy
+        "data_sum": float(np.sum(features, dtype=np.float64)),
     }
 
     def print_fn(epoch, values):
@@ -761,8 +756,6 @@ def train_ensemble(
     if mesh is not None:
         # channel-sharded placement up front — one transfer, no per-epoch
         # reshard (each device holds only its own channels' data)
-        from jax.sharding import NamedSharding
-
         feats_all = jax.device_put(
             feats_all, NamedSharding(mesh, P(channel_axis))
         )
@@ -789,8 +782,6 @@ def train_ensemble(
             axis=1,
         ).astype(np.int32)  # [S, C, bs]
 
-    from dataclasses import asdict
-
     fingerprint = {
         "mode": "ensemble",
         "settings": {
@@ -800,7 +791,7 @@ def train_ensemble(
         "bs": int(bs),
         "mesh": list(mesh.shape.items()) if mesh is not None else None,
         "data_sum": [
-            float(np.asarray(f, np.float64).sum()) for f in features_list
+            float(np.sum(f, dtype=np.float64)) for f in features_list
         ],
     }
 

@@ -1,5 +1,5 @@
-"""Synthetic labeled songbird-like audio for tests, demos, and hardware
-smokes.
+"""Synthetic labeled audio and synthetic model variants for tests, demos,
+and hardware smokes.
 
 The reference ships no labeled training data (Examples/ is gitignored,
 .gitignore:3); every training test and hardware validation here uses this
@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_labeled_audio"]
+__all__ = ["make_labeled_audio", "deepen_net"]
 
 
 def make_labeled_audio(seconds=4.0, rate=44100, seed=0):
@@ -35,3 +35,45 @@ def make_labeled_audio(seconds=4.0, rate=44100, seed=0):
         intervals.append((lo + 0.04, hi - 0.01))  # interior, past window fill
         pos += 0.55
     return x.astype(np.float32), intervals
+
+
+def deepen_net(spec, params, mid_units=6, transfer="LogSig", seed=0):
+    """Graft an extra hidden layer (arbitrary transfer) between a net's
+    hidden layer and its output layer -> (spec2, params2).
+
+    The fused kernel's multi-mid path (fold_constants mids, transfers[1:])
+    otherwise only ever sees single-hidden geometries like sample.txt;
+    this mirrors what the train CLI emits for --hidden H1 H2
+    (training/trainer.py builds [features, *hidden, 1]). Used by the
+    kernel/detector tests and scripts/deep_net_hw.py.
+    """
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    layers = list(params["layers"])
+    h1_out = layers[0]["w"].shape[0]
+    n_out = layers[-1]["w"].shape[0]
+    mid = {
+        "w": (rng.standard_normal((mid_units, h1_out)) * 0.5).astype(
+            np.float32
+        ),
+        "b": (rng.standard_normal(mid_units) * 0.1).astype(np.float32),
+    }
+    out = {
+        "w": (rng.standard_normal((n_out, mid_units)) * 0.5).astype(
+            np.float32
+        ),
+        "b": np.asarray(layers[-1]["b"], np.float32),
+    }
+    params2 = dict(params)
+    params2["layers"] = [layers[0], mid, out]
+    net2 = dataclasses.replace(
+        spec.net,
+        layer_sizes=(
+            spec.net.layer_sizes[0],
+            (h1_out, mid_units),
+            (mid_units, n_out),
+        ),
+        transfers=(spec.net.transfers[0], transfer, spec.net.transfers[-1]),
+    )
+    return dataclasses.replace(spec, net=net2), params2

@@ -273,7 +273,9 @@ def test_detector_fused_streaming_deep_net(sample_config, rng):
     streaming path at odd chunkings: the exported deep config must ride
     the fused drain (not silently fall back) and match the offline
     oracle — the train CLI emits such nets for --hidden H1 H2."""
-    from test_kernels import _deepen
+    from syllable_detector_tpu.utils.synth import (
+        deepen_net as _deepen,
+    )
 
     from syllable_detector_tpu.training.trainer import (
         TrainSettings,

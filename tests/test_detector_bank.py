@@ -445,7 +445,9 @@ def test_bank_deep_distinct_nets(sample_config):
     """Deep (2-hidden-layer) DISTINCT nets through the bank's batched
     fused drain match independent detectors — the one-net-per-channel
     deployment with --hidden H1 H2 geometry."""
-    from test_kernels import _deepen
+    from syllable_detector_tpu.utils.synth import (
+        deepen_net as _deepen,
+    )
 
     from syllable_detector_tpu.models.detector import (
         detector_spec_from_config,

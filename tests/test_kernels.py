@@ -913,42 +913,9 @@ def test_out_t_transposed_output_matches(sample_config, audio):
         assert e16 > e8
 
 
-def _deepen(spec, params, mid_units=6, transfer="LogSig", seed=0):
-    """Graft an extra hidden layer (arbitrary transfer) between the sample
-    net's hidden layer and its output layer — the fused kernel's multi-mid
-    path (fold_constants mids / transfers[1:]) otherwise only ever sees the
-    sample net's single-hidden geometry. Mirrors what the train CLI emits
-    for --hidden H1 H2 (training/trainer.py builds [features, *hidden, 1])."""
-    import dataclasses
-
-    rng = np.random.default_rng(seed)
-    layers = list(params["layers"])
-    h1_out = layers[0]["w"].shape[0]
-    n_out = layers[-1]["w"].shape[0]
-    mid = {
-        "w": (rng.standard_normal((mid_units, h1_out)) * 0.5).astype(
-            np.float32
-        ),
-        "b": (rng.standard_normal(mid_units) * 0.1).astype(np.float32),
-    }
-    out = {
-        "w": (rng.standard_normal((n_out, mid_units)) * 0.5).astype(
-            np.float32
-        ),
-        "b": np.asarray(layers[-1]["b"], np.float32),
-    }
-    params2 = dict(params)
-    params2["layers"] = [layers[0], mid, out]
-    net2 = dataclasses.replace(
-        spec.net,
-        layer_sizes=(
-            spec.net.layer_sizes[0],
-            (h1_out, mid_units),
-            (mid_units, n_out),
-        ),
-        transfers=(spec.net.transfers[0], transfer, spec.net.transfers[-1]),
-    )
-    return dataclasses.replace(spec, net=net2), params2
+# _deepen lives in utils/synth.py (shared with scripts/deep_net_hw.py
+# and the detector/bank tests)
+from syllable_detector_tpu.utils.synth import deepen_net as _deepen
 
 
 @pytest.mark.parametrize("transfer", ["LogSig", "SatLin", "TanSig"])
