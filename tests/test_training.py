@@ -770,3 +770,33 @@ def test_checkpoint_guards(settings, tmp_path):
     # extending epochs in the same dir remains legit (resume + continue)
     s4 = dataclasses.replace(s, epochs=4)
     train(s4, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
+
+
+def test_index_budget_chunking_bit_exact(settings, monkeypatch):
+    """Forcing the 64 MiB index budget down to 1 byte makes every quiet
+    run chunk one epoch per program — results must stay bit-identical
+    (the budget only bounds memory, never changes the batch sequence)."""
+    import dataclasses
+
+    import jax
+
+    from syllable_detector_tpu.training import trainer as trainer_mod
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(
+        settings, epochs=5, batch_size=16, n_init=2, hidden=(2,)
+    )
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((40, s.n_features)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.float32)
+
+    _, p_one, t_one = train(s, feats, labels)  # whole run, one program
+    _, pl_one, _ = train_ensemble(s, [feats], [labels])
+    monkeypatch.setattr(trainer_mod, "_INDEX_BUDGET_BYTES", 1)
+    _, p_chunked, t_chunked = train(s, feats, labels)  # epoch per program
+    _, pl_chunked, _ = train_ensemble(s, [feats], [labels])
+    for a, b in zip(jax.tree.leaves(p_one), jax.tree.leaves(p_chunked)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t_one == t_chunked
+    for a, b in zip(jax.tree.leaves(pl_one[0]), jax.tree.leaves(pl_chunked[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
