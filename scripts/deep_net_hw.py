@@ -9,7 +9,6 @@ the cost of depth is on record.
 Run:  python scripts/deep_net_hw.py
 """
 
-import dataclasses
 import os
 import sys
 

@@ -178,12 +178,18 @@ def main(argv=None) -> int:
             from syllable_detector_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(axis="data")
-        net_spec, params, threshold = train(
-            settings, feats_list[0], labels_list[0], mesh=mesh,
-            verbose=not args.quiet,
-            checkpoint_dir=args.checkpoint_dir,
-            checkpoint_every=args.checkpoint_every,
-        )
+        try:
+            net_spec, params, threshold = train(
+                settings, feats_list[0], labels_list[0], mesh=mesh,
+                verbose=not args.quiet,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
+            )
+        except ValueError as e:
+            # same clean contract as the ensemble path: checkpoint-dir
+            # fingerprint mismatches etc. are user errors, not tracebacks
+            print(str(e), file=sys.stderr)
+            return 1
         cfg = export_trained_config(settings, net_spec, params, threshold)
         # honor a {ch} template even with one pair (scripts templated for
         # variable channel counts shouldn't get a literal '{ch}' file)

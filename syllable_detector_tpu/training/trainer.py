@@ -18,6 +18,7 @@ ensemble analogue of the reference's one-net-per-channel deployment.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import asdict, dataclass
 from functools import partial
@@ -344,8 +345,6 @@ def _check_fingerprint(directory: str, fingerprint: dict) -> None:
     batch sequence except ``epochs`` — extending a finished run IS the
     legit use) is stored as JSON on first use and must match afterwards.
     """
-    import json
-
     fingerprint = json.loads(json.dumps(fingerprint))  # normalize tuples
     path = os.path.join(directory, "fingerprint.json")
     if os.path.exists(path):
@@ -368,6 +367,52 @@ def _check_fingerprint(directory: str, fingerprint: dict) -> None:
             json.dump(fingerprint, fh)
 
 
+def _data_fingerprint(features: np.ndarray, labels: np.ndarray) -> list:
+    """Order-sensitive, copy-free content fingerprint of one channel's
+    (features, labels). Plain float64 sums catch value changes;
+    row-index-weighted sums catch reorderings and label flips that leave
+    the totals unchanged (a permutation-invariant sum let a run silently
+    resume after its labels were inverted — same audio, same feature sum).
+    No float64 copy of the data is materialized: the per-row reduction and
+    the dot run in float64 accumulators over the float32 rows."""
+    rows = np.sum(features, axis=1, dtype=np.float64)  # [n]
+    w = np.arange(1.0, len(rows) + 1.0)
+    labs = np.asarray(labels, np.float64)
+    return [
+        float(rows.sum()),
+        float(np.dot(rows, w)),
+        float(labs.sum()),
+        float(np.dot(labs, w)),
+    ]
+
+
+def _save_rng_state(directory: str, epoch: int, rngs: list) -> None:
+    """Persist the epoch rngs' bit-generator states next to the orbax step
+    so resume is O(1) instead of re-drawing every completed epoch's index
+    tensor (a 10k-epoch x 1M-row run would spend minutes of host time per
+    resume on discarded ``rng.permutation`` draws)."""
+    path = os.path.join(directory, f"rng_{epoch:08d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([r.bit_generator.state for r in rngs], fh)
+    os.replace(tmp, path)  # atomic: readers only ever see a complete file
+
+
+def _restore_rng_state(directory: str, epoch: int, rngs: list) -> bool:
+    """Restore the rng states saved at ``epoch``; False (caller falls back
+    to draw-and-discard fast-forward) if absent or mismatched."""
+    path = os.path.join(directory, f"rng_{epoch:08d}.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as fh:
+        states = json.load(fh)
+    if len(states) != len(rngs):
+        return False
+    for r, s in zip(rngs, states):
+        r.bit_generator.state = s
+    return True
+
+
 # stacked per-epoch index tensors are capped at this size per device
 # program (keeps host+HBM index memory bounded on huge datasets)
 _INDEX_BUDGET_BYTES = 64 << 20
@@ -385,6 +430,7 @@ def _run_training_loop(
     checkpoint_every: int,
     print_fn,
     fingerprint: dict,
+    rngs: list,
 ):
     """The shared epoch driver for train()/train_ensemble().
 
@@ -392,9 +438,11 @@ def _run_training_loop(
     (their [S, ...] index tensors concatenate; the batch sequence is
     bit-identical however the epochs are chunked — pinned by the
     quiet-vs-verbose test), bounded by the verbose print cadence (1), the
-    checkpoint interval, and ``_INDEX_BUDGET_BYTES``. ``epoch_indices()``
-    draws one epoch's indices AND advances the rng — calling it without
-    using the result is the resume fast-forward.
+    checkpoint interval, and ``_INDEX_BUDGET_BYTES``. ``rngs`` are the
+    generators ``epoch_indices`` draws from: their states checkpoint
+    alongside the orbax step for O(1) resume, with draw-and-discard
+    fast-forward (``epoch_indices()`` without using the result) as the
+    fallback when the rng sidecar is missing.
     """
     if checkpoint_dir is not None and checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
@@ -410,8 +458,11 @@ def _run_training_loop(
                 f"settings.epochs={settings.epochs}; raise epochs to "
                 f"continue or use a fresh directory"
             )
-        for _ in range(start_epoch):  # fast-forward the epoch rng
-            epoch_indices()
+        if start_epoch and not _restore_rng_state(
+            checkpoint_dir, start_epoch, rngs
+        ):
+            for _ in range(start_epoch):  # fast-forward the epoch rng
+                epoch_indices()
         if verbose and start_epoch:
             print(f"resumed from checkpoint at epoch {start_epoch}")
 
@@ -441,6 +492,7 @@ def _run_training_loop(
             epoch % checkpoint_every == 0 or epoch == settings.epochs
         ):
             _save_train_state(checkpoint_dir, epoch, params, opt_state)
+            _save_rng_state(checkpoint_dir, epoch, rngs)
     return params, opt_state
 
 
@@ -550,8 +602,7 @@ def train(
         "n": int(n),
         "bs": int(bs),
         "mesh": list(mesh.shape.items()) if mesh is not None else None,
-        # dtype=float64 sums without materializing a float64 copy
-        "data_sum": float(np.sum(features, dtype=np.float64)),
+        "data": _data_fingerprint(features, labels),
     }
 
     def print_fn(epoch, values):
@@ -563,6 +614,7 @@ def train(
     params, opt_state = _run_training_loop(
         settings, epoch_fn, (feats, labs), epoch_indices, params, opt_state,
         verbose, checkpoint_dir, checkpoint_every, print_fn, fingerprint,
+        [rng],
     )
 
     full = jax.vmap(lambda p: _loss_fn(net_spec, p, feats, labs))(params)
@@ -790,8 +842,9 @@ def train_ensemble(
         "ns": [int(n) for n in ns],
         "bs": int(bs),
         "mesh": list(mesh.shape.items()) if mesh is not None else None,
-        "data_sum": [
-            float(np.sum(f, dtype=np.float64)) for f in features_list
+        "data": [
+            _data_fingerprint(f, l)
+            for f, l in zip(features_list, labels_list)
         ],
     }
 
@@ -806,7 +859,7 @@ def train_ensemble(
     params, opt_state = _run_training_loop(
         settings, epoch_fn, (feats_all, labs_all), epoch_indices, params,
         opt_state, verbose, checkpoint_dir, checkpoint_every, print_fn,
-        fingerprint,
+        fingerprint, rngs,
     )
 
     # best init per channel by full-data loss (each channel's true prefix

@@ -757,6 +757,19 @@ def test_checkpoint_guards(settings, tmp_path):
     with pytest.raises(ValueError, match="different training run"):
         train(s, feats * 2.0, labels, checkpoint_dir=str(d),
               checkpoint_every=1)
+    # CHANGED LABELS on identical audio (the "fixed the intervals file,
+    # same --checkpoint-dir" workflow) must not silently resume: the old
+    # sum-only fingerprint ignored labels entirely
+    with pytest.raises(ValueError, match="different training run"):
+        train(s, feats, 1.0 - labels, checkpoint_dir=str(d),
+              checkpoint_every=1)
+    # reordered rows keep every total invariant but change the batch
+    # sequence — the index-weighted fingerprint must catch them
+    perm = np.random.default_rng(0).permutation(len(feats))
+    assert not np.array_equal(perm, np.arange(len(feats)))
+    with pytest.raises(ValueError, match="different training run"):
+        train(s, feats[perm], labels[perm], checkpoint_dir=str(d),
+              checkpoint_every=1)
     # ensemble checkpoints don't resume single-net runs
     from syllable_detector_tpu.training.trainer import train_ensemble
 
@@ -770,6 +783,57 @@ def test_checkpoint_guards(settings, tmp_path):
     # extending epochs in the same dir remains legit (resume + continue)
     s4 = dataclasses.replace(s, epochs=4)
     train(s4, feats, labels, checkpoint_dir=str(d), checkpoint_every=1)
+
+
+def test_resume_rng_sidecar_and_fallback(settings, tmp_path):
+    """Resume restores the epoch rng from the rng_*.json sidecar (O(1) —
+    no draw-and-discard of completed epochs); with the sidecar deleted it
+    falls back to fast-forward. Both must be BIT-EXACT vs uninterrupted."""
+    import dataclasses
+    import glob
+    import os
+
+    import jax
+
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((48, settings.n_features)).astype(np.float32)
+    labels = (feats[:, 1] > 0).astype(np.float32)
+    s6 = dataclasses.replace(settings, epochs=6, batch_size=16,
+                             n_init=1, hidden=(2,))
+    s4 = dataclasses.replace(s6, epochs=4)
+    _, p_full, _ = train(s6, feats, labels)
+
+    d = tmp_path / "ckpt"
+    train(s4, feats, labels, checkpoint_dir=str(d), checkpoint_every=2)
+    sidecars = sorted(glob.glob(str(d / "rng_*.json")))
+    assert sidecars, "rng sidecars were not written alongside checkpoints"
+
+    # the sidecar restores the exact generator state the saving run held
+    # after its last completed epoch (O(1) resume, no re-draws)
+    from syllable_detector_tpu.training.trainer import _restore_rng_state
+
+    fresh = np.random.default_rng(s6.seed)
+    oracle = np.random.default_rng(s6.seed)
+    n = len(feats)
+    for _ in range(4):  # epochs completed by the interrupted run
+        oracle.permutation(n)
+    assert _restore_rng_state(str(d), 4, [fresh])
+    assert fresh.bit_generator.state == oracle.bit_generator.state
+
+    _, p_res, _ = train(s6, feats, labels, checkpoint_dir=str(d),
+                        checkpoint_every=2)
+    for a, b in zip(jax.tree.leaves(p_res), jax.tree.leaves(p_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fallback path: delete the sidecars, resume must still be bit-exact
+    d2 = tmp_path / "ckpt2"
+    train(s4, feats, labels, checkpoint_dir=str(d2), checkpoint_every=2)
+    for f in glob.glob(str(d2 / "rng_*.json")):
+        os.remove(f)
+    _, p_fb, _ = train(s6, feats, labels, checkpoint_dir=str(d2),
+                       checkpoint_every=2)
+    for a, b in zip(jax.tree.leaves(p_fb), jax.tree.leaves(p_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_index_budget_chunking_bit_exact(settings, monkeypatch):
