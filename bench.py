@@ -249,6 +249,28 @@ def channel_sweep(spec, params, dev):
             log(f"sweep c={c} failed: {type(e).__name__}: {str(e)[:120]}")
 
 
+def _tpu_reachable(timeout=180):
+    """Probe the device tunnel with a THROWAWAY interpreter. A downed
+    tunnel hangs backend init ~28 min before failing (observed r4 outage),
+    so never probe in-process or without a timeout; a healthy tunnel
+    answers in well under a minute."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; jax.devices()[0]",
+            ],
+            timeout=timeout,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     # Fresh-process retry shell: transient TPU failures (backend init
     # UNAVAILABLE, mid-run FAILED_PRECONDITION) POISON the process — every
@@ -258,6 +280,12 @@ def main():
     if os.environ.get("SD_BENCH_CHILD") != "1":
         import subprocess
         import time as _time
+
+        # Multi-hour tunnel outages happen (r4: 3.5 h+). Between failed
+        # attempts, cheap probes wait the outage out — up to this budget —
+        # WITHOUT burning the 40-min measurement attempts on a dead link.
+        wait_budget = float(os.environ.get("SD_BENCH_MAX_WAIT_S", 3 * 3600))
+        deadline = _time.monotonic() + wait_budget
 
         attempts, last = 3, 1
         for attempt in range(1, attempts + 1):
@@ -283,6 +311,18 @@ def main():
                 + ("; retrying in a fresh process" if attempt < attempts
                    else ""))
             if attempt < attempts:
+                up = _tpu_reachable()
+                while not up and _time.monotonic() < deadline:
+                    log("TPU unreachable; waiting 2 min before re-probing "
+                        "(set SD_BENCH_MAX_WAIT_S to bound the wait)")
+                    _time.sleep(120)
+                    up = _tpu_reachable()
+                if not up:
+                    # wait budget exhausted with the link still down:
+                    # further 40-min attempts would hang pointlessly
+                    log("TPU still unreachable past the wait budget; "
+                        "giving up")
+                    sys.exit(last)
                 _time.sleep(30)
         sys.exit(last)
 

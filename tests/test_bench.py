@@ -22,9 +22,11 @@ class _Result:
         self.returncode = rc
 
 
-def _run_wrapper(monkeypatch, returncodes, timeouts=()):
+def _run_wrapper(monkeypatch, returncodes, probes=None):
     """Drive bench.main() with a stubbed subprocess.run; returns the calls
-    (cmd, env-flag, timeout) and the wrapper's exit code (None = clean)."""
+    (cmd, env-flag, timeout) and the wrapper's exit code (None = clean).
+    ``probes``: sequence of _tpu_reachable results between attempts
+    (default: always reachable — plain transient-failure retries)."""
     calls = []
     seq = list(returncodes)
 
@@ -35,7 +37,15 @@ def _run_wrapper(monkeypatch, returncodes, timeouts=()):
             raise subprocess.TimeoutExpired(cmd, timeout)
         return _Result(rc)
 
+    probe_seq = list(probes) if probes is not None else None
+
+    def fake_probe(**kw):
+        if probe_seq is None:
+            return True
+        return probe_seq.pop(0)
+
     monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_tpu_reachable", fake_probe)
     monkeypatch.setattr(time, "sleep", lambda s: None)
     monkeypatch.delenv("SD_BENCH_CHILD", raising=False)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
@@ -93,3 +103,26 @@ def test_bench_deterministic_failure_skips_retries(monkeypatch):
     calls, exit_code = _run_wrapper(monkeypatch, [3, 0, 0])
     assert len(calls) == 1
     assert exit_code == 3
+
+
+def test_bench_waits_out_tunnel_outage(monkeypatch):
+    """A multi-hour tunnel outage (r4: 3.5 h+) must be waited out with
+    cheap probes between attempts, not burned as 40-min child attempts:
+    after a failed attempt, unreachable probes delay the next attempt
+    until one succeeds."""
+    # attempt 1 fails; probes: down, down, up; attempt 2 succeeds
+    calls, exit_code = _run_wrapper(
+        monkeypatch, [1, 0], probes=[False, False, True]
+    )
+    assert exit_code is None
+    assert len(calls) == 2  # no child launched while the link was down
+
+
+def test_bench_outage_wait_budget_exhausted(monkeypatch):
+    """With the wait budget exhausted and the link still down, the wrapper
+    gives up with the last child's exit code instead of hanging further
+    40-min attempts on a dead tunnel."""
+    monkeypatch.setenv("SD_BENCH_MAX_WAIT_S", "0")
+    calls, exit_code = _run_wrapper(monkeypatch, [1, 0, 0], probes=[False])
+    assert len(calls) == 1  # no second attempt on a dead link
+    assert exit_code == 1
