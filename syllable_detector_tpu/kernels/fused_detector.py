@@ -614,7 +614,9 @@ def _make_kernel(
             )
             copy.start()
             copy.wait()
-            f = fvmem[pl.ds(0, tile + halo), :]
+            # slice back the real window columns (scratch lanes are padded
+            # to a 128 multiple for the DMA; in-VMEM fp32 slices are free)
+            f = fvmem[pl.ds(0, tile + halo), 0 : spec.window_length]
             # one GEMM computes re and im lane blocks together
             big = big_dot(f, c_full())
 
@@ -782,7 +784,12 @@ def _fused_call(
         lanes = hop if pipe else hop_pad
         scratches = [pltpu.VMEM((rows2d, lanes), jnp.float32)]
     else:
-        scratches = [pltpu.VMEM((_round_up(tile + halo, 8), window), jnp.float32)]
+        scratches = [
+            pltpu.VMEM(
+                (_round_up(tile + halo, 8), _round_up(window, LANE)),
+                jnp.float32,
+            )
+        ]
 
     if pipe and input_mode == "rawk":
         halo_rows, step = _pipelined_geometry_k(spec, tile, hops_per_row)
@@ -1037,7 +1044,16 @@ def fused_offline_outputs(
             raise ValueError(
                 "pre-slabbed input requires a fusable spec; pass 1-D samples"
             )
-        return offline_outputs(spec, params, x)
+        out = offline_outputs(spec, params, x)
+        # the fallback honors the same n_evals contract as the kernel
+        # path: callers size downstream buffers to it
+        if n_evals is not None:
+            if n_evals > out.shape[0]:
+                raise ValueError(
+                    f"n_evals={n_evals} needs more than {x.shape[0]} samples"
+                )
+            out = out[:n_evals]
+        return out
     if interpret is None:
         interpret = jax.local_devices()[0].platform == "cpu"
 
@@ -1103,6 +1119,14 @@ def fused_offline_outputs(
         if pad_rows > 0:
             frames = jnp.concatenate(
                 [frames, jnp.zeros((pad_rows, frames.shape[1]), frames.dtype)]
+            )
+        # manual-DMA lane rule: the HBM array's lane dim must be a 128
+        # multiple (hit only by window_length < 128 — config windows are
+        # powers of two); the kernel reads back the real window columns
+        window_pad = _round_up(spec.window_length, LANE)
+        if window_pad != spec.window_length:
+            frames = jnp.pad(
+                frames, ((0, 0), (0, window_pad - spec.window_length))
             )
         data = frames
 
@@ -1215,32 +1239,25 @@ def fused_batch_offline_outputs(
                 )
             # shapes whose padded flat footprint exceeds HBM fall back to
             # the memory-safe grid path (lax.map channel slabs) instead of
-            # raising — 'batched is safe at any channel count' holds
+            # raising — 'batched is safe at any channel count' holds.
+            # flat_admission is the ONE policy (k=1 -> k=8 -> grid),
+            # shared with the mesh shard path; out_t=True explicitly: the
+            # admission estimates assume the transposed output — keep
+            # guard and launch structurally coupled
             interp = (
                 interpret
                 if interpret is not None
                 else jax.local_devices()[0].platform == "cpu"
             )
-            if interp or _flat_hbm_estimate(
-                spec, ne, c, flat_tile, distinct, out_t=True
-            ) <= _flat_hbm_budget():
-                # out_t=True explicitly: the admission estimate above
-                # assumes the transposed output — keep guard and launch
-                # structurally coupled, not via the callee's default
+            lay, hops = (
+                ("flat", 1)
+                if interp
+                else flat_admission(spec, ne, c, flat_tile, distinct)
+            )
+            if lay == "flat":
                 return fused_flat_batch_offline_outputs(
                     spec, params, xs, tile=flat_tile, interpret=interpret,
-                    n_evals=n_evals, out_t=True,
-                )
-            # over budget at k=1: the multi-hop slab (k=8) shrinks the
-            # lane pad 1.9x -> 1.09x, often enough to stay flat (the r3
-            # distinct c=1024 cap) before surrendering to the grid path
-            if flat_tile % 64 == 0 and _flat_hbm_estimate(
-                spec, ne, c, flat_tile, distinct, hops_per_row=8,
-                out_t=True,
-            ) <= _flat_hbm_budget():
-                return fused_flat_batch_offline_outputs(
-                    spec, params, xs, tile=flat_tile, interpret=interpret,
-                    n_evals=n_evals, hops_per_row=8, out_t=True,
+                    n_evals=n_evals, hops_per_row=hops, out_t=True,
                 )
     if tile is None:
         tile = 256  # the grid kernel's historical default
@@ -1250,10 +1267,19 @@ def fused_batch_offline_outputs(
         if distinct:
             from syllable_detector_tpu.models.neural_net import stack_params
 
-            return jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
+            out = jax.vmap(lambda p, x: offline_outputs(spec, p, x))(
                 stack_params(list(params)), xs
             )
-        return jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+        else:
+            out = jax.vmap(lambda x: offline_outputs(spec, params, x))(xs)
+        # same n_evals contract as the kernel path
+        if n_evals is not None:
+            if n_evals > out.shape[1]:
+                raise ValueError(
+                    f"n_evals={n_evals} needs more than {n} samples"
+                )
+            out = out[:, :n_evals]
+        return out
     if interpret is None:
         interpret = jax.local_devices()[0].platform == "cpu"
 
@@ -1436,7 +1462,6 @@ def _flat_hbm_estimate(
     # 8 sublanes (typ. 8, but a >8-output net doubles it — use the real
     # value or a near-budget shape is admitted and then OOMs on device)
     o_pad = _round_up(spec.net.outputs, 8)
-    out_lane = o_pad if out_t else _round_up(o_pad, LANE)
     if hops_per_row > 1:
         k = hops_per_row
         _, _, L, q_sz, rows2d_k, halo_rows, r_k = _flat_geometry_k(
@@ -1455,10 +1480,37 @@ def _flat_hbm_estimate(
     )
     grid_total = max(1, -(-(c * r - halo_rows) // tile))
     need_rows = (grid_total - 1) * tile + rows2d
-    return (
-        need_rows * _round_up(hop, LANE) * 4
-        + grid_total * tile * out_lane * 4
-    )
+    if out_t:
+        # [grid, o_pad, tile]: tile is the LANE dim and physically pads to
+        # a 128 multiple (the live router clamps flat_tile to multiples of
+        # 8, not 128 — an unrounded estimate under-admits small buckets)
+        out_bytes = grid_total * o_pad * _round_up(tile, LANE) * 4
+    else:
+        out_bytes = grid_total * tile * _round_up(o_pad, LANE) * 4
+    return need_rows * _round_up(hop, LANE) * 4 + out_bytes
+
+
+def flat_admission(
+    spec: DetectorSpec,
+    n_evals: int,
+    c: int,
+    tile: int,
+    distinct: bool,
+) -> tuple[str, int]:
+    """The HBM admission ladder for batched detection, shared by the
+    fused_batch router and the mesh shard path (one policy — they must
+    route identically or a mesh shard and a single-chip call diverge):
+    k=1 flat -> k=8 multi-hop flat (capacity tier, ~0.75x) -> grid
+    (memory-safe, 50-70M). Returns ``(layout, hops_per_row)``; estimates
+    assume the transposed (``out_t=True``) output the flat launches use."""
+    budget = _flat_hbm_budget()
+    if _flat_hbm_estimate(spec, n_evals, c, tile, distinct, out_t=True) <= budget:
+        return "flat", 1
+    if tile % 64 == 0 and _flat_hbm_estimate(
+        spec, n_evals, c, tile, distinct, hops_per_row=8, out_t=True
+    ) <= budget:
+        return "flat", 8
+    return "grid", 1
 
 
 def flat_batch_input_samples(
@@ -1534,12 +1586,15 @@ def fused_flat_batch_offline_outputs(
     """
     distinct = isinstance(params, (list, tuple))
     # pre-slabbed form = [need_rows, k*hop] with channels given; a [C, n]
-    # array with a redundant channels=C is still treated as [C, n] (the
-    # k*hop-wide second dim is the discriminator)
+    # array with a redundant channels=C is still treated as [C, n], even
+    # when n coincides with the k*hop slab width (shape[0] == channels is
+    # the tie-breaker — a true pre-slab whose need_rows equals C as well
+    # is ambiguous; pass the 1-D flat form there)
     pre_slabbed = (
         channels is not None
         and xs.ndim == 2
         and xs.shape[1] == spec.hop * hops_per_row
+        and xs.shape[0] != channels
     )
     if xs.ndim == 1 or pre_slabbed:
         if channels is None:
@@ -1587,108 +1642,79 @@ def fused_flat_batch_offline_outputs(
     if n_evals <= 0:
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 
-    if hops_per_row > 1:
-        k = hops_per_row
-        _, hop, L, q_sz, rows2d_k, halo_rows_k, r_k = _flat_geometry_k(
+    # ONE dispatch sequence for k=1 and the k>1 multi-hop slab — only the
+    # geometry differs: a "unit" of `unit` slab rows carries `tile` evals
+    # (k=1: unit == tile hop-rows of `width` == hop lanes; k>1: unit ==
+    # q_sz rows of k*hop lanes), and `r` is each channel's row span.
+    k = hops_per_row
+    if k > 1:
+        _, hop, width, unit, rows2d_u, halo_rows_u, r = _flat_geometry_k(
             spec, n_evals, tile, distinct, k
         )
-        grid_total = max(1, -(-(c * r_k - halo_rows_k) // q_sz))
-        need_rows_k = (grid_total - 1) * q_sz + rows2d_k
-        est = _flat_hbm_estimate(
-            spec, n_evals, c, tile, distinct, hops_per_row=k, out_t=out_t
+        width_pad = _round_up(width, LANE)
+        pipe = _pipelined_geometry_k(spec, tile, k) is not None
+        mode = "rawk"
+    else:
+        _, width, width_pad, rows2d_u, halo_rows_u, r = _flat_geometry(
+            spec, n_evals, tile, distinct
         )
-        if not interpret and est > _flat_hbm_budget():
-            raise ValueError(
-                f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab "
-                f"+ output) exceeds a single chip's HBM even at "
-                f"hops_per_row={k}; reduce n_evals per channel or chunk "
-                f"the channels"
-            )
-        xs = jnp.asarray(xs, jnp.float32)
-        if pre_slabbed:
-            if xs.shape != (need_rows_k, L):
-                raise ValueError(
-                    f"pre-slabbed input must have shape ({need_rows_k}, "
-                    f"{L}) (= flat_batch_input_samples layout); got "
-                    f"{xs.shape}"
-                )
-            data = xs
-        elif xs.ndim == 1:
-            total = need_rows_k * L
-            if xs.shape[0] != total:
-                raise ValueError(
-                    f"flat input must have exactly {total} samples "
-                    f"(= flat_batch_input_samples(...)[1]); got "
-                    f"{xs.shape[0]}"
-                )
-            data = xs.reshape(need_rows_k, L)
-        else:
-            return _flat_core_k(
-                spec, meta, operands, xs, tile, interpret, n_evals,
-                per_channel=distinct, hops_per_row=k, out_t=out_t,
-            )
-        if _pipelined_geometry_k(spec, tile, k) is None:
-            L_pad = _round_up(L, LANE)
-            if L_pad != L:
-                data = jnp.pad(data, ((0, 0), (0, L_pad - L)))
-        out = _fused_call(
-            spec, meta, data, operands, grid_total, grid_total * tile,
-            tile, interpret, "rawk", per_channel=distinct,
-            flat_blocks_per_ch=(r_k // q_sz) if distinct else None,
-            hops_per_row=k, out_t=out_t,
-        )
-        return _flat_outputs(out, c, r_k * k, n_evals)
+        unit = tile
+        pipe = _pipelined_geometry(spec, tile) is not None
+        mode = "raw"
+    grid_total = max(1, -(-(c * r - halo_rows_u) // unit))
+    need_rows = (grid_total - 1) * unit + rows2d_u
 
-    _, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
-        spec, n_evals, tile, distinct
+    # loud HBM guard: the flat slab's lane dim pads to a multiple of 128
+    # (k=1: 132->256 = 1.9x for the sample net; k=8: 1056->1152 = 1.09x)
+    # and the output pads too (see _flat_hbm_estimate). At 1024 channels x
+    # 8192 evals the k=1 layout is a measured 12.8G program requirement —
+    # fail with advice instead of an opaque RESOURCE_EXHAUSTED mid-run.
+    # (The fused_batch router falls back through flat_admission's ladder
+    # before reaching this.)
+    est = _flat_hbm_estimate(
+        spec, n_evals, c, tile, distinct, hops_per_row=k, out_t=out_t
     )
-    grid_total = max(1, -(-(c * r - halo_rows) // tile))
-    need_rows = (grid_total - 1) * tile + rows2d
-
-    # loud HBM guard: the flat slab's lane dim pads hop->multiple of 128
-    # (132->256 = 1.9x for the sample net) and the [rows, o_pad] output
-    # pads its 8 lanes to 128 (16x). At 1024 channels x 8192 evals that is
-    # a measured 12.8G program requirement — fail with advice instead of
-    # an opaque RESOURCE_EXHAUSTED mid-run. (The fused_batch router falls
-    # back to the memory-safe grid path before reaching this.)
-    est = _flat_hbm_estimate(spec, n_evals, c, tile, distinct, out_t=out_t)
     if not interpret and est > _flat_hbm_budget():
         raise ValueError(
             f"flat batched footprint ~{est/2**30:.1f} GiB (padded slab + "
-            f"output) exceeds a single chip's HBM; reduce n_evals per "
-            f"channel (e.g. 2048) or chunk the channels"
+            f"output) exceeds a single chip's HBM"
+            + (f" even at hops_per_row={k}" if k > 1 else "")
+            + "; reduce n_evals per channel (e.g. 2048) or chunk the "
+            "channels"
         )
 
     xs = jnp.asarray(xs, jnp.float32)
     if pre_slabbed:
-        if xs.shape != (need_rows, hop):
+        if xs.shape != (need_rows, width):
             raise ValueError(
-                f"pre-slabbed input must have shape ({need_rows}, {hop}) "
+                f"pre-slabbed input must have shape ({need_rows}, {width}) "
                 f"(= flat_batch_input_samples layout); got {xs.shape}"
             )
         data = xs
     elif xs.ndim == 1:
-        per_ch, total = r * hop, need_rows * hop
+        total = need_rows * width
         if xs.shape[0] != total:
             raise ValueError(
                 f"flat input must have exactly {total} samples "
                 f"(= flat_batch_input_samples(...)[1]); got {xs.shape[0]}"
             )
-        data = xs.reshape(need_rows, hop)
+        data = xs.reshape(need_rows, width)
     else:
         return _flat_core(
             spec, meta, operands, xs, tile, interpret, n_evals,
-            per_channel=distinct, out_t=out_t,
+            per_channel=distinct, hops_per_row=k, out_t=out_t,
         )
-    if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
-        data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
+    if not pipe and width_pad != width:
+        data = jnp.pad(data, ((0, 0), (0, width_pad - width)))
 
     out = _fused_call(
         spec, meta, data, operands, grid_total, grid_total * tile, tile,
-        interpret, "raw", per_channel=distinct,
-        flat_blocks_per_ch=(r // tile) if distinct else None, out_t=out_t,
-    )  # [grid_total*tile, o_pad-trimmed to outputs]
-    return _flat_outputs(out, c, r, n_evals)
+        interpret, mode, per_channel=distinct,
+        flat_blocks_per_ch=(r // unit) if distinct else None,
+        hops_per_row=k, out_t=out_t,
+    )
+    # r slab rows per channel hold r*k evals (k=1: r == per-channel evals)
+    return _flat_outputs(out, c, r * k, n_evals)
 
 
 def _flat_outputs(out, c, r, n_evals):
@@ -1714,83 +1740,56 @@ def _flat_core(
     interpret: bool,
     n_evals: int,
     per_channel: bool = False,
+    hops_per_row: int = 1,
     out_t: bool = True,
 ) -> jax.Array:
-    """Flat-layout launch for a [c, n] batch (one per-channel repack).
-    Fully traceable — runs under ``shard_map``/``lax.map`` with traced
-    ``operands``/``xs`` (the mesh-sharded fused path's per-device core)."""
-    c, n_in = xs.shape
-    _, hop, hop_pad, rows2d, halo_rows, r = _flat_geometry(
-        spec, n_evals, tile, per_channel
-    )
-    grid_total = max(1, -(-(c * r - halo_rows) // tile))
-    need_rows = (grid_total - 1) * tile + rows2d
-
-    xs = jnp.asarray(xs, jnp.float32)
-    want = r * hop
-    if want > n_in:
-        xs = jnp.concatenate(
-            [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
-        )
-    data = xs[:, :want].reshape(c * r, hop)
-    if need_rows > c * r:
-        data = jnp.concatenate(
-            [data, jnp.zeros((need_rows - c * r, hop), jnp.float32)]
-        )
-    if _pipelined_geometry(spec, tile) is None and hop_pad != hop:
-        data = jnp.pad(data, ((0, 0), (0, hop_pad - hop)))
-
-    out = _fused_call(
-        spec, meta, data, operands, grid_total, grid_total * tile, tile,
-        interpret, "raw", per_channel=per_channel,
-        flat_blocks_per_ch=(r // tile) if per_channel else None,
-        out_t=out_t,
-    )
-    return _flat_outputs(out, c, r, n_evals)
-
-
-def _flat_core_k(
-    spec: DetectorSpec,
-    meta: FusedMeta,
-    operands,
-    xs: jax.Array,
-    tile: int,
-    interpret: bool,
-    n_evals: int,
-    per_channel: bool = False,
-    hops_per_row: int = 8,
-    out_t: bool = True,
-) -> jax.Array:
-    """Multi-hop flat-layout launch for a [c, n] batch (one per-channel
-    repack into k-hop slab rows); fully traceable like :func:`_flat_core`."""
+    """Flat-layout launch for a [c, n] batch (one per-channel repack into
+    slab rows; ``hops_per_row`` > 1 packs k hops per row — the capacity
+    tier). Fully traceable — runs under ``shard_map``/``lax.map`` with
+    traced ``operands``/``xs`` (the mesh-sharded fused path's per-device
+    core)."""
     c, n_in = xs.shape
     k = hops_per_row
-    _, hop, L, q_sz, rows2d_k, halo_rows_k, r_k = _flat_geometry_k(
-        spec, n_evals, tile, per_channel, k
-    )
-    grid_total = max(1, -(-(c * r_k - halo_rows_k) // q_sz))
-    need_rows = (grid_total - 1) * q_sz + rows2d_k
+    if k > 1:
+        _, _, width, unit, rows2d_u, halo_rows_u, r = _flat_geometry_k(
+            spec, n_evals, tile, per_channel, k
+        )
+        pipe = _pipelined_geometry_k(spec, tile, k) is not None
+        mode = "rawk"
+    else:
+        _, width, _, rows2d_u, halo_rows_u, r = _flat_geometry(
+            spec, n_evals, tile, per_channel
+        )
+        unit = tile
+        pipe = _pipelined_geometry(spec, tile) is not None
+        mode = "raw"
+    grid_total = max(1, -(-(c * r - halo_rows_u) // unit))
+    need_rows = (grid_total - 1) * unit + rows2d_u
 
     xs = jnp.asarray(xs, jnp.float32)
-    want = r_k * L
+    want = r * width
     if want > n_in:
         xs = jnp.concatenate(
             [xs, jnp.zeros((c, want - n_in), jnp.float32)], axis=1
         )
-    data = xs[:, :want].reshape(c * r_k, L)
-    if need_rows > c * r_k:
+    data = xs[:, :want].reshape(c * r, width)
+    if need_rows > c * r:
         data = jnp.concatenate(
-            [data, jnp.zeros((need_rows - c * r_k, L), jnp.float32)]
+            [data, jnp.zeros((need_rows - c * r, width), jnp.float32)]
         )
-    if _pipelined_geometry_k(spec, tile, k) is None:
-        L_pad = _round_up(L, LANE)
-        if L_pad != L:
-            data = jnp.pad(data, ((0, 0), (0, L_pad - L)))
+    width_pad = _round_up(width, LANE)
+    if not pipe and width_pad != width:
+        data = jnp.pad(data, ((0, 0), (0, width_pad - width)))
 
     out = _fused_call(
         spec, meta, data, operands, grid_total, grid_total * tile, tile,
-        interpret, "rawk", per_channel=per_channel,
-        flat_blocks_per_ch=(r_k // q_sz) if per_channel else None,
+        interpret, mode, per_channel=per_channel,
+        flat_blocks_per_ch=(r // unit) if per_channel else None,
         hops_per_row=k, out_t=out_t,
     )
-    return _flat_outputs(out, c, r_k * k, n_evals)
+    return _flat_outputs(out, c, r * k, n_evals)
+
+
+def _flat_core_k(*args, hops_per_row: int = 8, **kw) -> jax.Array:
+    """Back-compat alias: :func:`_flat_core` with a multi-hop default."""
+    return _flat_core(*args, hops_per_row=hops_per_row, **kw)

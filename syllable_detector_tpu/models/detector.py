@@ -311,6 +311,24 @@ def _drain_step(
     return outs, new_hist
 
 
+def deinterleave_frames(
+    samples: np.ndarray, rem: np.ndarray, channels: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split a frame-major interleaved capture buffer into whole
+    ``[n, channels]`` frames plus the trailing PARTIAL frame (to carry
+    into the next call). Shared by :meth:`Detector.append_interleaved_data`
+    and ``DetectorBank.append_interleaved_audio_data`` so the carry
+    semantics cannot drift between them."""
+    flat = np.asarray(samples, np.float32).reshape(-1)
+    if len(rem):
+        flat = np.concatenate([rem, flat])
+    n = len(flat) // channels
+    return (
+        flat[: n * channels].reshape(n, channels),
+        flat[n * channels :].copy(),
+    )
+
+
 class Detector:
     """Host-side streaming detector with the reference's semantics.
 
@@ -363,15 +381,16 @@ class Detector:
         remainder (the framing changed)."""
         if not 0 <= channel < channels:
             raise ValueError(f"channel {channel} out of range 0..{channels - 1}")
-        flat = np.asarray(samples, np.float32).reshape(-1)
-        if len(self._interleave_rem) and self._interleave_channels == channels:
-            flat = np.concatenate([self._interleave_rem, flat])
-        n = len(flat) // channels
-        self._interleave_rem = flat[n * channels :].copy()
-        self._interleave_channels = channels
-        self.append_audio_data(
-            np.ascontiguousarray(flat[: n * channels].reshape(n, channels)[:, channel])
+        rem = (
+            self._interleave_rem
+            if self._interleave_channels == channels
+            else np.zeros(0, np.float32)
         )
+        frames, self._interleave_rem = deinterleave_frames(
+            samples, rem, channels
+        )
+        self._interleave_channels = channels
+        self.append_audio_data(np.ascontiguousarray(frames[:, channel]))
 
     def drain(self) -> np.ndarray:
         """Process all buffered hops; returns [n_new, outputs] (may be empty).

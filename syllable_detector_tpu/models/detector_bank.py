@@ -38,6 +38,7 @@ import numpy as np
 from syllable_detector_tpu.config.model_format import SyllableDetectorConfig
 from syllable_detector_tpu.models.detector import (
     _FRAME_BUCKETS,
+    deinterleave_frames,
     detector_spec_from_config,
 )
 from syllable_detector_tpu.ops.stft import normalize_overlap, num_frames
@@ -110,6 +111,12 @@ class DetectorBank:
         self.thresholds = np.asarray(
             [s.thresholds[0] for s, _ in pairs], np.float64
         )
+        if method not in ("fused", "matmul"):
+            # a typo would otherwise silently route every drain to the
+            # ~2.6x-slower unfused path
+            raise ValueError(
+                f"unknown method {method!r}; use 'fused' or 'matmul'"
+            )
         if method == "fused":
             from syllable_detector_tpu.kernels.fused_detector import fusable
 
@@ -173,12 +180,9 @@ class DetectorBank:
         ``n_lanes`` — a short read or an xrun boundary) is retained and
         prepended to the next call: silently discarding it would shift
         the affected lanes' stream clocks early with no gap accounting."""
-        flat = np.asarray(samples, np.float32).reshape(-1)
-        if len(self._interleave_rem):
-            flat = np.concatenate([self._interleave_rem, flat])
-        n = len(flat) // self.n_lanes
-        self._interleave_rem = flat[n * self.n_lanes :].copy()
-        frames = flat[: n * self.n_lanes].reshape(n, self.n_lanes)
+        frames, self._interleave_rem = deinterleave_frames(
+            samples, self._interleave_rem, self.n_lanes
+        )
         return [
             self.append_audio_data(lane, np.ascontiguousarray(frames[:, lane]))
             for lane in range(self.n_lanes)
@@ -264,7 +268,13 @@ class DetectorBank:
                 per_lane_idx[i].append(
                     front.start + first_out + hop * np.arange(take_i, dtype=np.int64)
                 )
-                front.data = front.data[take_i * hop :]
+                rem = front.data[take_i * hop :]
+                # a small view would pin the whole pre-drain buffer (its
+                # base array) until the next append; copy once the
+                # remainder is under half the base so an idle/dead lane
+                # releases megabytes instead of stranding them
+                base = rem.base if rem.base is not None else rem
+                front.data = rem.copy() if rem.nbytes * 2 < base.nbytes else rem
                 front.start += take_i * hop
                 self.hops_emitted[i] += take_i
 
@@ -333,6 +343,10 @@ class DetectorBank:
             "offered": list(self._offered),
             "hops_emitted": list(self.hops_emitted),
             "last_outputs": np.asarray(self.last_outputs, np.float32).copy(),
+            "last_counts": np.asarray(self.last_counts, np.int64).copy(),
+            "last_sample_indices": [
+                a.copy() for a in self.last_sample_indices
+            ],
             "overflows": list(self.overflows),
             "dropped_samples": list(self.dropped_samples),
             "interleave_rem": self._interleave_rem.copy(),
@@ -389,6 +403,20 @@ class DetectorBank:
             for v in state.get("hops_emitted", [legacy_fs] * self.n_lanes)
         ]
         self.last_outputs = np.asarray(state["last_outputs"], np.float32).copy()
+        # last drain's per-lane progress: restore from the snapshot, or
+        # RESET when absent — stale values from this process's previous
+        # stream would attribute the old lane progress/sample indices to
+        # the restored one
+        self.last_counts = np.asarray(
+            state.get("last_counts", np.zeros(self.n_lanes, np.int64)),
+            np.int64,
+        ).copy()
+        lsi = state.get("last_sample_indices")
+        self.last_sample_indices = (
+            [np.asarray(a, np.int64).copy() for a in lsi]
+            if lsi is not None
+            else [np.zeros(0, np.int64) for _ in range(self.n_lanes)]
+        )
         self.overflows = list(state.get("overflows", [0] * self.n_lanes))
         self.dropped_samples = list(
             state.get("dropped_samples", [0] * self.n_lanes)
@@ -411,6 +439,8 @@ class DetectorBank:
             )
             for k, (_, d, _) in enumerate(segs):
                 arrays[f"seg_data_{i}_{k}"] = d
+        for i, a in enumerate(state["last_sample_indices"]):
+            arrays[f"lsi_{i}"] = a
         np.savez(
             path,
             n_lanes=self.n_lanes,
@@ -418,6 +448,7 @@ class DetectorBank:
             offered=np.asarray(state["offered"], np.int64),
             hops_emitted=np.asarray(state["hops_emitted"], np.int64),
             last_outputs=state["last_outputs"],
+            last_counts=state["last_counts"],
             overflows=np.asarray(state["overflows"], np.int64),
             dropped_samples=np.asarray(state["dropped_samples"], np.int64),
             interleave_rem=state["interleave_rem"],
@@ -437,21 +468,26 @@ class DetectorBank:
                             for k in range(int(n))
                         ]
                     )
-                self.set_state(
-                    {
-                        "segments": segments,
-                        "offered": list(data["offered"]),
-                        "hops_emitted": list(data["hops_emitted"]),
-                        "last_outputs": data["last_outputs"],
-                        "overflows": list(data["overflows"]),
-                        "dropped_samples": list(data["dropped_samples"]),
-                        "interleave_rem": (
-                            data["interleave_rem"]
-                            if "interleave_rem" in data.files
-                            else np.zeros(0, np.float32)
-                        ),
-                    }
-                )
+                state = {
+                    "segments": segments,
+                    "offered": list(data["offered"]),
+                    "hops_emitted": list(data["hops_emitted"]),
+                    "last_outputs": data["last_outputs"],
+                    "overflows": list(data["overflows"]),
+                    "dropped_samples": list(data["dropped_samples"]),
+                    "interleave_rem": (
+                        data["interleave_rem"]
+                        if "interleave_rem" in data.files
+                        else np.zeros(0, np.float32)
+                    ),
+                }
+                if "last_counts" in data.files:
+                    state["last_counts"] = data["last_counts"]
+                    state["last_sample_indices"] = [
+                        data[f"lsi_{i}"]
+                        for i in range(int(data["n_lanes"]))
+                    ]
+                self.set_state(state)
                 return
             # legacy (round-3) npz layout
             n_saved = sum(1 for k in data.files if k.startswith("residual_"))

@@ -155,27 +155,18 @@ def sharded_fused_offline_outputs(
 
     hops = 1
     if layout == "flat":
-        # same HBM guard as the fused_batch router, applied to the PER-SHARD
-        # shape (c/d local channels per device): a too-large local slab
-        # would otherwise surface as an opaque RESOURCE_EXHAUSTED mid-run.
-        # Escalation order matches the router: k=1 flat -> k=8 multi-hop
-        # flat (capacity tier, ~0.75x) -> grid (50-70M)
+        # the router's HBM admission ladder (flat_admission: k=1 flat ->
+        # k=8 multi-hop flat -> grid), applied to the PER-SHARD shape (c/d
+        # local channels per device): a too-large local slab would
+        # otherwise surface as an opaque RESOURCE_EXHAUSTED mid-run
         from syllable_detector_tpu.kernels.fused_detector import (
-            _flat_hbm_budget,
-            _flat_hbm_estimate,
+            flat_admission,
         )
 
-        if _flat_hbm_estimate(
-            spec, n_evals, c // d, tile, distinct, out_t=True
-        ) > _flat_hbm_budget():
-            if tile % 64 == 0 and _flat_hbm_estimate(
-                spec, n_evals, c // d, tile, distinct, hops_per_row=8,
-                out_t=True,
-            ) <= _flat_hbm_budget():
-                hops = 8
-            else:
-                layout = "grid"
-                tile = min(tile, 256)
+        lay, hops = flat_admission(spec, n_evals, c // d, tile, distinct)
+        if lay == "grid":
+            layout = "grid"
+            tile = min(tile, 256)
 
     def build_fn():
         def local(shared_op, st_ops, x):
@@ -183,19 +174,10 @@ def sharded_fused_offline_outputs(
                 # r3: the flat layout runs each device's local channels at
                 # the single-stream rate (122M shared / ~100M distinct per
                 # chip vs the grid kernel's 50-70M)
-                if hops > 1:
-                    from syllable_detector_tpu.kernels.fused_detector import (
-                        _flat_core_k,
-                    )
-
-                    return _flat_core_k(
-                        spec, meta, (shared_op, *st_ops), x, tile,
-                        interpret, n_evals, per_channel=distinct,
-                        hops_per_row=hops, out_t=True,
-                    )
                 return _flat_core(
                     spec, meta, (shared_op, *st_ops), x, tile, interpret,
-                    n_evals, per_channel=distinct, out_t=True,
+                    n_evals, per_channel=distinct, hops_per_row=hops,
+                    out_t=True,
                 )
             return _batch_core_slabbed(
                 spec, meta, (shared_op, *st_ops), x, tile, interpret, n_evals,

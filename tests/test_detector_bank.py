@@ -488,3 +488,55 @@ def test_bank_deep_distinct_nets(sample_config):
         got = np.concatenate(outs_bank[lane])
         want = np.concatenate(outs_single[lane])
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_bank_method_typo_raises(sample_config):
+    """A misspelled method must be loud, not a silent 2.6x slowdown."""
+    with pytest.raises(ValueError, match="unknown method"):
+        DetectorBank([sample_config], method="fuse")
+
+
+def test_bank_set_state_restores_or_resets_last_drain_fields(sample_config):
+    """last_counts/last_sample_indices travel with the snapshot; a
+    snapshot WITHOUT them (legacy) resets both — stale values from the
+    restoring process's previous stream must never be attributed to the
+    restored one."""
+    rng = np.random.default_rng(9)
+    a = DetectorBank([sample_config, _perturbed_cfg(sample_config, 1)])
+    for i in range(2):
+        a.append_audio_data(i, make_audio(rng, seconds=0.3))
+    a.drain()
+    assert a.last_counts.sum() > 0
+    st = a.get_state()
+
+    b = DetectorBank([sample_config, _perturbed_cfg(sample_config, 1)])
+    b.set_state(st)
+    np.testing.assert_array_equal(b.last_counts, a.last_counts)
+    for x, y in zip(b.last_sample_indices, a.last_sample_indices):
+        np.testing.assert_array_equal(x, y)
+
+    # legacy snapshot (no last-drain fields): reset, don't leak c's own
+    c = DetectorBank([sample_config, _perturbed_cfg(sample_config, 1)])
+    for i in range(2):
+        c.append_audio_data(i, make_audio(rng, seconds=0.3))
+    c.drain()
+    assert c.last_counts.sum() > 0
+    st2 = a.get_state()
+    st2.pop("last_counts")
+    st2.pop("last_sample_indices")
+    c.set_state(st2)
+    np.testing.assert_array_equal(c.last_counts, np.zeros(2, np.int64))
+    assert all(len(x) == 0 for x in c.last_sample_indices)
+
+
+def test_bank_drain_releases_consumed_buffers(sample_config):
+    """The post-drain remainder must not be a tiny view pinning the whole
+    pre-drain buffer (megabytes per idle lane at deployment scale)."""
+    rng = np.random.default_rng(3)
+    bank = DetectorBank([sample_config])
+    bank.append_audio_data(0, make_audio(rng, seconds=2.0))
+    bank.drain()
+    segs = bank._segments[0]
+    for s in segs:
+        base = s.data.base
+        assert base is None or base.nbytes <= 2 * s.data.nbytes

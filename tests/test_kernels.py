@@ -963,3 +963,94 @@ def test_flat_batch_deep_distinct(sample_config, audio):
     np.testing.assert_allclose(
         got, want[:, : got.shape[1]], rtol=1e-3, atol=2e-4
     )
+
+
+def test_unfusable_fallback_honors_n_evals(sample_config):
+    """The non-fusable fallbacks obey the same n_evals contract as the
+    kernel paths (slice to n_evals, raise when impossible) — callers size
+    downstream buffers to it."""
+    from syllable_detector_tpu.config.model_format import ProcessingSpec
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_offline_outputs,
+    )
+
+    cfg = dataclasses.replace(
+        sample_config, process_inputs=[ProcessingSpec("normalize")]
+    )
+    spec, params = detector_spec_from_config(cfg)
+    assert not fusable(spec)
+    x = make_audio(np.random.default_rng(1), seconds=0.2)
+    full = np.asarray(offline_outputs(spec, params, jnp.asarray(x)))
+    got = np.asarray(
+        fused_offline_outputs(spec, params, jnp.asarray(x), n_evals=3)
+    )
+    np.testing.assert_array_equal(got, full[:3])
+    with pytest.raises(ValueError, match="n_evals"):
+        fused_offline_outputs(
+            spec, params, jnp.asarray(x), n_evals=len(full) + 1
+        )
+
+    xs = jnp.stack([jnp.asarray(x)] * 2)
+    fullb = np.asarray(fused_batch_offline_outputs(spec, params, xs))
+    gotb = np.asarray(fused_batch_offline_outputs(spec, params, xs, n_evals=3))
+    assert gotb.shape == (2, 3, spec.net.outputs)
+    # same-path comparison: the vmapped fallback drifts last-ulp from the
+    # single-stream path, so pin the slicing contract, not cross-path bits
+    np.testing.assert_array_equal(gotb, fullb[:, :3])
+    with pytest.raises(ValueError, match="n_evals"):
+        fused_batch_offline_outputs(spec, params, xs, n_evals=len(full) + 1)
+
+
+def test_flat_hbm_estimate_out_t_pads_tile_lanes(sample_config):
+    """The k=1 out_t output term must lane-pad tile to a 128 multiple:
+    the live router clamps flat_tile to 8-multiples, so small drain
+    buckets would otherwise be under-estimated up to 16x and admitted
+    shapes could OOM on device."""
+    import syllable_detector_tpu.kernels.fused_detector as fd
+
+    spec, _ = detector_spec_from_config(sample_config)
+    tile = 8
+    _, hop, _, rows2d, halo_rows, r = fd._flat_geometry(spec, 16, tile, False)
+    grid_total = max(1, -(-(4 * r - halo_rows) // tile))
+    need_rows = (grid_total - 1) * tile + rows2d
+    o_pad = fd._round_up(spec.net.outputs, 8)
+    want = (
+        need_rows * fd._round_up(hop, fd.LANE) * 4
+        + grid_total * o_pad * fd._round_up(tile, fd.LANE) * 4
+    )
+    assert fd._flat_hbm_estimate(spec, 16, 4, tile, False, out_t=True) == want
+
+
+def test_flat_admission_ladder(sample_config, monkeypatch):
+    """ONE admission policy for the router and the mesh shard path:
+    k=1 flat under budget, k=8 when only the multi-hop slab fits, grid
+    when nothing does."""
+    import syllable_detector_tpu.kernels.fused_detector as fd
+
+    spec, _ = detector_spec_from_config(sample_config)
+    e1 = fd._flat_hbm_estimate(spec, 2048, 64, 512, True, out_t=True)
+    e8 = fd._flat_hbm_estimate(
+        spec, 2048, 64, 512, True, hops_per_row=8, out_t=True
+    )
+    assert e8 < e1  # the capacity tier really is smaller
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: e1)
+    assert fd.flat_admission(spec, 2048, 64, 512, True) == ("flat", 1)
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: e8)
+    assert fd.flat_admission(spec, 2048, 64, 512, True) == ("flat", 8)
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: e8 - 1)
+    assert fd.flat_admission(spec, 2048, 64, 512, True) == ("grid", 1)
+
+
+def test_flat_batch_redundant_channels_keeps_2d_form(sample_config):
+    """[C, n] with a redundant channels=C stays [C, n] even when n
+    coincides with the slab width (hop) — the documented tie-break."""
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_flat_batch_offline_outputs,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    xs = jnp.zeros((4, spec.hop), jnp.float32)  # too short for any eval
+    out = fused_flat_batch_offline_outputs(
+        spec, params, xs, channels=4, interpret=True
+    )
+    assert out.shape == (4, 0, spec.net.outputs)

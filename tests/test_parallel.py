@@ -284,13 +284,13 @@ def test_sharded_fused_escalates_to_multi_hop(setup, monkeypatch):
     assert e8 < e1
     monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: (e1 + e8) // 2)
     called = {}
-    real_k = fd._flat_core_k
+    real_core = fd._flat_core
 
-    def spy_k(*a, **kw):
+    def spy_core(*a, **kw):
         called["k"] = kw.get("hops_per_row")
-        return real_k(*a, **kw)
+        return real_core(*a, **kw)
 
-    monkeypatch.setattr(fd, "_flat_core_k", spy_k)
+    monkeypatch.setattr(fd, "_flat_core", spy_core)
     import syllable_detector_tpu.parallel.mesh as mesh_mod
 
     monkeypatch.setattr(
