@@ -1226,15 +1226,21 @@ def fused_batch_offline_outputs(
             f = num_frames(n, spec.window_length, spec.window_overlap)
             ne = f - spec.time_range + 1
         if ne > 0:
-            # measured-best flat tiles: 2048 shared; 512 distinct (each
-            # channel's rows pad to a tile multiple) — clamped down for
-            # small drains so a live bucket of 8-128 evals doesn't compute
-            # a full 2048-row tile per channel. Explicit tiles honored.
+            # flat tile: an explicit tile= wins; else a tune-cache entry
+            # for this (device, geometry, workload) bucket (see
+            # tuning.py); else the measured v5e defaults — 2048 shared,
+            # 1024 distinct (r4 out_t sweep: t512 110.8M / t1024 113.3M /
+            # t2048 103.7M). Always clamped down for small drains so a
+            # live bucket of 8-128 evals doesn't compute a full
+            # 2048-row tile per channel.
             if tile is not None:
                 flat_tile = tile
             else:
+                from syllable_detector_tpu.tuning import tuned_flat_tile
+
+                tuned = tuned_flat_tile(spec, c, ne, distinct)
                 flat_tile = min(
-                    512 if distinct else 2048,
+                    tuned or (1024 if distinct else 2048),
                     max(8, _round_up(ne, 8)),
                 )
             # shapes whose padded flat footprint exceeds HBM fall back to
