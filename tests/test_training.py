@@ -864,3 +864,30 @@ def test_index_budget_chunking_bit_exact(settings, monkeypatch):
     assert t_one == t_chunked
     for a, b in zip(jax.tree.leaves(pl_one[0]), jax.tree.leaves(pl_chunked[0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_resume_fuzz_bit_exact(settings, tmp_path, seed):
+    """Randomized interrupt points and checkpoint cadences (multiple
+    sequential resumes through the rng-sidecar path, final extension to
+    the full run) stay BIT-EXACT vs the uninterrupted oracle."""
+    import dataclasses
+
+    import jax
+
+    r = np.random.default_rng(100 + seed)
+    feats = r.standard_normal((50, settings.n_features)).astype(np.float32)
+    labels = (feats[:, 0] > 0).astype(np.float32)
+    total = int(r.integers(5, 10))
+    ce = int(r.integers(1, 4))
+    s_full = dataclasses.replace(settings, epochs=total, batch_size=16,
+                                 n_init=1, hidden=(2,))
+    _, p_full, _ = train(s_full, feats, labels)
+    d = tmp_path / f"ck{seed}"
+    points = sorted(set(int(x) for x in r.integers(1, total, size=2)))
+    for ep in points + [total]:
+        s_i = dataclasses.replace(s_full, epochs=ep)
+        _, p_res, _ = train(s_i, feats, labels, checkpoint_dir=str(d),
+                            checkpoint_every=ce)
+    for a, b in zip(jax.tree.leaves(p_res), jax.tree.leaves(p_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
