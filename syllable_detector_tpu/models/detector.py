@@ -548,6 +548,24 @@ class Detector:
             n += 1
         return n
 
+    def note_gap(self, n: int = 0) -> None:
+        """Register a capture discontinuity (``n`` samples lost — an
+        upstream ring overflow, or an externally observed gap): windows
+        must never straddle missing audio, so the streaming state resets
+        and the stream re-warms on the far side exactly like a fresh one
+        (the warm-up rule of SyllableDetector.swift:164-178 re-applies).
+
+        Evaluable pre-gap hops still buffered are DISCARDED — call
+        :meth:`drain` first to flush them. ``n`` is accepted for API
+        symmetry with :meth:`DetectorBank.note_gap`; a plain Detector
+        keeps no absolute stream clock, so only the discontinuity itself
+        matters here."""
+        self._residual = np.zeros(0, np.float32)
+        self._history = jnp.zeros(
+            (self.spec.history, self.spec.n_bins), jnp.float32
+        )
+        self._frames_seen = 0
+
     def seen_syllable(self) -> bool:
         """Drain and OR detections on output 0
         (SyllableDetector.swift:220-230)."""

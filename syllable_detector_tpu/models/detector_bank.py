@@ -52,11 +52,32 @@ class _Segment:
     sample index (in the lane's true stream) of ``data[0]``; it advances
     as drained hops are trimmed. ``closed`` segments precede a gap and can
     never be extended — their remaining evaluable hops drain out, then the
-    segment is discarded."""
+    segment is discarded.
+
+    Appends land in ``pending`` (a chunk list) and are merged into
+    ``data`` lazily by :meth:`consolidate` — concatenating per append
+    would copy the whole accumulated segment every chunk, turning a
+    small-chunk capture loop quadratic (~50 GB of memcpy to buffer 30 s
+    of 64-sample chunks)."""
 
     start: int
     data: np.ndarray
     closed: bool = False
+    pending: list = dataclasses.field(default_factory=list)
+    pending_len: int = 0
+
+    @property
+    def total_len(self) -> int:
+        return len(self.data) + self.pending_len
+
+    def consolidate(self) -> np.ndarray:
+        """Merge pending chunks into ``data`` (one concatenate) and
+        return it — call before reading sample contents."""
+        if self.pending:
+            self.data = np.concatenate([self.data, *self.pending])
+            self.pending.clear()
+            self.pending_len = 0
+        return self.data
 
 
 class DetectorBank:
@@ -149,7 +170,7 @@ class DetectorBank:
 
     def buffered_samples(self, lane: int) -> int:
         """Samples currently buffered (across segments) for one lane."""
-        return sum(len(s.data) for s in self._segments[lane])
+        return sum(s.total_len for s in self._segments[lane])
 
     def append_audio_data(self, lane: int, samples: np.ndarray) -> bool:
         """Buffer a chunk for one lane. Returns False when the chunk was
@@ -163,7 +184,9 @@ class DetectorBank:
             return False
         segs = self._segments[lane]
         if segs and not segs[-1].closed:
-            segs[-1].data = np.concatenate([segs[-1].data, samples])
+            # O(chunk): queue the copy in pending; drain consolidates once
+            segs[-1].pending.append(samples.copy())
+            segs[-1].pending_len += n
         else:
             segs.append(_Segment(start=self._offered[lane], data=samples.copy()))
         self._offered[lane] += n
@@ -212,7 +235,7 @@ class DetectorBank:
         segs = self._segments[lane]
         while segs:
             front = segs[0]
-            f = num_frames(len(front.data), spec.window_length, spec.window_overlap)
+            f = num_frames(front.total_len, spec.window_length, spec.window_overlap)
             avail = max(0, f - (t - 1))
             if avail or not front.closed:
                 return avail
@@ -255,7 +278,7 @@ class DetectorBank:
             for i in range(self.n_lanes):
                 if avail[i] <= 0:
                     continue
-                data = self._segments[i][0].data
+                data = self._segments[i][0].consolidate()
                 m = min(len(data), need)
                 xs[i, :m] = data[:m]
             outs = np.asarray(self._batched_outputs(jnp.asarray(xs)))[:, :take]
@@ -337,7 +360,10 @@ class DetectorBank:
         """Snapshot every lane's streaming state as plain numpy arrays."""
         return {
             "segments": [
-                [(int(s.start), s.data.copy(), bool(s.closed)) for s in segs]
+                [
+                    (int(s.start), s.consolidate().copy(), bool(s.closed))
+                    for s in segs
+                ]
                 for segs in self._segments
             ],
             "offered": list(self._offered),

@@ -45,6 +45,18 @@ from syllable_detector_tpu.utils.wav import read_audio
 __all__ = ["main"]
 
 
+def _drain_grace() -> float:
+    """Final-drain timeout: device compiles must not stall the last
+    chunk's results; on non-CPU backends give it a compile-sized window
+    (a cold fused bucket is a 5-10 minute remote Mosaic compile)."""
+    try:
+        import jax
+
+        return 900.0 if jax.default_backend() != "cpu" else 10.0
+    except Exception:  # pragma: no cover
+        return 10.0
+
+
 def interactive_loop(args, input_fn=input, out=print) -> int:
     """The GUI control flow as a REPL (testable via injected input_fn).
 
@@ -101,7 +113,9 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
         # otherwise block the REPL for the stream's remaining duration)
         if not getattr(args, "realtime", False):
             interface.wait_until_done(timeout=5.0)
-        proc.drain_pending()
+        # same compile-sized grace as main(): a cold fused bucket on the
+        # final chunk must not make 'stop' silently under-report
+        proc.drain_pending(timeout=_drain_grace())
         proc.tear_down()
         out(f"stopped; detections per channel: {proc.lane_detections()}")
         proc = None
@@ -172,8 +186,16 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 channels=channels, sample_rate=rate
             )
             output = AudioTTLOutput(out_interface)
-            proc = Processor(interface, entries, output)
-            proc.set_up()
+            try:
+                # spec validation happens HERE (bad freq range, layer
+                # size mismatch, ...) — a traceback would kill the whole
+                # REPL and every loaded row, unlike main()'s guarded path
+                proc = Processor(interface, entries, output)
+                proc.set_up()
+            except Exception as e:
+                out(f"start failed: {type(e).__name__}: {e}")
+                proc = None
+                continue
             out(f"running: {len(proc.entries)} detector(s) over "
                 f"{channels} channel(s)")
         elif cmd == "stop":
@@ -242,7 +264,8 @@ def main(argv=None) -> int:
         action="store_true",
         help="Drain ALL channels in one fused DetectorBank device call per "
         "round (per-channel distinct nets ride the batched kernel) instead "
-        "of per-lane drains; requires all nets to share one geometry.",
+        "of per-lane drains; lanes group by pipeline geometry, so mixed "
+        "geometries batch within each compatible group.",
     )
     p.add_argument(
         "--warm-up",
@@ -447,13 +470,8 @@ def main(argv=None) -> int:
         return 1
     # device compiles must not stall the live worker mid-stream; on
     # non-CPU backends give the final drain a compile-sized grace window
-    try:
-        import jax
-
-        on_accel = jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        on_accel = False
-    drain_timeout = 900.0 if on_accel else 10.0
+    drain_timeout = _drain_grace()
+    on_accel = drain_timeout > 10.0
 
     if args.warm_up:
         print("warming up drain shapes (first time can take minutes on TPU)…",
@@ -503,14 +521,32 @@ def main(argv=None) -> int:
             )
         print("\n".join(cols))
 
-    t_end = time.monotonic() + (args.duration if args.realtime else 60.0)
+    # wall-clock backstop: realtime runs for --duration by construction;
+    # a non-realtime replay streams as fast as it drains, so the cap only
+    # guards against a hung source — scale it with the workload instead
+    # of a fixed 60 s (which silently truncated long replays) and WARN
+    # when it fires
+    wall_cap = (
+        args.duration
+        if args.realtime
+        else max(60.0, 10.0 * args.duration) + (drain_timeout if on_accel else 0.0)
+    )
+    t_end = time.monotonic() + wall_cap
+    stream_done = False
     try:
         while time.monotonic() < t_end:
             if interface.wait_until_done(timeout=args.refresh):
+                stream_done = True
                 break
             print_table()
     except KeyboardInterrupt:
         pass
+    if not args.realtime and not stream_done:
+        print(
+            f"warning: stream not finished after the {wall_cap:.0f} s wall "
+            f"cap; results below cover only the audio processed so far",
+            file=sys.stderr,
+        )
     proc.drain_pending(timeout=drain_timeout)
     print_table()  # final levels after the stream ends
     proc.tear_down()

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import queue
 import threading
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -155,6 +155,18 @@ class _Lane:
     # capture callback — a dead/unplugged mic shows as a growing age
     # (the reference's GUI shows per-channel RMS going quiet instead,
     # ViewControllerProcessor.swift:278-284)
+    # -- gap bookkeeping between the two threads ---------------------------
+    # A ring-overflow drop leaves a hole in the lane's stream that the
+    # detector/bank must know about (windows must never straddle missing
+    # audio, and sample indices must stay true). The capture thread
+    # records each drop as (produced_samples at drop time, n dropped);
+    # the worker splices the gap into the stream at exactly that
+    # position while feeding consumed ring samples (list.append /
+    # prefix-del are GIL-atomic, so no lock is needed).
+    produced_samples: int = 0  # capture thread: samples produced into ring
+    appended_samples: int = 0  # worker: consumed samples fed to the sink
+    gap_events: list = field(default_factory=list)  # capture appends; worker acks
+    gap_acked: int = 0  # worker: index of the first un-acked gap event
 
 
 class Processor:
@@ -248,6 +260,7 @@ class Processor:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.drain_errors = 0  # transient per-drain failures survived
+        self.output_errors = 0  # output-backend write failures survived
 
         interface_input.delegate = self.receive_audio
 
@@ -289,10 +302,16 @@ class Processor:
 
         if not lane.ring.produce(data):
             # overflow is a hard error in the reference
-            # (CircularShortTimeFourierTransform.swift:199); count and drop
+            # (CircularShortTimeFourierTransform.swift:199); count and
+            # drop — and record WHERE in the stream the hole sits
+            # (produced_samples so far), so the worker can splice a gap
+            # into the detector/bank at the true position instead of
+            # silently gluing post-gap audio onto pre-gap audio
             lane.overflows += 1
             lane.dropped_samples += len(data)
+            lane.gap_events.append((lane.produced_samples, len(data)))
             return
+        lane.produced_samples += len(data)
 
         self._work.put(index)
 
@@ -305,24 +324,29 @@ class Processor:
             except queue.Empty:
                 continue
             # batched mode: coalesce every already-queued work item into ONE
-            # bank drain — each lane's callback enqueues an item per round,
-            # and a drain per item would call prepare_output n_lanes times
-            # per round, decaying the Arduino 20-drain TTL hold n_lanes
-            # times too fast (Processor.swift:233 counts capture rounds)
+            # bank drain, remembering WHICH lanes' capture chunks this round
+            # covers — prepare_output(seen=False) fires only for those, so
+            # the Arduino 20-drain TTL hold decays once per capture chunk
+            # per lane exactly like per-lane mode (Processor.swift:233
+            # counts capture rounds), no matter how the worker and the
+            # capture fan-out interleave
             extra = 0
+            indices = [] if index < 0 else [index]
             if self._banks:
                 while True:
                     try:
-                        self._work.get_nowait()
+                        j = self._work.get_nowait()
                         extra += 1
+                        if j >= 0:
+                            indices.append(j)
                     except queue.Empty:
                         break
             try:
-                if index < 0 and extra == 0:
+                if not indices:
                     continue
                 try:
                     if self._banks:
-                        self._drain_all()
+                        self._drain_all(set(indices))
                     else:
                         self._drain_lane(index, self._lanes[index])
                 except Exception as e:
@@ -344,6 +368,50 @@ class Processor:
                 for _ in range(extra):
                     self._work.task_done()
 
+    def _feed_with_gaps(self, lane: _Lane, samples, append_fn, gap_fn) -> None:
+        """Feed consumed ring samples to the sink, splicing each capture
+        overflow gap in at its TRUE in-stream position. Each gap event
+        carries the lane's produced-sample count at drop time; comparing
+        it against the worker's cumulative appended count locates the
+        hole exactly, even when pre- and post-gap samples sit in the
+        ring together."""
+        base = lane.appended_samples
+        n = len(samples)
+        pos = 0
+        while lane.gap_acked < len(lane.gap_events):
+            marker, dropped = lane.gap_events[lane.gap_acked]
+            cut = marker - base
+            if cut > n:
+                break  # the gap lies beyond the samples consumed so far
+            cut = max(cut, pos)
+            if cut > pos:
+                append_fn(samples[pos:cut])
+            pos = cut
+            gap_fn(dropped)
+            lane.gap_acked += 1
+        if pos < n:
+            append_fn(samples[pos:] if pos else samples)
+        lane.appended_samples = base + n
+        if lane.gap_acked:
+            # drop the acked prefix (appends only ever extend the tail,
+            # so trimming what we have acked is race-free under the GIL)
+            del lane.gap_events[: lane.gap_acked]
+            lane.gap_acked = 0
+
+    def _report_output_error(self, index, e) -> None:
+        # output backend errors are counted and logged, not fatal
+        # (Processor.swift:272-276 logs and continues) — a silently
+        # swallowed exception would stop TTL output with zero diagnostics
+        self.output_errors += 1
+        if self.output_errors <= 5:
+            import sys
+
+            print(
+                f"processor: output backend error on lane {index}: "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+
     def _drain_lane(self, index: int, lane: _Lane) -> None:
         # per-drain latency stats (the reference instruments the same
         # boundary in its simulator, ViewControllerSimulator.swift:291-318)
@@ -352,9 +420,26 @@ class Processor:
         samples = lane.ring.peek()
         if len(samples):
             lane.ring.consume(len(samples))
-            lane.detector.append_audio_data(samples)
 
-        outs = lane.detector.drain()
+        det = lane.detector
+        out_parts = []
+
+        def on_gap(n_lost):
+            # flush evaluable pre-gap hops, then re-warm past the hole
+            pre = det.drain()
+            if len(pre):
+                out_parts.append(pre)
+            det.note_gap(n_lost)
+
+        self._feed_with_gaps(lane, samples, det.append_audio_data, on_gap)
+        tail = det.drain()
+        if len(tail):
+            out_parts.append(tail)
+        outs = (
+            np.concatenate(out_parts, axis=0)
+            if out_parts
+            else np.zeros((0, det.spec.net.outputs), np.float32)
+        )
         Time.save_with_name(
             "process" if len(outs) else "skip", _time_ns() - t_start
         )
@@ -368,14 +453,19 @@ class Processor:
                 lane.detections += n_hits
         try:
             self.output.prepare_output(index, lane.entry, seen)
-        except Exception:
-            pass  # output backend errors are logged, not fatal
-            # (Processor.swift:272-276 logs and continues)
+        except Exception as e:
+            self._report_output_error(index, e)
 
-    def _drain_all(self) -> None:
+    def _drain_all(self, drained: Optional[set] = None) -> None:
         """Batched-drain mode: move every lane's ring into its geometry
         group's bank and evaluate each group's new hops in one fused
-        device call per group."""
+        device call per group. ``drained`` is the set of lane indices
+        whose capture chunks this round covers (default: all lanes) —
+        quiet-drain TTL decay (prepare_output with seen=False) fires only
+        for those, keeping the Arduino hold-counter cadence at one step
+        per capture chunk like per-lane mode."""
+        if drained is None:
+            drained = set(range(len(self._lanes)))
         t_start = _time_ns()
         any_outs = False
         seen_flags = [False] * len(self._lanes)
@@ -390,13 +480,26 @@ class Processor:
                     samples = lane.ring.peek()
                     if len(samples):
                         lane.ring.consume(len(samples))
-                        if not bank.append_audio_data(j, samples):
+
+                    def _append(chunk, j=j, lane=lane, bank=bank):
+                        if not bank.append_audio_data(j, chunk):
                             # the bank's max_buffer cap dropped the chunk:
                             # surface it on the lane like a ring overflow,
                             # so audio loss stays visible to monitoring
                             # (worker-thread-only counters — see _Lane)
                             lane.bank_overflows += 1
-                            lane.bank_dropped_samples += len(samples)
+                            lane.bank_dropped_samples += len(chunk)
+
+                    # splice ring-overflow gaps in at their true stream
+                    # positions — the bank closes the segment and advances
+                    # its stream clock (note_gap), so post-gap outputs
+                    # keep sample-accurate indices
+                    self._feed_with_gaps(
+                        lane,
+                        samples,
+                        _append,
+                        lambda n_lost, j=j, bank=bank: bank.note_gap(j, n_lost),
+                    )
                 outs = bank.drain()  # [len(idxs), n_max, outputs] padded
                 counts = bank.last_counts
             except Exception as e:
@@ -430,13 +533,16 @@ class Processor:
             "process" if any_outs else "skip", _time_ns() - t_start
         )
         for i, lane in enumerate(self._lanes):
-            # called per drain even without new outputs — the Arduino hold
-            # counter decrements on quiet drains (Processor.swift:147,
-            # 277-293)
+            # a detection always fires; quiet decay only for lanes whose
+            # capture chunk this round consumed — the Arduino hold counter
+            # decrements once per capture chunk (Processor.swift:147,
+            # 277-293), not once per worker wake-up
+            if not (seen_flags[i] or i in drained):
+                continue
             try:
                 self.output.prepare_output(i, lane.entry, seen_flags[i])
-            except Exception:
-                pass  # output backend errors are logged, not fatal
+            except Exception as e:
+                self._report_output_error(i, e)
 
     def warm_up(self, buckets=None) -> int:
         """Eagerly compile every drain shape this processor can hit (the

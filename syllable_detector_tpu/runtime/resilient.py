@@ -223,16 +223,27 @@ class ResilientDetector:
         self._proc.start()
         child_conn.close()
         self._conn = parent_conn
-        status, payload = self._recv()
-        if status != "ready":
-            raise RuntimeError(f"detector child failed to start: {payload}")
-        if self._snapshot is not None:
-            self._request(("set_state", self._snapshot))
-        for entry in self._journal:
-            if entry[0] == "gap":
-                self._request(("note_gap", entry[1], entry[2]))
-            else:
-                self._request(("append", entry[1], entry[2]))
+        try:
+            status, payload = self._recv()
+            if status != "ready":
+                raise RuntimeError(f"detector child failed to start: {payload}")
+            if self._snapshot is not None:
+                self._request(("set_state", self._snapshot))
+            for entry in self._journal:
+                if entry[0] == "gap":
+                    self._request(("note_gap", entry[1], entry[2]))
+                else:
+                    self._request(("append", entry[1], entry[2]))
+        except DetectorChildError:
+            raise  # semantic replay failure: child is alive and sane
+        except Exception:
+            # a hung/failed handshake must not LEAK the child: when this
+            # escapes __init__ (e.g. a TimeoutError while the TPU backend
+            # hangs initializing) no instance exists, close() can never
+            # run, and a daemon child would keep the exclusive device
+            # claim for the rest of the parent's life
+            self._kill_child()
+            raise
 
     def _recv(self):
         if not self._conn.poll(self.timeout):

@@ -306,3 +306,29 @@ def test_detector_fused_streaming_deep_net(sample_config, rng):
         got, want[: len(got)], rtol=1e-3, atol=2e-4
     )
     assert len(got) >= len(want) - 8  # all but the tail partial drains out
+
+
+def test_detector_note_gap_rewarmup(sample_config, rng):
+    """note_gap closes the stream at a capture discontinuity: post-gap
+    outputs must match a FRESH detector fed only the post-gap audio
+    (windows never straddle the hole; the warm-up rule of
+    SyllableDetector.swift:164-178 re-applies)."""
+    pre = make_audio(rng, seconds=0.25)
+    post = make_audio(rng, seconds=0.25) * 0.7
+
+    det = Detector(sample_config)
+    det.append_audio_data(pre)
+    pre_outs = det.drain()
+    det.note_gap(12345)  # n is bookkeeping-only on a plain Detector
+    det.append_audio_data(post)
+    got = det.drain()
+
+    fresh = Detector(sample_config)
+    fresh.append_audio_data(post)
+    want = fresh.drain()
+    np.testing.assert_array_equal(got, want)
+
+    # and the pre-gap outputs were the uninterrupted prefix
+    oracle = Detector(sample_config)
+    oracle.append_audio_data(pre)
+    np.testing.assert_array_equal(pre_outs, oracle.drain())

@@ -540,3 +540,32 @@ def test_bank_drain_releases_consumed_buffers(sample_config):
     for s in segs:
         base = s.data.base
         assert base is None or base.nbytes <= 2 * s.data.nbytes
+
+
+def test_bank_small_chunk_appends_linear_and_exact(sample_config):
+    """Appends land in the segment's pending chunk list (O(chunk) each,
+    consolidated once per drain) — a small-chunk capture loop must not go
+    quadratic — and the drained outputs stay identical to one big
+    append."""
+    rng = np.random.default_rng(11)
+    audio = make_audio(rng, seconds=0.4)
+
+    bank = DetectorBank([sample_config])
+    pos = 0
+    n_chunks = 0
+    while pos < len(audio):
+        step = int(rng.integers(32, 96))
+        bank.append_audio_data(0, audio[pos : pos + step])
+        pos += step
+        n_chunks += 1
+    # bookkeeping sees through the pending list
+    assert bank.buffered_samples(0) == len(audio)
+    seg = bank._segments[0][0]
+    assert len(seg.pending) == n_chunks - 1  # first chunk opened the segment
+    got = bank.drain()[0, : bank.last_counts[0]]
+    assert not seg.pending  # drain consolidated exactly once
+
+    oracle = DetectorBank([sample_config])
+    oracle.append_audio_data(0, audio)
+    want = oracle.drain()[0, : oracle.last_counts[0]]
+    np.testing.assert_array_equal(got, want)

@@ -293,3 +293,37 @@ def test_monitor_arduino_native_output(chirp_wav, capsys):
         l for l in out.splitlines() if l.startswith("Arduino events")
     )
     assert int(ev_line.split(":", 1)[1]) > 0
+
+
+def test_monitor_interactive_start_failure_keeps_repl(tmp_path):
+    """A net that PARSES but fails spec validation (freq range past
+    Nyquist) must print 'start failed' and keep the REPL alive — not kill
+    it with a traceback (main()'s guarded path already did this)."""
+    import argparse
+    import dataclasses
+
+    from syllable_detector_tpu.config.model_format import dumps_config, load_config
+    from syllable_detector_tpu.monitor import interactive_loop
+
+    cfg = load_config(NET)
+    bad = dataclasses.replace(cfg, freq_range=(30000.0, 40000.0))
+    bad_net = tmp_path / "bad.txt"
+    bad_net.write_text(dumps_config(bad))
+
+    args = argparse.Namespace(audio=None, duration=0.2, realtime=False)
+    commands = iter([
+        f"load 0 {bad_net}",
+        "start",          # spec validation raises inside Processor()
+        f"load 0 {NET}",  # REPL is still alive: recover with a good net
+        "start",
+        "stop",
+        "quit",
+    ])
+    out_lines = []
+    rc = interactive_loop(
+        args, input_fn=lambda p: next(commands), out=out_lines.append
+    )
+    assert rc == 0
+    text = "\n".join(out_lines)
+    assert "start failed" in text and "frequency range" in text
+    assert "running: 1 detector(s)" in text  # the recovery start worked

@@ -180,3 +180,33 @@ def test_resilient_warm_up_keeps_journal_consistent(sample_config):
         out = r.drain()
         assert r.restarts >= 1
     np.testing.assert_allclose(out[0], want, rtol=1e-3, atol=2e-4)
+
+
+def test_resilient_init_handshake_failure_kills_child(sample_config, monkeypatch):
+    """A failed/hung ready handshake must not LEAK the spawned child: the
+    exception escapes __init__ (no instance -> close() can never run), so
+    _start_child itself reaps the process — otherwise a daemon child
+    holding the exclusive TPU claim starves every retry in this parent."""
+    from syllable_detector_tpu.runtime import resilient as rmod
+
+    killed = []
+    orig_kill = rmod.ResilientDetector._kill_child
+
+    def spy_kill(self):
+        killed.append(self._proc)
+        orig_kill(self)
+
+    def bad_recv(self):
+        raise TimeoutError("simulated hung handshake")
+
+    monkeypatch.setattr(rmod.ResilientDetector, "_recv", bad_recv)
+    monkeypatch.setattr(rmod.ResilientDetector, "_kill_child", spy_kill)
+
+    with pytest.raises(TimeoutError):
+        rmod.ResilientDetector(sample_config, timeout=5.0)
+
+    assert killed, "constructor failure did not reap the child"
+    proc = killed[0]
+    assert proc is not None
+    proc.join(timeout=10)
+    assert not proc.is_alive()

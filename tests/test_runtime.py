@@ -668,3 +668,188 @@ def test_live_end_to_end_ttl_latency(sample_config):
     assert latency >= 0.8 * fill, (latency, fill)
     # generous CI bound: fill + drain batching + host scheduling
     assert latency < 0.35, latency
+
+
+# ---------------------------------------------------------------------------
+# capture-gap propagation (ring overflow -> detector/bank discontinuity)
+# ---------------------------------------------------------------------------
+
+
+def test_feed_with_gaps_splices_at_true_positions(sample_config):
+    """_feed_with_gaps places each recorded overflow hole at its exact
+    produced-sample position, even when pre- and post-gap samples sit in
+    the consumed chunk together, and coalesces the acked event prefix."""
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(lambda *a: None),
+    )
+    lane = proc._lanes[0]
+    events = []
+    append = lambda chunk: events.append(("a", len(chunk)))
+    gap = lambda n: events.append(("g", n))
+
+    # two consecutive drops at produced=100, then samples 0..159 arrive
+    lane.gap_events.extend([(100, 50), (100, 30)])
+    proc._feed_with_gaps(lane, np.zeros(160, np.float32), append, gap)
+    assert events == [("a", 100), ("g", 50), ("g", 30), ("a", 60)]
+    assert lane.appended_samples == 160
+    assert lane.gap_events == [] and lane.gap_acked == 0  # acked + trimmed
+
+    # a gap beyond the consumed samples waits for the next round
+    events.clear()
+    lane.gap_events.append((200, 10))
+    proc._feed_with_gaps(lane, np.zeros(30, np.float32), append, gap)
+    assert events == [("a", 30)]  # 160+30=190 < 200: hole not reached yet
+    proc._feed_with_gaps(lane, np.zeros(10, np.float32), append, gap)
+    assert events == [("a", 30), ("a", 10), ("g", 10)]
+    assert lane.appended_samples == 200 and lane.gap_events == []
+
+
+def test_ring_overflow_gap_propagates_to_bank(sample_config):
+    """A chunk dropped at the FULL ring must become a bank note_gap at its
+    true stream position: post-gap outputs carry sample-accurate indices
+    and match an oracle bank fed the same gapped stream — not silently
+    spliced onto pre-gap audio (the reference's accounting is
+    sample-accurate, SyllableDetectorCLI/TrackDetector.swift:67-68)."""
+    rng = np.random.default_rng(7)
+    pre = make_audio(rng, seconds=0.2)
+    lost = make_audio(rng, seconds=0.3)
+    post = make_audio(rng, seconds=0.2)
+    rate = sample_config.sampling_rate
+
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(lambda *a: None),
+        batched=True,
+        ring_seconds=(len(pre) + 16) / rate,  # pre fits; lost overflows
+    )
+    lane = proc._lanes[0]
+    proc.receive_audio(interface, 0, pre)
+    proc.receive_audio(interface, 0, lost)  # ring full -> dropped + recorded
+    assert lane.overflows == 1 and lane.dropped_samples == len(lost)
+    proc._drain_all()
+    got_pre = proc._bank.last_outputs.copy()
+    idx_pre = proc._bank.last_sample_indices[0].copy()
+    proc.receive_audio(interface, 0, post)
+    proc._drain_all()
+    got_post = proc._bank.last_outputs.copy()
+    idx_post = proc._bank.last_sample_indices[0].copy()
+
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    oracle = DetectorBank([sample_config])
+    oracle.append_audio_data(0, pre)
+    oracle.drain()
+    np.testing.assert_array_equal(idx_pre, oracle.last_sample_indices[0])
+    np.testing.assert_array_equal(got_pre, oracle.last_outputs)
+    oracle.note_gap(0, len(lost))
+    oracle.append_audio_data(0, post)
+    oracle.drain()
+    np.testing.assert_array_equal(idx_post, oracle.last_sample_indices[0])
+    np.testing.assert_array_equal(got_post, oracle.last_outputs)
+    # post-gap indices are in the TRUE stream domain (past pre+lost)
+    assert len(idx_post) and idx_post[0] >= len(pre) + len(lost)
+
+
+def test_ring_overflow_gap_rewarmups_per_lane_detector(sample_config):
+    """Per-lane mode: the worker flushes evaluable pre-gap hops, then
+    note_gap re-warms the Detector, so post-gap outputs match a fresh
+    detector fed only the post-gap audio."""
+    rng = np.random.default_rng(9)
+    pre = make_audio(rng, seconds=0.2)
+    lost = make_audio(rng, seconds=0.3)
+    post = make_audio(rng, seconds=0.2)
+    rate = sample_config.sampling_rate
+
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(lambda *a: None),
+        ring_seconds=(len(pre) + 16) / rate,
+    )
+    lane = proc._lanes[0]
+    proc.receive_audio(interface, 0, pre)
+    proc.receive_audio(interface, 0, lost)  # dropped
+    proc._drain_lane(0, lane)
+    proc.receive_audio(interface, 0, post)
+    proc._drain_lane(0, lane)
+
+    from syllable_detector_tpu.models.detector import Detector
+
+    # the lane's detector state equals a fresh stream fed only `post`
+    oracle = Detector(sample_config)
+    oracle.append_audio_data(post)
+    oracle.drain()
+    np.testing.assert_array_equal(lane.detector.last_outputs, oracle.last_outputs)
+    np.testing.assert_array_equal(
+        np.asarray(lane.detector._residual), np.asarray(oracle._residual)
+    )
+    assert lane.detector._frames_seen == oracle._frames_seen
+
+
+def test_batched_ttl_decay_once_per_capture_chunk(sample_config):
+    """Quiet-drain TTL decay fires only for lanes whose capture chunk the
+    round consumed: a fast worker waking once per enqueued item must not
+    decay the Arduino 20-drain hold n_lanes times per capture round."""
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=2, total_samples=0
+    )
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=sample_config)
+        for i in range(2)
+    ]
+    calls = []
+    proc = Processor(
+        interface,
+        entries,
+        CallbackOutput(lambda i, e, s: calls.append((i, s))),
+        batched=True,
+    )
+    proc._drain_all({1})  # only lane 1's chunk this round
+    assert calls == [(1, False)]
+    calls.clear()
+    proc._drain_all()  # default: all lanes (direct-call compatibility)
+    assert calls == [(0, False), (1, False)]
+
+
+def test_output_backend_errors_counted_not_swallowed(sample_config, capsys):
+    """An output backend that raises (unplugged Arduino) is counted and
+    logged — TTL silently stopping with healthy-looking stats was
+    invisible before (Processor.swift:272-276 logs and continues)."""
+
+    def boom(i, e, s):
+        raise OSError("serial port gone")
+
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(boom),
+    )
+    proc.receive_audio(interface, 0, np.zeros(2048, np.float32))
+    proc._drain_lane(0, proc._lanes[0])
+    assert proc.output_errors == 1
+    assert "output backend error" in capsys.readouterr().err
+
+    # batched mode counts too
+    proc_b = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(boom),
+        batched=True,
+    )
+    proc_b._drain_all()
+    assert proc_b.output_errors == 1
