@@ -348,8 +348,15 @@ def _check_fingerprint(directory: str, fingerprint: dict) -> None:
     fingerprint = json.loads(json.dumps(fingerprint))  # normalize tuples
     path = os.path.join(directory, "fingerprint.json")
     if os.path.exists(path):
-        with open(path) as fh:
-            saved = json.load(fh)
+        try:
+            with open(path) as fh:
+                saved = json.load(fh)
+        except (OSError, ValueError) as e:
+            raise ValueError(
+                f"checkpoint directory {directory!r} has an unreadable "
+                f"fingerprint.json ({e}); the directory predates this run "
+                f"or was corrupted — use a fresh directory"
+            ) from e
         if saved != fingerprint:
             diff = {
                 k: (saved.get(k), fingerprint.get(k))
@@ -363,8 +370,10 @@ def _check_fingerprint(directory: str, fingerprint: dict) -> None:
             )
     else:
         os.makedirs(directory, exist_ok=True)
-        with open(path, "w") as fh:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(fingerprint, fh)
+        os.replace(tmp, path)  # atomic: a crash mid-write can't brick the dir
 
 
 def _data_fingerprint(features: np.ndarray, labels: np.ndarray) -> list:
@@ -404,8 +413,13 @@ def _restore_rng_state(directory: str, epoch: int, rngs: list) -> bool:
     path = os.path.join(directory, f"rng_{epoch:08d}.json")
     if not os.path.exists(path):
         return False
-    with open(path) as fh:
-        states = json.load(fh)
+    try:
+        with open(path) as fh:
+            states = json.load(fh)
+    except (OSError, ValueError):
+        # corrupt/unreadable sidecar: the draw-and-discard fast-forward
+        # reproduces the exact same states, just slower — never abort
+        return False
     if len(states) != len(rngs):
         return False
     for r, s in zip(rngs, states):

@@ -55,6 +55,7 @@ def geometry_key(spec) -> str:
             spec.bins[1],
             spec.time_range,
             tuple(spec.net.layer_sizes),
+            tuple(spec.net.transfers),  # in-kernel VPU work differs per transfer
             spec.scaling,
         )
     )
@@ -98,12 +99,24 @@ def reset_tune_cache() -> None:
 def _save_entry(key: str, entry: dict) -> None:
     path = tune_cache_path()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    cache = dict(_load_cache())
-    cache[key] = entry
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(cache, fh, indent=1)
-    os.replace(tmp, path)  # atomic: concurrent readers see a whole file
+    # read-modify-write under an flock so concurrent tune processes (e.g.
+    # --workload batched and distinct side by side) don't lose each other's
+    # entries; re-read from disk inside the lock (never the in-process memo,
+    # which may predate another writer's entry)
+    import fcntl
+
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(path) as fh:
+                cache = json.load(fh)
+        except (OSError, ValueError):
+            cache = {}
+        cache[key] = entry
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cache, fh, indent=1)
+        os.replace(tmp, path)  # atomic: concurrent readers see a whole file
     reset_tune_cache()
 
 
@@ -221,6 +234,8 @@ def tune_flat_batch(
     trials = []
     for tile in tiles:
         if tile % 8:
+            if log:
+                log(f"tile {tile}: not a multiple of 8 — skipped")
             continue
         lay, hops = flat_admission(spec, n_evals, c, tile, distinct)
         if lay != "flat":
@@ -273,6 +288,8 @@ def tune_single(
     trials = []
     for tile in tiles:
         if tile % 8:
+            if log:
+                log(f"tile {tile}: not a multiple of 8 — skipped")
             continue
         if measure is not None:
             wps = measure(tile, 1)
@@ -357,6 +374,11 @@ def main(argv=None) -> int:
         ts = tune_single(spec, params, tiles=tuple(args.tiles), log=log)
         rows += [("single", t) for t in ts[:1]]
 
+    if not rows:
+        log("error: no admissible tile was measured (every candidate was "
+            "skipped — check --tiles are multiples of 8 and the workload "
+            "fits HBM); nothing was cached")
+        return 1
     for name, t in rows:
         print(
             f"{name}: tile {t.tile} (k={t.hops_per_row}) "

@@ -891,3 +891,32 @@ def test_resume_fuzz_bit_exact(settings, tmp_path, seed):
                             checkpoint_every=ce)
     for a, b in zip(jax.tree.leaves(p_res), jax.tree.leaves(p_full)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_corrupt_fingerprint_file_gives_clear_error(settings, tmp_path):
+    """A truncated fingerprint.json (crash mid-write on an old version)
+    surfaces as a ValueError naming the directory, not a JSONDecodeError."""
+    from syllable_detector_tpu.training.trainer import _check_fingerprint
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "fingerprint.json").write_text('{"epochs": 5, "tr')
+    with pytest.raises(ValueError, match="unreadable fingerprint"):
+        _check_fingerprint(str(d), {"epochs": 5})
+
+
+def test_corrupt_rng_sidecar_falls_back(settings, tmp_path):
+    """A corrupt rng_*.json sidecar must not abort resume: _restore_rng_state
+    returns False and the caller's draw-and-discard fast-forward (bit-exact,
+    just slower) takes over."""
+    import numpy as np
+
+    from syllable_detector_tpu.training.trainer import _restore_rng_state
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "rng_00000004.json").write_text("[{broken")
+    rng = np.random.default_rng(7)
+    before = rng.bit_generator.state
+    assert not _restore_rng_state(str(d), 4, [rng])
+    assert rng.bit_generator.state == before  # untouched on failure

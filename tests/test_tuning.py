@@ -146,3 +146,52 @@ def test_corrupt_cache_is_ignored(sample_config, tune_cache):
     reset_tune_cache()
     spec, _ = detector_spec_from_config(sample_config)
     assert tuned_flat_tile(spec, 64, 2048, False) is None
+
+
+def test_geometry_key_includes_transfers(sample_config):
+    """Same layer sizes but different transfer functions must not share a
+    tune entry — the in-kernel VPU work differs per transfer."""
+    import dataclasses
+
+    spec, _ = detector_spec_from_config(sample_config)
+    net2 = dataclasses.replace(
+        spec.net, transfers=("purelin",) * len(spec.net.transfers)
+    )
+    spec2 = dataclasses.replace(spec, net=net2)
+    assert geometry_key(spec2) != geometry_key(spec)
+
+
+def test_save_entry_survives_concurrent_writer(sample_config, tune_cache):
+    """_save_entry re-reads the file inside the lock: an entry written by
+    ANOTHER process after this process memoized the cache must survive the
+    read-modify-write (the stale-memo lost-update bug)."""
+    spec, params = detector_spec_from_config(sample_config)
+    tune_flat_batch(spec, params, c=2, n_evals=64,
+                    tiles=(64,), measure=lambda tile, hops: 1.0)
+    # memoize the current cache in-process
+    assert tuned_flat_tile(spec, 2, 64, False) == 64
+    # simulate another process appending an entry directly to the file
+    cache = json.loads(tune_cache.read_text())
+    cache["other/process/entry"] = {"tile": 512}
+    tune_cache.write_text(json.dumps(cache))
+    # this process writes a new entry from its (stale) memo epoch
+    tune_flat_batch(spec, params, c=16, n_evals=64,
+                    tiles=(64,), measure=lambda tile, hops: 1.0)
+    final = json.loads(tune_cache.read_text())
+    assert "other/process/entry" in final  # not lost
+    assert len(final) == 3
+
+
+def test_main_errors_when_nothing_admissible(sample_config, tune_cache,
+                                             tmp_path, capsys):
+    """A typo'd --tiles list (no multiple of 8) must not look like a
+    successful tune: exit 1, nothing cached, a log line per skip."""
+    net = tmp_path / "net.txt"
+    net.write_text(open("/root/reference/sample.txt").read())
+    rc = tuning.main(["-n", str(net), "--tiles", "100", "300",
+                      "--workload", "single"])
+    assert rc == 1
+    assert not tune_cache.exists()
+    err = capsys.readouterr().err
+    assert "not a multiple of 8" in err
+    assert "no admissible tile" in err
