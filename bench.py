@@ -192,7 +192,10 @@ def _tpu_reachable(timeout=180):
             [
                 sys.executable,
                 "-c",
-                "import jax; jax.devices()[0]",
+                # the platform assert matters: a failed axon init can fall
+                # back to the always-present CPU backend, which would read
+                # as "up" and defeat the outage wait loop
+                "import jax; assert jax.devices()[0].platform != 'cpu'",
             ],
             timeout=timeout,
             capture_output=True,

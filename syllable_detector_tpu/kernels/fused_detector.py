@@ -1794,8 +1794,3 @@ def _flat_core(
         hops_per_row=k, out_t=out_t,
     )
     return _flat_outputs(out, c, r * k, n_evals)
-
-
-def _flat_core_k(*args, hops_per_row: int = 8, **kw) -> jax.Array:
-    """Back-compat alias: :func:`_flat_core` with a multi-hop default."""
-    return _flat_core(*args, hops_per_row=hops_per_row, **kw)

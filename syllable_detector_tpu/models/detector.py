@@ -565,6 +565,10 @@ class Detector:
             (self.spec.history, self.spec.n_bins), jnp.float32
         )
         self._frames_seen = 0
+        # a pending partial interleaved frame is pre-gap audio too — keeping
+        # it would glue stale samples onto the post-gap stream and shift the
+        # de-interleave framing
+        self._interleave_rem = np.zeros(0, np.float32)
 
     def seen_syllable(self) -> bool:
         """Drain and OR detections on output 0

@@ -225,6 +225,22 @@ class DetectorBank:
         if segs and not segs[-1].closed:
             segs[-1].closed = True
 
+    def note_interleaved_gap(self, n: int) -> None:
+        """Register a capture gap observed on the INTERLEAVED stream
+        feeding all lanes (``n`` interleaved samples lost): every lane
+        loses ``n // n_lanes`` samples (capture devices drop whole
+        frames), and the pending partial frame from
+        :meth:`append_interleaved_audio_data` is discarded — it is
+        pre-gap audio, and prepending it to the post-gap stream would mix
+        audio across the gap and shift the de-interleave framing. The
+        lanes whose carried sample is discarded get it counted into their
+        gap so stream clocks stay sample-accurate."""
+        per_lane = n // self.n_lanes
+        rem_len = len(self._interleave_rem)
+        self._interleave_rem = np.zeros(0, np.float32)
+        for lane in range(self.n_lanes):
+            self.note_gap(lane, per_lane + (1 if lane < rem_len else 0))
+
     # -- draining -----------------------------------------------------------
 
     def _front_avail(self, lane: int) -> int:

@@ -194,6 +194,14 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 proc.set_up()
             except Exception as e:
                 out(f"start failed: {type(e).__name__}: {e}")
+                # set_up can fail midway (worker thread already started,
+                # delegate registered); tear the partial Processor down or
+                # the orphaned worker spins for the rest of the session
+                if proc is not None:
+                    try:
+                        proc.tear_down()
+                    except Exception:
+                        pass
                 proc = None
                 continue
             out(f"running: {len(proc.entries)} detector(s) over "

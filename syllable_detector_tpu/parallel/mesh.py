@@ -151,7 +151,20 @@ def sharded_fused_offline_outputs(
         return jnp.zeros((c, 0, spec.net.outputs), jnp.float32)
 
     if tile is None:
-        tile = (512 if distinct else 2048) if layout == "flat" else 256
+        if layout == "flat":
+            # same policy as the single-chip router (fused_batch_offline_
+            # outputs), applied to the PER-SHARD shape: tune-cache entry,
+            # else the measured v5e defaults (2048 shared / 1024 distinct,
+            # r4 out_t sweep), clamped for small drains
+            from syllable_detector_tpu.tuning import tuned_flat_tile
+
+            tuned = tuned_flat_tile(spec, c // d, n_evals, distinct)
+            tile = min(
+                tuned or (1024 if distinct else 2048),
+                max(8, -(-n_evals // 8) * 8),
+            )
+        else:
+            tile = 256
 
     hops = 1
     if layout == "flat":

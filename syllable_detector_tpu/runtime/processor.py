@@ -274,13 +274,18 @@ class Processor:
         self.interface_input.initialize_audio()
 
     def tear_down(self) -> None:
-        self.interface_input.tear_down_audio()
-        self._stop.set()
-        self._work.put(-1)
-        if self._worker is not None:
-            self._worker.join(timeout=10)
-            self._worker = None
-        self.output.tear_down()
+        # stop the worker even if the input teardown raises (e.g. tearing
+        # down a Processor whose set_up failed before initialize_audio) —
+        # otherwise the started worker thread leaks, spinning on its queue
+        try:
+            self.interface_input.tear_down_audio()
+        finally:
+            self._stop.set()
+            self._work.put(-1)
+            if self._worker is not None:
+                self._worker.join(timeout=10)
+                self._worker = None
+            self.output.tear_down()
 
     # -- capture-thread path (Processor.swift:102-149) ----------------------
 

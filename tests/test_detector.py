@@ -332,3 +332,27 @@ def test_detector_note_gap_rewarmup(sample_config, rng):
     oracle = Detector(sample_config)
     oracle.append_audio_data(pre)
     np.testing.assert_array_equal(pre_outs, oracle.drain())
+
+
+def test_detector_note_gap_discards_interleave_carry(sample_config, rng):
+    """A pending partial interleaved frame is PRE-gap audio: note_gap must
+    discard it, or the next append_interleaved_data would glue a stale
+    sample onto the post-gap stream and shift the de-interleave framing."""
+    channels, channel = 2, 0
+    pre = make_audio(rng, seconds=0.2)
+    post = make_audio(rng, seconds=0.2) * 0.8
+    inter_pre = np.repeat(pre, channels)[:-1]  # odd: carry pending
+    inter_post = np.repeat(post, channels)
+
+    det = Detector(sample_config)
+    det.append_interleaved_data(inter_pre, channels, channel)
+    det.drain()
+    assert len(det.get_state()["interleave_rem"]) == 1
+    det.note_gap()
+    assert len(det.get_state()["interleave_rem"]) == 0
+    det.append_interleaved_data(inter_post, channels, channel)
+    got = det.drain()
+
+    fresh = Detector(sample_config)
+    fresh.append_interleaved_data(inter_post, channels, channel)
+    np.testing.assert_array_equal(got, fresh.drain())

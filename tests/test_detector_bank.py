@@ -318,6 +318,47 @@ def test_interleaved_append(sample_config):
         det.append_interleaved_data(inter, channels=2, channel=2)
 
 
+def test_bank_note_interleaved_gap(sample_config):
+    """A gap on the INTERLEAVED capture stream discards the pending
+    partial frame (pre-gap audio) and advances every lane's stream clock
+    sample-accurately — including the extra carried sample on the lanes
+    whose slot it occupied."""
+    rng = np.random.default_rng(77)
+    a = make_audio(rng, seconds=0.25)
+    b = make_audio(rng, seconds=0.25)
+    pre = np.empty(2 * len(a), np.float32)
+    pre[0::2], pre[1::2] = a, b
+
+    bank = DetectorBank([sample_config, sample_config])
+    bank.append_interleaved_audio_data(pre[:-1])  # odd: carry pending
+    bank.drain()
+    assert len(bank._interleave_rem) == 1
+
+    lost = 2 * 1000  # interleaved samples lost at the gap
+    bank.note_interleaved_gap(lost)
+    assert len(bank._interleave_rem) == 0
+    # lane 0's carried sample is discarded into its gap; lane 1 carried none
+    assert bank.dropped_samples == [1001, 1000]
+    assert bank.overflows == [1, 1]
+
+    post = np.empty_like(pre)
+    post[0::2], post[1::2] = b, a
+    bank.append_interleaved_audio_data(post)
+    outs = bank.drain()
+
+    fresh = DetectorBank([sample_config, sample_config])
+    fresh.append_interleaved_audio_data(post)
+    want = fresh.drain()
+    np.testing.assert_array_equal(outs, want)
+    # post-gap absolute indices advanced past the gapped region:
+    # lane 0 offered len(a)-1+1001 pre-gap samples, lane 1 len(b)-1+1000
+    for lane, pre_n in ((0, len(a) + 1000), (1, len(b) - 1 + 1000)):
+        base = fresh.last_sample_indices[lane]
+        np.testing.assert_array_equal(
+            bank.last_sample_indices[lane], base + pre_n
+        )
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_bank_fuzz_random_lifecycle_vs_segment_oracle(
     sample_config, tmp_path, seed

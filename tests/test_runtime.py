@@ -363,6 +363,39 @@ def test_serial_transport_requires_pyserial(monkeypatch):
         SerialTransport("/dev/ttyUSB0")
 
 
+def test_processor_teardown_after_failed_setup_stops_worker(sample_config):
+    """set_up can fail midway (worker already started, audio init raises);
+    tear_down must still stop the worker thread — and must stop it even
+    when the input teardown raises too (a half-initialized device)."""
+    import threading
+
+    class ExplodingInput(SimulatedAudioInput):
+        def initialize_audio(self):
+            raise OSError("no such capture device")
+
+        def tear_down_audio(self):
+            raise OSError("never initialized")
+
+    interface = ExplodingInput(
+        lambda ch, start, n: np.zeros(n, np.float32),
+        channels=1, total_samples=256,
+    )
+    entries = [ProcessorEntry(input_channel=0, output_channel=0,
+                              config=sample_config)]
+    proc = Processor(interface, entries, CallbackOutput(lambda i, e, s: None))
+    before = {t.ident for t in threading.enumerate()}
+    with pytest.raises(OSError, match="no such capture device"):
+        proc.set_up()
+    with pytest.raises(OSError, match="never initialized"):
+        proc.tear_down()
+    assert proc._worker is None
+    leaked = [
+        t for t in threading.enumerate()
+        if t.ident not in before and t.is_alive()
+    ]
+    assert not leaked
+
+
 def test_processor_survives_drain_errors(sample_config):
     """A transient failure inside one drain (device/compile hiccup) must not
     kill the sole worker thread — later chunks still detect."""
