@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -241,18 +242,22 @@ class AlsaAudioInput(AudioInputInterface):
 
     def __init__(self, device: str = "default", channels: int = 1,
                  sample_rate: float = 44100.0, frame_size: int = 64,
-                 latency_us: int = 20000, lib=None):
+                 latency_us: int = 20000, lib=None, clock=None):
         self.device = device
         self.channels = channels
         self.sample_rate = sample_rate
         self.frame_size = frame_size
         self.latency_us = latency_us
         self.delegate = None
+        self.gap_delegate = None
         self._lib = lib
         self._pcm: Optional[_AlsaPcm] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.overruns = 0
+        self.lost_frames = 0  # estimated device-side losses across xruns
+        # injectable monotonic clock (tests drive the drift estimator)
+        self._clock = clock if clock is not None else time.monotonic
 
     def initialize_audio(self) -> None:
         lib = self._lib or _load_alsa()
@@ -285,17 +290,40 @@ class AlsaAudioInput(AudioInputInterface):
         lib = self._pcm.lib
         buf = np.zeros(self.frame_size * self.channels, np.float32)
         ptr = buf.ctypes.data_as(ctypes.c_void_p)
+        # drift accounting for xrun loss estimation: frames the device
+        # SHOULD have produced since the first read (wall clock × rate)
+        # minus frames actually delivered ≈ frames dropped in xruns
+        delivered = 0  # frames read + frames already charged to gaps
+        anchor = None  # monotonic stamp at the first successful read
         while not self._stop.is_set():
             got = lib.snd_pcm_readi(self._pcm.handle, ptr, self.frame_size)
             if got < 0:
                 # xrun/suspend: recover and continue (the reference counts
-                # overflows and keeps going, Processor.swift:231-235)
+                # overflows and keeps going, Processor.swift:231-235) —
+                # but the overrun DISCARDED buffered capture data, so
+                # estimate the hole and surface it as a gap (downstream
+                # sample accounting stays honest; the estimate is wall-
+                # clock drift, accurate to ~one device buffer)
                 self.overruns += 1
+                if anchor is not None:
+                    lost = int(
+                        round((self._clock() - anchor) * self.sample_rate)
+                        - delivered
+                    )
+                    if lost > 0:
+                        delivered += lost  # charged: don't double-count
+                        self.lost_frames += lost
+                        gap = self.gap_delegate
+                        if gap is not None:
+                            gap(self, lost)
                 if lib.snd_pcm_recover(self._pcm.handle, int(got), 1) < 0:
                     break
                 continue
             if got == 0:
                 continue
+            if anchor is None:
+                anchor = self._clock()
+            delivered += int(got)
             delegate = self.delegate
             if delegate is None:
                 continue

@@ -82,9 +82,17 @@ def add_device_change_listener(fn: Callable[[], None]) -> None:
 
 class AudioInputInterface:
     """Input capture: delivers per-channel float32 buffers to a delegate
-    with signature (interface, channel, samples)."""
+    with signature (interface, channel, samples).
+
+    ``gap_delegate`` (interface, lost_frames) is called from the capture
+    thread when the DEVICE itself lost audio (an ALSA xrun, a driver
+    restart): ``lost_frames`` is the estimated per-channel frame count
+    that never reached the host. Backends that cannot lose samples
+    (simulated sources, PulseAudio's daemon-buffered streams) never call
+    it."""
 
     delegate: Optional[Callable[["AudioInputInterface", int, np.ndarray], None]] = None
+    gap_delegate: Optional[Callable[["AudioInputInterface", int], None]] = None
 
     def initialize_audio(self) -> None:
         raise NotImplementedError

@@ -167,6 +167,8 @@ class _Lane:
     appended_samples: int = 0  # worker: consumed samples fed to the sink
     gap_events: list = field(default_factory=list)  # capture appends; worker acks
     gap_acked: int = 0  # worker: index of the first un-acked gap event
+    capture_gaps: int = 0  # capture thread: device-side losses (xruns)
+    capture_lost_samples: int = 0  # lane-rate samples lost device-side
 
 
 class Processor:
@@ -263,6 +265,7 @@ class Processor:
         self.output_errors = 0  # output-backend write failures survived
 
         interface_input.delegate = self.receive_audio
+        interface_input.gap_delegate = self.receive_capture_gap
 
     # -- lifecycle (Processor.swift:94-100) ---------------------------------
 
@@ -319,6 +322,31 @@ class Processor:
         lane.produced_samples += len(data)
 
         self._work.put(index)
+
+    def receive_capture_gap(self, interface, lost_frames: int) -> None:
+        """The capture DEVICE lost audio (an ALSA xrun): splice a gap of
+        the equivalent lane-rate length into every lane at its current
+        stream position, so detection timestamps stay sample-accurate
+        across the hole. Called from the capture thread (same thread as
+        :meth:`receive_audio`, so the gap-event bookkeeping stays
+        single-writer)."""
+        if lost_frames <= 0:
+            return
+        for lane in self._lanes:
+            e = lane.entry
+            if lane.resampler is not None:
+                rate = e.config.sampling_rate
+                lost = int(round(lost_frames * rate / e.resample_from))
+                # the resampler's (last sample, offset) carry refers to
+                # pre-gap audio; continuity broke, start fresh
+                lane.resampler = linear_resample_init(e.resample_from, rate)
+            else:
+                lost = int(lost_frames)
+            if lost <= 0:
+                continue
+            lane.capture_gaps += 1
+            lane.capture_lost_samples += lost
+            lane.gap_events.append((lane.produced_samples, lost))
 
     # -- worker (the serial "ProcessorQueue", Processor.swift:128-148) ------
 
@@ -621,6 +649,10 @@ class Processor:
                 "dropped_samples": (
                     lane.dropped_samples + lane.bank_dropped_samples
                 ),
+                # device-side losses (xruns) — distinct from host-side
+                # ring/bank drops: the device never delivered these
+                "capture_gaps": lane.capture_gaps,
+                "capture_lost_samples": lane.capture_lost_samples,
                 "last_audio_age_s": (
                     (now - lane.last_audio_ns) / 1e9
                     if lane.last_audio_ns is not None

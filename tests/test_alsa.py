@@ -190,6 +190,50 @@ def test_fake_capture_delivers_channels():
     assert fake.closed == 1
 
 
+def test_fake_capture_xrun_reports_gap():
+    """An xrun (readi -> -EPIPE) discards device-buffered audio; the input
+    estimates the hole by wall-clock drift (device time vs frames
+    delivered) and reports it through gap_delegate so downstream sample
+    accounting stays honest."""
+    rate = 16000.0
+    frame = 16
+    t = {"now": 0.0}
+
+    class XrunAlsa(FakeAlsa):
+        def __init__(self):
+            super().__init__(channels=1)
+            self.reads = 0
+
+        def snd_pcm_readi(self, h, ptr, frames):
+            self.reads += 1
+            if self.reads == 5:
+                t["now"] += 1000 / rate  # the device lost 1000 frames here
+                return -32  # -EPIPE: overrun
+            t["now"] += int(frames) / rate  # device delivers in real time
+            return super().snd_pcm_readi(h, ptr, frames)
+
+    fake = XrunAlsa()
+    inp = AlsaAudioInput(
+        channels=1, frame_size=frame, sample_rate=rate, lib=fake,
+        clock=lambda: t["now"],
+    )
+    gaps = []
+    done = threading.Event()
+    inp.gap_delegate = lambda interface, lost: gaps.append(lost)
+    inp.delegate = (
+        lambda interface, ch, samples: done.set() if fake.reads >= 8 else None
+    )
+    inp.initialize_audio()
+    assert done.wait(timeout=5)
+    inp.tear_down_audio()
+
+    assert inp.overruns == 1
+    # the estimate is the true hole minus the one-chunk anchor bias
+    # (the first chunk was captured before the anchor stamp)
+    assert gaps == [1000 - frame]
+    assert inp.lost_frames == 1000 - frame
+
+
 def test_fake_output_ttl_pulse():
     fake = FakeAlsa(channels=2)
     out = AlsaAudioOutput(channels=2, frame_size=16, sample_rate=16000, lib=fake)

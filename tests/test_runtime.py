@@ -792,6 +792,70 @@ def test_ring_overflow_gap_propagates_to_bank(sample_config):
     assert len(idx_post) and idx_post[0] >= len(pre) + len(lost)
 
 
+def test_capture_gap_splices_to_bank(sample_config):
+    """A DEVICE-side loss (ALSA xrun -> interface.gap_delegate) must land
+    in the detection stream exactly like a ring-overflow drop: post-gap
+    outputs carry sample-accurate indices matching an oracle bank fed the
+    same gapped stream."""
+    rng = np.random.default_rng(11)
+    pre = make_audio(rng, seconds=0.2)
+    post = make_audio(rng, seconds=0.2)
+    n_lost = 4321
+
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(lambda *a: None),
+        batched=True,
+    )
+    assert interface.gap_delegate == proc.receive_capture_gap
+    lane = proc._lanes[0]
+    proc.receive_audio(interface, 0, pre)
+    proc.receive_capture_gap(interface, n_lost)
+    assert lane.capture_gaps == 1
+    assert lane.capture_lost_samples == n_lost
+    proc.receive_audio(interface, 0, post)
+    proc._drain_all()
+    got = proc._bank.last_outputs.copy()
+    idx = proc._bank.last_sample_indices[0].copy()
+
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    oracle = DetectorBank([sample_config])
+    oracle.append_audio_data(0, pre)
+    oracle.note_gap(0, n_lost)
+    oracle.append_audio_data(0, post)
+    oracle.drain()
+    np.testing.assert_array_equal(idx, oracle.last_sample_indices[0])
+    np.testing.assert_array_equal(got, oracle.last_outputs)
+    assert proc.lane_stats()[0]["capture_lost_samples"] == n_lost
+
+
+def test_capture_gap_resampler_lane_converts_and_resets(sample_config):
+    """On a resampled lane the device-frame loss converts to lane-rate
+    samples and the resampler carry (pre-gap audio) restarts fresh."""
+    rate = sample_config.sampling_rate
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config, resample_from=2 * rate)],
+        CallbackOutput(lambda *a: None),
+    )
+    lane = proc._lanes[0]
+    # advance the resampler carry off its initial state
+    proc.receive_audio(interface, 0, np.ones(1001, np.float32))
+    carried = lane.resampler
+    proc.receive_capture_gap(interface, 1000)
+    assert lane.capture_lost_samples == 500  # 2:1 device->lane rate
+    assert lane.resampler is not carried  # continuity broke: fresh state
+    assert lane.gap_events[-1] == (lane.produced_samples, 500)
+
+
 def test_ring_overflow_gap_rewarmups_per_lane_detector(sample_config):
     """Per-lane mode: the worker flushes evaluable pre-gap hops, then
     note_gap re-warms the Detector, so post-gap outputs match a fresh
