@@ -708,6 +708,62 @@ def test_live_end_to_end_ttl_latency(sample_config):
 # ---------------------------------------------------------------------------
 
 
+def test_processor_long_stream_soak_invariants(sample_config):
+    """Endurance under sustained pressure: 20 s of audio delivered as fast
+    as the simulated device can (the non-realtime source outruns the 10 s
+    ring, forcing hundreds of genuine overflow drops) must leave NO
+    unbounded bookkeeping behind and keep the accounting exact — every
+    delivered sample either produced or counted dropped, every produced
+    sample appended, gap events acked and trimmed, bank buffers holding
+    only the sliding-window history. These are the structural guards
+    against the leak class (lists/buffers that only ever grow) that a
+    short functional test cannot catch."""
+    rng = np.random.default_rng(21)
+    audio = make_audio(rng, seconds=20.0)
+
+    def source(ch, start, n):
+        if ch == 0:
+            return audio[start : start + n]
+        return 0.001 * np.ones(n, np.float32)
+
+    interface = SimulatedAudioInput(
+        source, channels=2, total_samples=len(audio), frame_size=512
+    )
+    entries = [
+        ProcessorEntry(input_channel=i, output_channel=i, config=sample_config)
+        for i in range(2)
+    ]
+    proc = Processor(
+        interface, entries, CallbackOutput(lambda *a: None),
+        batched=True, method="matmul",
+    )
+    proc.set_up()
+    assert interface.wait_until_done(timeout=120)
+    proc.drain_pending(timeout=60)
+    proc.tear_down()
+
+    spec = proc._bank.spec
+    history_samples = spec.first_output_sample  # window + (T-1) hops
+    for lane in proc._lanes:
+        # exact loss accounting: every delivered sample is either in the
+        # produced stream or counted in a recorded drop
+        assert lane.produced_samples + lane.dropped_samples == len(audio)
+        assert lane.appended_samples == lane.produced_samples
+        # bounded bookkeeping: acked gap events are trimmed; at most a
+        # trailing few (drops after the final produced chunk) may remain
+        assert len(lane.gap_events) <= 4
+        assert lane.ring.fill < 2 * 512  # worker kept consuming
+    for j in range(2):
+        # only the sliding-window tail (plus < one chunk of unframed
+        # residue) may stay buffered — bounded, not stream-proportional
+        assert proc._bank.buffered_samples(j) <= history_samples + 512
+        # segments collapse as gaps drain: closed+drained ones are freed
+        assert len(proc._bank._segments[j]) <= 2
+    assert proc._work.unfinished_tasks == 0
+    assert proc._lanes[0].detections > 0
+    assert proc._lanes[1].detections == 0
+
+
 def test_feed_with_gaps_splices_at_true_positions(sample_config):
     """_feed_with_gaps places each recorded overflow hole at its exact
     produced-sample position, even when pre- and post-gap samples sit in
