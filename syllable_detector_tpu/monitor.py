@@ -214,7 +214,7 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 continue
             out(
                 f"{'chan':>4} {'in RMS':>10} {'max out':>10} "
-                f"{'age s':>8} {'drops':>6}"
+                f"{'age s':>8} {'drops':>6} {'lost':>6}"
             )
             for e, st in zip(proc.entries, proc.lane_stats()):
                 i = e.input_channel
@@ -224,9 +224,11 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 # delivered — a dead/unplugged mic grows here at a glance
                 age = st["last_audio_age_s"]
                 age_s = f"{age:>8.1f}" if age is not None else f"{'-':>8}"
+                # drops counts host-side overflow events; lost sums the
+                # samples the DEVICE itself never delivered (xruns)
                 out(
                     f"{i:>4} {rms:>10.4f} {o:>10.4f} {age_s} "
-                    f"{st['overflows']:>6}"
+                    f"{st['overflows']:>6} {st['capture_lost_samples']:>6}"
                 )
         else:
             out(f"unknown command {cmd!r}")
@@ -503,7 +505,9 @@ def main(argv=None) -> int:
 
     last_rms = [0.0] * args.channels
     last_out = [0.0] * args.channels
-    print(f"{'chan':>4} {'in RMS':>10} {'max out':>10} {'age s':>8}")
+    print(
+        f"{'chan':>4} {'in RMS':>10} {'max out':>10} {'age s':>8} {'lost':>6}"
+    )
 
     def print_table():
         stats = proc.lane_stats()
@@ -524,8 +528,10 @@ def main(argv=None) -> int:
             # ViewControllerProcessor.swift:278-284)
             age = by_chan.get(i, {}).get("last_audio_age_s")
             age_s = f"{age:>8.1f}" if age is not None else f"{'-':>8}"
+            lost = by_chan.get(i, {}).get("capture_lost_samples", 0)
             cols.append(
-                f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f} {age_s}"
+                f"{i:>4} {last_rms[i]:>10.4f} {last_out[i]:>10.4f} {age_s} "
+                f"{lost:>6}"
             )
         print("\n".join(cols))
 

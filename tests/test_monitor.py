@@ -34,7 +34,9 @@ def test_monitor_audio_output(chirp_wav, capsys):
     out = capsys.readouterr().out
     lines = out.splitlines()
     # channel table with header and per-channel level rows
-    assert lines[0].split() == ["chan", "in", "RMS", "max", "out", "age", "s"]
+    assert lines[0].split() == [
+        "chan", "in", "RMS", "max", "out", "age", "s", "lost",
+    ]
     rows0 = [l for l in lines if l.strip().startswith("0 ")]
     rows1 = [l for l in lines if l.strip().startswith("1 ")]
     assert rows0 and rows1
