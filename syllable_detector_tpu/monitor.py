@@ -288,6 +288,14 @@ def main(argv=None) -> int:
     p.add_argument("--realtime", action="store_true", help="Pace to wall clock.")
     p.add_argument("--refresh", type=float, default=0.1, help="Table refresh (s).")
     p.add_argument(
+        "--event-log",
+        metavar="PATH",
+        help="Append every live detection to PATH as the offline CLI's CSV "
+        "(channel,sample,seconds,out0…) with sample-accurate stream "
+        "indices — the session leaves the same record an offline re-scan "
+        "would.",
+    )
+    p.add_argument(
         "--interactive",
         action="store_true",
         help="REPL control loop: load/start/stop/table (the GUI flow).",
@@ -470,8 +478,23 @@ def main(argv=None) -> int:
             print(f"Unable to open {args.output} output: {e}", file=sys.stderr)
             return 1
 
+    event_fh = None
+    event_log = None
+    if args.event_log:
+        from syllable_detector_tpu.runtime.processor import csv_event_log
+
+        try:
+            event_fh = open(args.event_log, "a")
+        except OSError as e:
+            print(f"Unable to open --event-log: {e}", file=sys.stderr)
+            return 1
+        event_log = csv_event_log(event_fh)
+
     try:
-        proc = Processor(interface, entries, output, batched=args.batched_drain)
+        proc = Processor(
+            interface, entries, output, batched=args.batched_drain,
+            event_log=event_log,
+        )
     except ValueError as e:
         # invalid network configuration surfaced during batched-mode
         # grouping (bad freq range, input-count mismatch, ...); mixed
@@ -574,6 +597,9 @@ def main(argv=None) -> int:
     elif args.output == "arduino-native":
         events = output.arduino.transport.drain_events()
         print(f"Arduino events: {len(events)}")
+    if event_fh is not None:
+        event_fh.close()
+        print(f"event log appended to {args.event_log}", file=sys.stderr)
     return 0
 
 

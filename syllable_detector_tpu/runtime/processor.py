@@ -52,7 +52,27 @@ __all__ = [
     "AudioTTLOutput",
     "ArduinoTTLOutput",
     "CallbackOutput",
+    "csv_event_log",
 ]
+
+
+def csv_event_log(fh):
+    """A :class:`Processor` ``event_log`` sink writing the offline CLI's
+    CSV contract — ``channel,sample,seconds,out0[,out1…]``
+    (main.swift:31-40, same float formatting) — for LIVE detections, so a
+    closed-loop session leaves the same record an offline re-scan would
+    (modulo the live output-0 criterion and no debounce). Flushes per row:
+    an experiment crash must not lose buffered events."""
+    from syllable_detector_tpu.utils.fmt import fmt_double, fmt_float32
+
+    def log(channel, sample, seconds, outputs):
+        row = f"{channel},{sample},{fmt_double(seconds)}"
+        for v in outputs:
+            row += f",{fmt_float32(v)}"
+        fh.write(row + "\n")
+        fh.flush()
+
+    return log
 
 
 @dataclass
@@ -169,6 +189,15 @@ class _Lane:
     gap_acked: int = 0  # worker: index of the first un-acked gap event
     capture_gaps: int = 0  # capture thread: device-side losses (xruns)
     capture_lost_samples: int = 0  # lane-rate samples lost device-side
+    # -- per-lane stream clock (worker thread; event-log timestamps) -------
+    # Mirrors TrackDetector.swift:38-42,67-68 accounting for the PER-LANE
+    # drain mode: output k of the current contiguous segment ends at
+    # stream sample segment_start + first_output_sample + k*hop. Gaps
+    # close the segment and advance the clock (batched mode gets the same
+    # numbers from DetectorBank.last_sample_indices).
+    segment_start: int = 0  # stream position where the current segment began
+    segment_fed: int = 0  # samples fed to the detector since segment start
+    evals_done: int = 0  # outputs drained since segment start
 
 
 class Processor:
@@ -192,10 +221,19 @@ class Processor:
         ring_seconds: float = 10.0,
         batched: bool = False,
         method: Optional[str] = None,
+        event_log=None,
     ):
         self.entries = [e for e in entries if e.config is not None]
         self.output = output
         self.interface_input = interface_input
+        # optional detection event sink, called from the worker thread as
+        # event_log(input_channel, sample_index, seconds, outputs_row) for
+        # every detection (outputs[0] >= thresholds[0], the live criterion,
+        # Processor.swift:27-31) with the SAME sample-accurate stream
+        # indices the offline CLI prints (TrackDetector.swift:67-68) —
+        # gaps (ring/bank/device losses) keep the clock true. See
+        # csv_event_log for the CLI-format CSV sink.
+        self.event_log = event_log
 
         # batched mode: lanes GROUPED by pipeline geometry, one DetectorBank
         # per group — mixed-geometry deployments (the GUI loads arbitrary
@@ -431,6 +469,27 @@ class Processor:
             del lane.gap_events[: lane.gap_acked]
             lane.gap_acked = 0
 
+    def _log_events(self, lane: _Lane, indices, outs) -> None:
+        """Emit ``event_log`` rows for this drain's detections (worker
+        thread; sink failures are counted like output-backend errors,
+        never fatal). Detection criterion = outputs[0] >= thresholds[0],
+        the LIVE rule (Processor.swift:27-31) — the offline CLI's
+        any-output rule and debounce belong to TrackDetector."""
+        cfg = lane.entry.config
+        thr = np.float32(cfg.thresholds[0])
+        rate = cfg.sampling_rate
+        for k in np.flatnonzero(outs[:, 0] >= thr):
+            try:
+                self.event_log(
+                    lane.entry.input_channel,
+                    int(indices[k]),
+                    float(indices[k] / rate),
+                    np.asarray(outs[k], np.float32),
+                )
+            except Exception as e:
+                self._report_output_error(lane.entry.input_channel, e)
+                return
+
     def _report_output_error(self, index, e) -> None:
         # output backend errors are counted and logged, not fatal
         # (Processor.swift:272-276 logs and continues) — a silently
@@ -455,23 +514,46 @@ class Processor:
             lane.ring.consume(len(samples))
 
         det = lane.detector
+        spec = det.spec
         out_parts = []
 
-        def on_gap(n_lost):
-            # flush evaluable pre-gap hops, then re-warm past the hole
-            pre = det.drain()
-            if len(pre):
-                out_parts.append(pre)
-            det.note_gap(n_lost)
+        def feed(chunk):
+            lane.segment_fed += len(chunk)
+            det.append_audio_data(chunk)
 
-        self._feed_with_gaps(lane, samples, det.append_audio_data, on_gap)
-        tail = det.drain()
-        if len(tail):
-            out_parts.append(tail)
+        def flush():
+            # drain + stamp: output k of this segment ends at stream
+            # sample segment_start + first_output_sample + k*hop
+            # (TrackDetector.swift:38-42,67-68 accounting)
+            part = det.drain()
+            if len(part):
+                out_parts.append(part)
+                if self.event_log is not None:
+                    k0 = lane.evals_done
+                    idx = (
+                        lane.segment_start
+                        + spec.first_output_sample
+                        + np.arange(k0, k0 + len(part), dtype=np.int64)
+                        * spec.hop
+                    )
+                    self._log_events(lane, idx, part)
+                lane.evals_done += len(part)
+
+        def on_gap(n_lost):
+            # flush evaluable pre-gap hops, then re-warm past the hole;
+            # the stream clock advances over the fed segment AND the gap
+            flush()
+            det.note_gap(n_lost)
+            lane.segment_start += lane.segment_fed + n_lost
+            lane.segment_fed = 0
+            lane.evals_done = 0
+
+        self._feed_with_gaps(lane, samples, feed, on_gap)
+        flush()
         outs = (
             np.concatenate(out_parts, axis=0)
             if out_parts
-            else np.zeros((0, det.spec.net.outputs), np.float32)
+            else np.zeros((0, spec.net.outputs), np.float32)
         )
         Time.save_with_name(
             "process" if len(outs) else "skip", _time_ns() - t_start
@@ -562,6 +644,12 @@ class Processor:
                     if n_hits:
                         seen_flags[i] = True
                         lane.detections += n_hits
+                    if self.event_log is not None:
+                        # the bank's indices are already sample-accurate
+                        # across gaps — same clock as the per-lane mode
+                        self._log_events(
+                            lane, bank.last_sample_indices[j], o
+                        )
         Time.save_with_name(
             "process" if any_outs else "skip", _time_ns() - t_start
         )

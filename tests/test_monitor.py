@@ -53,6 +53,52 @@ def test_monitor_audio_output(chirp_wav, capsys):
     assert int(ttl_line.split(":", 1)[1]) > 0
 
 
+def test_monitor_event_log(chirp_wav, capsys, tmp_path):
+    """--event-log leaves the offline CLI's CSV record for the live
+    session: one row per detection, sample indices on the hop grid
+    starting at the warm-up boundary, seconds = sample/rate."""
+    log_path = tmp_path / "events.csv"
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "2",
+         "--duration", "1.0", "--event-log", str(log_path)]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    det_line = next(
+        l for l in out.splitlines() if l.startswith("detections per channel")
+    )
+    dets = eval(det_line.split(":", 1)[1])
+
+    from syllable_detector_tpu.config.model_format import load_config
+
+    cfg = load_config(NET)
+    hop = cfg.window_length - cfg.window_overlap
+    first = cfg.window_length + hop * (cfg.time_range - 1)
+    rows = log_path.read_text().strip().splitlines()
+    assert len(rows) == sum(dets)  # one CSV row per counted detection
+    by_ch = {0: 0, 1: 0}
+    for r in rows:
+        parts = r.split(",")
+        ch, sample, seconds = int(parts[0]), int(parts[1]), float(parts[2])
+        outputs = [float(v) for v in parts[3:]]
+        by_ch[ch] += 1
+        assert (sample - first) % hop == 0 and sample >= first
+        assert abs(seconds - sample / cfg.sampling_rate) < 1e-9
+        assert len(outputs) == 1 and outputs[0] >= cfg.thresholds[0]
+    assert by_ch[0] == dets[0] and by_ch[1] == dets[1]
+
+    # batched-drain mode leaves the identical record (same clock)
+    log2 = tmp_path / "events2.csv"
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "2", "--duration", "1.0",
+         "--batched-drain", "--event-log", str(log2)]
+    )
+    assert rc == 0
+    rows2 = log2.read_text().strip().splitlines()
+    key = lambda r: (int(r.split(",")[0]), int(r.split(",")[1]))
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
 def test_monitor_arduino_output(chirp_wav, capsys):
     rc = monitor_main(
         ["-n", NET, "-a", chirp_wav, "--output", "arduino", "--duration", "0.6"]

@@ -912,6 +912,86 @@ def test_capture_gap_resampler_lane_converts_and_resets(sample_config):
     assert lane.gap_events[-1] == (lane.produced_samples, 500)
 
 
+def test_event_log_per_lane_matches_batched_and_oracle(sample_config):
+    """The live event log carries sample-accurate stream indices in BOTH
+    drain modes, agreeing with each other and with a DetectorBank oracle
+    fed the same gapped stream — including across a device-loss gap."""
+    rng = np.random.default_rng(13)
+    pre = make_audio(rng, seconds=0.25)
+    post = make_audio(rng, seconds=0.25)
+    n_lost = 3333
+
+    def run(batched):
+        events = []
+        interface = SimulatedAudioInput(
+            lambda ch, s, n: np.zeros(n, np.float32), channels=1,
+            total_samples=0,
+        )
+        proc = Processor(
+            interface,
+            [ProcessorEntry(0, 0, sample_config)],
+            CallbackOutput(lambda *a: None),
+            batched=batched,
+            method="matmul",
+            event_log=lambda ch, s, t, o: events.append(
+                (ch, s, t, tuple(np.asarray(o).tolist()))
+            ),
+        )
+        lane = proc._lanes[0]
+        drain = (lambda: proc._drain_all()) if batched else (
+            lambda: proc._drain_lane(0, lane)
+        )
+        proc.receive_audio(interface, 0, pre)
+        drain()
+        proc.receive_capture_gap(interface, n_lost)
+        proc.receive_audio(interface, 0, post)
+        drain()
+        return events
+
+    per_lane = run(batched=False)
+    batched = run(batched=True)
+    # stream indices agree EXACTLY across modes; outputs to float ulps
+    # (the padded batched evaluation reduces in a different order)
+    assert [(e[0], e[1], e[2]) for e in per_lane] == [
+        (e[0], e[1], e[2]) for e in batched
+    ]
+    np.testing.assert_allclose(
+        [e[3] for e in per_lane], [e[3] for e in batched],
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(per_lane) > 0
+
+    # oracle: the bank's own sample accounting on the same gapped stream
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    spec_thr = np.float32(sample_config.thresholds[0])
+    rate = sample_config.sampling_rate
+    want = []
+    oracle = DetectorBank([sample_config], method="matmul")
+    for feed in (pre, None, post):
+        if feed is None:
+            oracle.note_gap(0, n_lost)
+            continue
+        oracle.append_audio_data(0, feed)
+        outs = oracle.drain()
+        o = outs[0, : oracle.last_counts[0]]
+        idx = oracle.last_sample_indices[0]
+        for k in np.flatnonzero(o[:, 0] >= spec_thr):
+            want.append(
+                (0, int(idx[k]), float(idx[k] / rate),
+                 tuple(np.asarray(o[k]).tolist()))
+            )
+    assert [(e[0], e[1], e[2]) for e in per_lane] == [
+        (e[0], e[1], e[2]) for e in want
+    ]
+    np.testing.assert_allclose(
+        [e[3] for e in per_lane], [e[3] for e in want],
+        rtol=1e-5, atol=1e-6,
+    )
+    # and a gap really sits between the two bursts: post-gap indices jump
+    assert any(s >= len(pre) + n_lost for _, s, _, _ in per_lane)
+
+
 def test_ring_overflow_gap_rewarmups_per_lane_detector(sample_config):
     """Per-lane mode: the worker flushes evaluable pre-gap hops, then
     note_gap re-warms the Detector, so post-gap outputs match a fresh
