@@ -76,6 +76,17 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
     proc = None
     interface = None
     output = None
+    event_log = None
+    event_fh = None
+    if getattr(args, "event_log", None):
+        from syllable_detector_tpu.runtime.processor import csv_event_log
+
+        try:
+            event_fh = open(args.event_log, "a")
+        except OSError as e:
+            out(f"Unable to open --event-log: {e}")
+            return 1
+        event_log = csv_event_log(event_fh)
 
     def make_source(audio_path):
         """-> (source fn, device rate): a WAV streams at its OWN rate (a
@@ -133,6 +144,8 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
         if cmd == "quit":
             if proc is not None:
                 stop()
+            if event_fh is not None:
+                event_fh.close()
             return 0
         if cmd == "devices":
             devices = list_devices()
@@ -190,7 +203,9 @@ def interactive_loop(args, input_fn=input, out=print) -> int:
                 # spec validation happens HERE (bad freq range, layer
                 # size mismatch, ...) — a traceback would kill the whole
                 # REPL and every loaded row, unlike main()'s guarded path
-                proc = Processor(interface, entries, output)
+                proc = Processor(
+                    interface, entries, output, event_log=event_log
+                )
                 proc.set_up()
             except Exception as e:
                 out(f"start failed: {type(e).__name__}: {e}")

@@ -180,6 +180,31 @@ def test_monitor_interactive_loop(chirp_wav):
     assert len(dets) == 2 and all(d > 0 for d in dets)
 
 
+def test_monitor_interactive_event_log(chirp_wav, tmp_path):
+    """The REPL honors --event-log too: a start/stop session appends the
+    CLI-format CSV rows and quit closes the file."""
+    import argparse
+
+    from syllable_detector_tpu.monitor import interactive_loop
+
+    log_path = tmp_path / "events.csv"
+    args = argparse.Namespace(
+        audio=chirp_wav, duration=0.6, realtime=False,
+        event_log=str(log_path),
+    )
+    commands = iter([f"load 0 {NET}", "start", "stop", "quit"])
+    out_lines = []
+    rc = interactive_loop(
+        args, input_fn=lambda prompt: next(commands), out=out_lines.append
+    )
+    assert rc == 0
+    det_line = next(l for l in out_lines if "detections per channel" in l)
+    dets = eval(det_line.split(":", 1)[1])
+    rows = log_path.read_text().strip().splitlines()
+    assert len(rows) == sum(dets) > 0
+    assert all(r.startswith("0,") for r in rows)
+
+
 def test_monitor_interactive_quit_on_eof():
     import argparse
 
