@@ -992,6 +992,76 @@ def test_event_log_per_lane_matches_batched_and_oracle(sample_config):
     assert any(s >= len(pre) + n_lost for _, s, _, _ in per_lane)
 
 
+@pytest.mark.parametrize("batched", [False, True])
+@pytest.mark.parametrize("seed", [41, 42])
+def test_processor_gap_splice_fuzz(sample_config, batched, seed):
+    """Adversarial interleaving of capture chunks, device-loss gaps, and
+    drains through the live Processor: the event log's (sample, outputs)
+    sequence must match a DetectorBank oracle fed the same event stream —
+    consecutive gaps, gaps without data between, drains at arbitrary
+    points. Pins the per-lane stream clock against the bank's segment
+    accounting in both drain modes."""
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    rng = np.random.default_rng(seed)
+    stream = make_audio(rng, seconds=1.0)
+    rate = sample_config.sampling_rate
+    thr = np.float32(sample_config.thresholds[0])
+
+    got = []
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=1, total_samples=0
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(0, 0, sample_config)],
+        CallbackOutput(lambda *a: None),
+        batched=batched,
+        method="matmul",
+        event_log=lambda ch, s, t, o: got.append((s, tuple(np.round(o, 4)))),
+    )
+    lane = proc._lanes[0]
+    drain = (lambda: proc._drain_all()) if batched else (
+        lambda: proc._drain_lane(0, lane)
+    )
+
+    oracle = DetectorBank([sample_config], method="matmul")
+    want = []
+
+    def oracle_drain():
+        outs = oracle.drain()
+        o = outs[0, : oracle.last_counts[0]]
+        idx = oracle.last_sample_indices[0]
+        for k in np.flatnonzero(o[:, 0] >= thr):
+            want.append((int(idx[k]), tuple(np.round(o[k], 4))))
+
+    pos = 0
+    for _ in range(40):
+        r = rng.random()
+        if r < 0.5:  # capture chunk
+            n = int(rng.integers(40, 3000))
+            chunk = stream[pos : pos + n]
+            pos = (pos + n) % (len(stream) - 3000)
+            if len(chunk):
+                proc.receive_audio(interface, 0, chunk)
+                oracle.append_audio_data(0, chunk)
+        elif r < 0.72:  # device-loss gap (may repeat with no data between)
+            n = int(rng.integers(1, 5000))
+            proc.receive_capture_gap(interface, n)
+            oracle.note_gap(0, n)
+        else:
+            drain()
+            oracle_drain()
+    drain()
+    oracle_drain()
+
+    assert len(got) > 0
+    assert [s for s, _ in got] == [s for s, _ in want]
+    np.testing.assert_allclose(
+        [o for _, o in got], [o for _, o in want], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_ring_overflow_gap_rewarmups_per_lane_detector(sample_config):
     """Per-lane mode: the worker flushes evaluable pre-gap hops, then
     note_gap re-warms the Detector, so post-gap outputs match a fresh
