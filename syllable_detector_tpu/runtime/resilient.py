@@ -200,6 +200,9 @@ class ResilientDetector:
         # (None once an append for the lane lands after it) — O(1)
         # coalescing of consecutive overflow drops
         self._gap_idx: list = [None] * self.n_lanes
+        # trailing partial interleaved frame (parent-side de-interleave,
+        # append_interleaved_audio_data) — crash replay never sees it
+        self._interleave_rem = np.zeros(0, np.float32)
         self._ctx = mp.get_context("spawn")
         self._proc = None
         self._conn = None
@@ -328,23 +331,9 @@ class ResilientDetector:
         samples = np.array(samples, np.float32, copy=True).reshape(-1)
         n = len(samples)
         if self._buffered[lane] + n > self._max_buffer_samples:
-            # the child bank would drop this chunk at its cap — journal a
-            # compact gap marker (no data) so replay reproduces the bank's
-            # overflow accounting without retaining unbounded audio.
-            # Consecutive drops on a lane COALESCE into one marker (order
-            # only matters within a lane): a stalled drain loop otherwise
-            # grows the journal by one tuple per dropped chunk forever.
-            # Replay applies one note_gap with the summed n — stream-clock
-            # and dropped-sample accounting are identical; only the
-            # overflow EVENT count merges (live counts stay per-chunk).
-            gi = self._gap_idx[lane]
-            if gi is not None:
-                _, _, prev = self._journal[gi]
-                self._journal[gi] = ("gap", lane, prev + n)
-            else:
-                self._gap_idx[lane] = len(self._journal)
-                self._journal.append(("gap", lane, n))
-            self._supervised(("note_gap", lane, n), covered_by_replay=True)
+            # the child bank would drop this chunk at its cap — same
+            # journaled gap as an externally reported one
+            self.note_gap(lane, n)
             return
         # journal FIRST: if the child dies handling this append, the
         # restart's replay applies it — and covered_by_replay then skips
@@ -353,6 +342,55 @@ class ResilientDetector:
         self._journal.append(("append", lane, samples))
         self._buffered[lane] += n
         self._supervised(("append", lane, samples), covered_by_replay=True)
+
+    def note_gap(self, lane: int, n: int) -> None:
+        """Register ``n`` samples of the lane's stream as LOST — an
+        internal buffer-cap drop, or an externally observed capture gap
+        (a device xrun). Journaled as a compact data-free marker so
+        replay reproduces the bank's gap accounting without retaining
+        unbounded audio. Consecutive gaps on a lane COALESCE into one
+        marker (order only matters within a lane): a stalled drain loop
+        otherwise grows the journal by one tuple per dropped chunk
+        forever. Replay applies one note_gap with the summed n —
+        stream-clock and dropped-sample accounting are identical; only
+        the overflow EVENT count merges (live counts stay per-event)."""
+        gi = self._gap_idx[lane]
+        if gi is not None:
+            _, _, prev = self._journal[gi]
+            self._journal[gi] = ("gap", lane, prev + n)
+        else:
+            self._gap_idx[lane] = len(self._journal)
+            self._journal.append(("gap", lane, n))
+        self._supervised(("note_gap", lane, n), covered_by_replay=True)
+
+    def append_interleaved_audio_data(self, samples: np.ndarray) -> None:
+        """Fan an interleaved ``n_lanes``-channel capture buffer out to
+        the lanes (frame-major), carrying a trailing partial frame into
+        the next call — DetectorBank.append_interleaved_audio_data
+        semantics. The de-interleave happens parent-side, so the journal
+        and crash replay see plain per-lane appends."""
+        from syllable_detector_tpu.models.detector import deinterleave_frames
+
+        frames, self._interleave_rem = deinterleave_frames(
+            samples, self._interleave_rem, self.n_lanes
+        )
+        for lane in range(self.n_lanes):
+            self.append_audio_data(
+                np.ascontiguousarray(frames[:, lane]), lane=lane
+            )
+
+    def note_interleaved_gap(self, n: int) -> None:
+        """A capture gap on the INTERLEAVED stream feeding all lanes
+        (``n`` interleaved samples lost): every lane loses
+        ``n // n_lanes`` samples, the pending partial frame is discarded
+        (pre-gap audio), and the lanes whose carried sample it held get
+        it counted into their gap — DetectorBank.note_interleaved_gap
+        semantics."""
+        per_lane = n // self.n_lanes
+        rem_len = len(self._interleave_rem)
+        self._interleave_rem = np.zeros(0, np.float32)
+        for lane in range(self.n_lanes):
+            self.note_gap(lane, per_lane + (1 if lane < rem_len else 0))
 
     def drain(self) -> np.ndarray:
         outs, counts, sample_indices, state = self._supervised(("drain",))

@@ -210,3 +210,49 @@ def test_resilient_init_handshake_failure_kills_child(sample_config, monkeypatch
     assert proc is not None
     proc.join(timeout=10)
     assert not proc.is_alive()
+
+
+def test_resilient_interleaved_api_with_gap_and_crash(sample_config):
+    """Interleaved capture + an interleaved-stream gap through the
+    resilient supervisor match DetectorBank semantics exactly — and the
+    record survives a child crash (the parent-side de-interleave carry
+    and journaled gap markers replay correctly)."""
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    rng = np.random.default_rng(23)
+    a = make_audio(rng, seconds=0.25)
+    b = make_audio(rng, seconds=0.25)
+    pre = np.empty(2 * len(a), np.float32)
+    pre[0::2], pre[1::2] = a, b
+    post = np.empty_like(pre)
+    post[0::2], post[1::2] = b, a
+    n_lost = 2 * 1500
+
+    oracle = DetectorBank([sample_config, sample_config])
+    oracle.append_interleaved_audio_data(pre[:-1])  # odd: carry pending
+    oracle.drain()
+    want_pre = (oracle.last_outputs.copy(),
+                [i.copy() for i in oracle.last_sample_indices])
+    oracle.note_interleaved_gap(n_lost)
+    oracle.append_interleaved_audio_data(post)
+    oracle.drain()
+
+    with ResilientDetector(
+        [sample_config, sample_config], timeout=120.0
+    ) as r:
+        r.append_interleaved_audio_data(pre[:-1])
+        r.drain()
+        for lane in range(2):
+            np.testing.assert_array_equal(
+                r.last_sample_indices[lane], want_pre[1][lane]
+            )
+        r.note_interleaved_gap(n_lost)
+        r.crash_for_test()  # gap marker + carry must survive the respawn
+        r.append_interleaved_audio_data(post)
+        r.drain()
+        assert r.restarts >= 1
+        for lane in range(2):
+            np.testing.assert_array_equal(
+                r.last_sample_indices[lane],
+                oracle.last_sample_indices[lane],
+            )
