@@ -52,6 +52,15 @@ __all__ = [
 
 LANE = 128
 
+# Physical-layout revision of the flat batched kernel. Bump whenever a
+# change moves the optimal launch config — slab packing (hops_per_row),
+# output transpose (out_t), the frame-rebuild strategy, tiling rules —
+# so stale tune-cache entries are invalidated instead of silently
+# serving a tile measured against the OLD layout (r4 proof: landing
+# out_t moved the best distinct tile 512 -> 1024). rev 4 = the r4
+# transposed-output (out_t) + multi-hop-row layout era.
+FLAT_LAYOUT_REV = 4
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -938,6 +947,40 @@ def _folded(spec: DetectorSpec, params: dict, pack: bool | None = None):
     return operands, meta
 
 
+# device-resident copies of folded operands, memoized per (operand
+# identity chain, device). Live drains call the flat path EAGERLY every
+# few milliseconds; numpy operands passed to the kernel re-transfer the
+# whole stacked fold host->device on every call (~350 MB per drain at
+# 1024 distinct lanes — more bytes than the audio itself). The cache
+# holds concrete jax.Arrays (NOT tracers, and never jnp values created
+# under a trace — the CLAUDE.md tracer-leak trap doesn't apply: inputs
+# here are always the _fold_cache's numpy outputs).
+_dev_operand_cache: "OrderedDict" = OrderedDict()
+_DEV_OPERAND_CACHE_MAX = 8
+
+
+def _device_operands(operands):
+    import jax as _jax
+
+    try:
+        dev = _jax.local_devices()[0]
+    except Exception:  # backend not ready: pass numpy through
+        return operands
+    key = (tuple(id(o) for o in operands), dev)
+    hit = _dev_operand_cache.get(key)
+    if hit is not None and len(hit[0]) == len(operands) and all(
+        a is b for a, b in zip(hit[0], operands)
+    ):
+        _dev_operand_cache.move_to_end(key)
+        return hit[1]
+    put = tuple(_jax.device_put(o, dev) for o in operands)
+    # strong ref to the source operands so their ids can't be recycled
+    _dev_operand_cache[key] = (operands, put)
+    while len(_dev_operand_cache) > _DEV_OPERAND_CACHE_MAX:
+        _dev_operand_cache.popitem(last=False)
+    return put
+
+
 def fold_constants_stacked(
     spec: DetectorSpec, params_list, pack: bool | None = None
 ):
@@ -1058,6 +1101,7 @@ def fused_offline_outputs(
         interpret = jax.local_devices()[0].platform == "cpu"
 
     operands, meta = _folded(spec, params, pack=packed)
+    operands = _device_operands(operands)
     if fast:
         meta = meta._replace(fast=True)
     if split is not None:
@@ -1293,6 +1337,7 @@ def fused_batch_offline_outputs(
         operands, meta = _folded_stacked(spec, params, pack=packed)
     else:
         operands, meta = _folded(spec, params, pack=packed)
+    operands = _device_operands(operands)
     if fast:
         meta = meta._replace(fast=True)
     if split is not None:
@@ -1633,6 +1678,7 @@ def fused_flat_batch_offline_outputs(
         operands, meta = _folded_stacked(spec, tuple(params))
     else:
         operands, meta = _folded(spec, params)
+    operands = _device_operands(operands)
 
     if not pre_slabbed and xs.ndim == 2:
         # the grid path's contract: an impossible n_evals raises instead

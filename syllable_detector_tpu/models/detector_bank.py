@@ -165,6 +165,14 @@ class DetectorBank:
         # trailing partial interleaved frame awaiting its next capture
         # chunk (append_interleaved_audio_data)
         self._interleave_rem = np.zeros(0, np.float32)
+        # reusable per-bucket staging buffers for the [n_lanes, need]
+        # drain assembly: a fresh np.zeros per drain round memsets
+        # n_lanes*need floats (75 MB at 1024 lanes / bucket 128) before a
+        # single sample is copied — at live drain rates that memset alone
+        # is a measurable slice of the hop budget. Each buffer remembers
+        # how far every lane row was filled last round so only the stale
+        # tail [m:prev_m) is re-zeroed (O(changed), not O(buffer)).
+        self._stage: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     # -- feeding ------------------------------------------------------------
 
@@ -290,13 +298,22 @@ class DetectorBank:
             take = min(n_max, _FRAME_BUCKETS[-1])
             bucket = next(b for b in _FRAME_BUCKETS if b >= take)
             need = (bucket + t - 2) * hop + gap + spec.window_length
-            xs = np.zeros((self.n_lanes, need), np.float32)
+            if need in self._stage:
+                xs, prev = self._stage[need]
+            else:
+                xs = np.zeros((self.n_lanes, need), np.float32)
+                prev = np.zeros(self.n_lanes, np.int64)
+                self._stage[need] = (xs, prev)
             for i in range(self.n_lanes):
                 if avail[i] <= 0:
-                    continue
-                data = self._segments[i][0].consolidate()
-                m = min(len(data), need)
-                xs[i, :m] = data[:m]
+                    m = 0
+                else:
+                    data = self._segments[i][0].consolidate()
+                    m = min(len(data), need)
+                    xs[i, :m] = data[:m]
+                if m < prev[i]:
+                    xs[i, m : prev[i]] = 0.0
+                prev[i] = m
             outs = np.asarray(self._batched_outputs(jnp.asarray(xs)))[:, :take]
             for i in range(self.n_lanes):
                 take_i = min(avail[i], take)

@@ -36,6 +36,7 @@ __all__ = [
     "tune_cache_path",
     "reset_tune_cache",
     "tuned_flat_tile",
+    "tuned_single_tile",
     "tune_flat_batch",
     "tune_single",
     "main",
@@ -146,23 +147,64 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _flat_key(spec, c: int, n_evals: int, distinct: bool) -> str:
+def _layout_rev() -> int:
+    from syllable_detector_tpu.kernels.fused_detector import FLAT_LAYOUT_REV
+
+    return FLAT_LAYOUT_REV
+
+
+def _flat_key(spec, c: int, n_evals: int, distinct: bool,
+              out_t: bool = True) -> str:
+    # rev + output-layout variant are part of the key: a measured tile is
+    # only valid for the physical layout it was measured against (r4:
+    # out_t alone moved the distinct winner 512 -> 1024). A layout bump
+    # orphans old entries — production falls back to the baked defaults
+    # until a re-tune, never to a stale winner.
     return "/".join(
         (
             _device_kind(),
+            f"rev{_layout_rev()}",
             geometry_key(spec),
             "distinct" if distinct else "shared",
+            "outT" if out_t else "outN",
             f"c{_bucket(c)}",
             f"ne{_bucket(n_evals)}",
         )
     )
 
 
-def tuned_flat_tile(spec, c: int, n_evals: int, distinct: bool) -> int | None:
-    """The cached winning tile for this (device, geometry, workload)
-    bucket, or None (caller falls back to the baked default). Consulted
-    by ``fused_batch_offline_outputs`` on every auto-tiled call."""
-    entry = _load_cache().get(_flat_key(spec, c, n_evals, distinct))
+def _single_key(spec, out_t: bool = False) -> str:
+    # single-stream fused kernel (fused_offline_outputs): no channel /
+    # n_evals bucket — throughput is tile-dominated once evals >> tile
+    return "/".join(
+        (
+            _device_kind(),
+            f"rev{_layout_rev()}",
+            geometry_key(spec),
+            "single",
+            "outT" if out_t else "outN",
+        )
+    )
+
+
+def tuned_flat_tile(spec, c: int, n_evals: int, distinct: bool,
+                    out_t: bool = True) -> int | None:
+    """The cached winning tile for this (device, geometry, workload,
+    kernel-layout) bucket, or None (caller falls back to the baked
+    default). Consulted by ``fused_batch_offline_outputs`` on every
+    auto-tiled call."""
+    entry = _load_cache().get(_flat_key(spec, c, n_evals, distinct, out_t))
+    if not entry:
+        return None
+    tile = int(entry.get("tile", 0))
+    return tile if tile >= 8 and tile % 8 == 0 else None
+
+
+def tuned_single_tile(spec) -> int | None:
+    """The cached winning tile for the single-stream fused kernel on this
+    device (``tune_single`` persists it), or None — callers fall back to
+    the measured v5e default (2048, CLAUDE.md r2 sweep)."""
+    entry = _load_cache().get(_single_key(spec))
     if not entry:
         return None
     tile = int(entry.get("tile", 0))
@@ -273,9 +315,10 @@ def tune_single(
     measure=None,
     log=None,
 ) -> list[Trial]:
-    """Measure the single-stream fused kernel at each tile (report-only:
-    single-stream callers pass explicit tiles; no router consults this).
-    Returns trials sorted best-first."""
+    """Measure the single-stream fused kernel at each tile and persist
+    the winner for :func:`tuned_single_tile` (consulted by the driver
+    entry point and available to single-stream callers). Returns trials
+    sorted best-first."""
     import jax
     import jax.numpy as jnp
 
@@ -315,6 +358,15 @@ def tune_single(
         if log:
             log(f"tile {tile}: {wps:,.0f} windows/s")
     trials.sort(key=lambda t: -t.windows_per_s)
+    if trials:
+        _save_entry(
+            _single_key(spec),
+            {
+                "tile": trials[0].tile,
+                "windows_per_s": trials[0].windows_per_s,
+                "trials": [[t.tile, 1, t.windows_per_s] for t in trials],
+            },
+        )
     return trials
 
 

@@ -610,3 +610,47 @@ def test_bank_small_chunk_appends_linear_and_exact(sample_config):
     oracle.append_audio_data(0, audio)
     want = oracle.drain()[0, : oracle.last_counts[0]]
     np.testing.assert_array_equal(got, want)
+
+
+def test_bank_staging_buffer_reuse_is_clean(sample_config):
+    """drain() reuses a per-bucket staging buffer instead of a fresh
+    np.zeros per round (the 75 MB-per-drain memset at 1024 lanes). A lane
+    whose fill shrinks between drains (long burst, then idle while
+    another lane goes on) must leave no stale samples behind: outputs
+    must equal a fresh bank fed the same streams."""
+    rng = np.random.default_rng(17)
+    audio = make_audio(rng, seconds=0.6)
+    cfgs = [sample_config, _perturbed_cfg(sample_config, 3)]
+
+    bank = DetectorBank(cfgs)
+    # drain 1: lane 0 long, lane 1 silent -> lane 0's row fills wide
+    bank.append_audio_data(0, audio[:20000])
+    bank.drain()
+    assert bank._stage  # the staging buffer exists and persists
+    # drain 2: lane 0 idle, lane 1 short -> lane 0's row must be
+    # re-zeroed beyond its (empty) fill, lane 1 evaluated cleanly
+    bank.append_audio_data(1, audio[:6000])
+    outs2 = bank.drain()
+    c2 = bank.last_counts.copy()
+
+    fresh = DetectorBank(cfgs)
+    fresh.append_audio_data(1, audio[:6000])
+    want = fresh.drain()
+    np.testing.assert_array_equal(outs2[1, : c2[1]], want[1, : fresh.last_counts[1]])
+    assert c2[1] == fresh.last_counts[1]
+
+    # drain 3: lane 0 resumes mid-stream — continuation unaffected by
+    # the buffer reuse (residual carry lives in segments, not staging)
+    bank.append_audio_data(0, audio[20000:40000])
+    outs3 = bank.drain()
+    fresh0 = DetectorBank(cfgs)
+    fresh0.append_audio_data(0, audio[:40000])
+    all0 = fresh0.drain()
+    # bank's drains 1+3 concatenated == one-shot drain of the same stream
+    n1 = fresh0.last_counts[0]
+    # (drain 1's rows were lane 0's first chunk; recompute them)
+    bank1 = DetectorBank(cfgs)
+    bank1.append_audio_data(0, audio[:20000])
+    first = bank1.drain()[0, : bank1.last_counts[0]]
+    combined = np.concatenate([first, outs3[0, : bank.last_counts[0]]])
+    np.testing.assert_array_equal(combined, all0[0, :n1])

@@ -1041,6 +1041,42 @@ def test_flat_admission_ladder(sample_config, monkeypatch):
     assert fd.flat_admission(spec, 2048, 64, 512, True) == ("grid", 1)
 
 
+def test_flat_admission_v5e_routing_table(sample_config, monkeypatch):
+    """Pin the router's concrete decisions at the v5e's measured 11 GiB
+    budget over the deployment (c, n_evals) grid. The k=8 capacity tier
+    costs ~25% (r4 hardware A/B: distinct 113.3M k=1 vs 80.4M k=8), so a
+    regression in the admission estimates — e.g. one that stopped
+    assuming the transposed (out_t) output the flat launches actually
+    use — must not silently escalate a k=1-servable shape. The pinned
+    rows include the r4 hardware facts: distinct c=1024 ne=8192 at tile
+    1024 RUNS at k=1 (9.28 GiB measured vs 12.8 OOM pre-out_t)."""
+    import syllable_detector_tpu.kernels.fused_detector as fd
+
+    spec, _ = detector_spec_from_config(sample_config)
+    monkeypatch.setattr(fd, "_flat_hbm_budget", lambda: 11 << 30)
+
+    table = [
+        # (c, n_evals, tile, distinct) -> (layout, hops_per_row)
+        ((1024, 2048, 2048, False), ("flat", 1)),   # bench batched_c1024
+        ((1024, 8192, 1024, True), ("flat", 1)),    # bench distinct_c1024
+        ((64, 8192, 1024, True), ("flat", 1)),      # bench c64 distinct
+        ((4096, 2048, 2048, False), ("flat", 1)),
+        ((1024, 16384, 1024, True), ("flat", 8)),   # capacity tier
+        ((8192, 2048, 2048, False), ("flat", 8)),
+        ((1024, 32768, 1024, True), ("grid", 1)),   # memory-safe floor
+        ((4096, 8192, 1024, True), ("grid", 1)),
+    ]
+    for (c, ne, tile, distinct), want in table:
+        got = fd.flat_admission(spec, ne, c, tile, distinct)
+        assert got == want, (c, ne, tile, distinct, got, want)
+        # the structural invariant behind the table: k=8 is entered ONLY
+        # when the k=1 out_t footprint genuinely exceeds the budget
+        if got == ("flat", 8):
+            assert fd._flat_hbm_estimate(
+                spec, ne, c, tile, distinct, out_t=True
+            ) > fd._flat_hbm_budget()
+
+
 def test_flat_batch_redundant_channels_keeps_2d_form(sample_config):
     """[C, n] with a redundant channels=C stays [C, n] even when n
     coincides with the slab width (hop) — the documented tie-break."""

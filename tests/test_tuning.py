@@ -130,15 +130,59 @@ def test_router_consults_tuned_tile(sample_config, tune_cache, monkeypatch):
     assert seen["tile"] == 64
 
 
-def test_tune_single_report_only(sample_config, tune_cache):
+def test_tune_single_persists_winner(sample_config, tune_cache):
+    from syllable_detector_tpu.tuning import tuned_single_tile
+
     spec, params = detector_spec_from_config(sample_config)
+    assert tuned_single_tile(spec) is None
     trials = tune_single(
         spec, params, tiles=(512, 1024),
         measure=lambda tile, hops: {512: 2.0, 1024: 1.0}[tile],
     )
     assert [t.tile for t in trials] == [512, 1024]
-    # report-only: no cache file is written for the single workload
-    assert not tune_cache.exists()
+    # the winner is served back (the driver entry() consults this)
+    assert tuned_single_tile(spec) == 512
+    cache = json.loads(tune_cache.read_text())
+    (key,) = cache.keys()
+    assert "/single/" in key
+
+
+def test_layout_revision_invalidates_stale_entries(
+    sample_config, tune_cache, monkeypatch
+):
+    """A tune entry measured against an OLDER kernel layout must never be
+    served: r4's out_t layout change moved the best distinct tile
+    512 -> 1024, so a stale winner would silently cost ~10% in production.
+    The layout revision is part of the cache key — bumping it orphans old
+    entries (fallback to baked defaults), it does not serve them."""
+    import syllable_detector_tpu.kernels.fused_detector as fd
+    from syllable_detector_tpu.tuning import tuned_single_tile
+
+    spec, params = detector_spec_from_config(sample_config)
+    tune_flat_batch(spec, params, c=64, n_evals=2048,
+                    tiles=(512,), measure=lambda tile, hops: 1.0)
+    tune_single(spec, params, tiles=(512,), measure=lambda tile, hops: 1.0)
+    assert tuned_flat_tile(spec, 64, 2048, False) == 512
+    assert tuned_single_tile(spec) == 512
+    # the key records the revision it was measured at
+    for key in json.loads(tune_cache.read_text()):
+        assert f"/rev{fd.FLAT_LAYOUT_REV}/" in key
+
+    # simulate the next layout change: the entries written above are stale
+    monkeypatch.setattr(fd, "FLAT_LAYOUT_REV", fd.FLAT_LAYOUT_REV + 1)
+    reset_tune_cache()
+    assert tuned_flat_tile(spec, 64, 2048, False) is None
+    assert tuned_single_tile(spec) is None
+
+
+def test_flat_key_separates_output_layouts(sample_config, tune_cache):
+    """out_t (transposed output) and the legacy layout must not share an
+    entry — they have different winners (r4 sweep)."""
+    spec, params = detector_spec_from_config(sample_config)
+    tune_flat_batch(spec, params, c=64, n_evals=2048,
+                    tiles=(512,), measure=lambda tile, hops: 1.0)
+    assert tuned_flat_tile(spec, 64, 2048, False, out_t=True) == 512
+    assert tuned_flat_tile(spec, 64, 2048, False, out_t=False) is None
 
 
 def test_corrupt_cache_is_ignored(sample_config, tune_cache):
