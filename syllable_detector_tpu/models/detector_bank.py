@@ -109,6 +109,8 @@ class DetectorBank:
         method: str = "fused",
         max_buffer_seconds: float = 30.0,
         pairs=None,
+        buckets: tuple | None = None,
+        transfer_dtype: str = "float32",
     ):
         if not configs:
             raise ValueError("DetectorBank needs at least one lane")
@@ -162,6 +164,38 @@ class DetectorBank:
         self.last_outputs = np.zeros(
             (self.n_lanes, self.spec.net.outputs), np.float32
         )
+        # drain-shape ladder: each bucket is one compiled device shape
+        # (~5-10 min per cold Mosaic compile on TPU), so live deployments
+        # pin a SUBSET to bound the compile budget — e.g. buckets=(128,)
+        # compiles ONE shape per lane count; backlogs beyond it drain in
+        # multiple rounds, and smaller backlogs pad up (padding costs
+        # compute, which at live rates is ~1% of the chip — transfers and
+        # host assembly dominate, and those scale with the VALID samples)
+        if buckets is None:
+            self._buckets = _FRAME_BUCKETS
+        else:
+            self._buckets = tuple(int(b) for b in buckets)
+            if not self._buckets or any(
+                b <= 0 for b in self._buckets
+            ) or list(self._buckets) != sorted(set(self._buckets)):
+                raise ValueError(
+                    "buckets must be strictly increasing positive ints"
+                )
+        # wire format for the per-drain [n_lanes, need] device transfer:
+        # 'int16' halves the host->device bytes (the binding constraint on
+        # narrow transports — a tunneled chip here measures ~0.6 GiB/s,
+        # and even PCIe deployments save lanes) by sending capture-native
+        # PCM and dequantizing ON DEVICE. Semantically it clips to [-1, 1]
+        # and rounds to 1/32767 steps — exactly the precision of S16
+        # capture hardware, so an int16-sourced stream roundtrips EXACTLY
+        # (test-pinned); float-sourced streams see <=3.1e-5 input error.
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"unknown transfer_dtype {transfer_dtype!r}; "
+                "use 'float32' or 'int16'"
+            )
+        self.transfer_dtype = transfer_dtype
+        self._dequant = None  # built lazily (jit) for the int16 wire
         # trailing partial interleaved frame awaiting its next capture
         # chunk (append_interleaved_audio_data)
         self._interleave_rem = np.zeros(0, np.float32)
@@ -290,18 +324,21 @@ class DetectorBank:
         per_lane_outs: list[list[np.ndarray]] = [[] for _ in range(self.n_lanes)]
         per_lane_idx: list[list[np.ndarray]] = [[] for _ in range(self.n_lanes)]
 
+        i16 = self.transfer_dtype == "int16"
         while True:
             avail = [self._front_avail(i) for i in range(self.n_lanes)]
             n_max = max(avail)
             if n_max <= 0:
                 break
-            take = min(n_max, _FRAME_BUCKETS[-1])
-            bucket = next(b for b in _FRAME_BUCKETS if b >= take)
+            take = min(n_max, self._buckets[-1])
+            bucket = next(b for b in self._buckets if b >= take)
             need = (bucket + t - 2) * hop + gap + spec.window_length
             if need in self._stage:
                 xs, prev = self._stage[need]
             else:
-                xs = np.zeros((self.n_lanes, need), np.float32)
+                xs = np.zeros(
+                    (self.n_lanes, need), np.int16 if i16 else np.float32
+                )
                 prev = np.zeros(self.n_lanes, np.int64)
                 self._stage[need] = (xs, prev)
             for i in range(self.n_lanes):
@@ -310,11 +347,19 @@ class DetectorBank:
                 else:
                     data = self._segments[i][0].consolidate()
                     m = min(len(data), need)
-                    xs[i, :m] = data[:m]
+                    if i16:
+                        # capture-native PCM wire: clip + round-to-nearest,
+                        # exactly what S16 capture hardware does
+                        q = np.clip(data[:m], -1.0, 1.0)
+                        q *= np.float32(32767.0)
+                        np.rint(q, out=q)
+                        xs[i, :m] = q
+                    else:
+                        xs[i, :m] = data[:m]
                 if m < prev[i]:
-                    xs[i, m : prev[i]] = 0.0
+                    xs[i, m : prev[i]] = 0
                 prev[i] = m
-            outs = np.asarray(self._batched_outputs(jnp.asarray(xs)))[:, :take]
+            outs = np.asarray(self._wire_outputs(xs))[:, :take]
             for i in range(self.n_lanes):
                 take_i = min(avail[i], take)
                 if take_i <= 0:
@@ -349,6 +394,24 @@ class DetectorBank:
             )
         self.last_counts = counts
         return result
+
+    def _wire_outputs(self, xs_np):
+        """Device transfer + batched evaluation of one staged drain round.
+        The int16 wire dequantizes ON DEVICE (one jitted elementwise op
+        feeding the kernel — HBM-cheap; the win is halved bytes on the
+        host->device link, the binding constraint for high lane counts on
+        narrow transports)."""
+        x = jnp.asarray(xs_np)
+        if xs_np.dtype == np.int16:
+            if self._dequant is None:
+                import jax
+
+                self._dequant = jax.jit(
+                    lambda v: v.astype(jnp.float32)
+                    * np.float32(1.0 / 32767.0)
+                )
+            x = self._dequant(x)
+        return self._batched_outputs(x)
 
     def _batched_outputs(self, xs):
         from syllable_detector_tpu.kernels.fused_detector import (
@@ -561,18 +624,19 @@ class DetectorBank:
                 }
             )
 
-    def warm_up(self, buckets: tuple = _FRAME_BUCKETS) -> int:
-        """Eagerly compile every batched drain shape (one per bucket)."""
+    def warm_up(self, buckets: tuple | None = None) -> int:
+        """Eagerly compile every batched drain shape (one per bucket —
+        this bank's pinned ladder by default), through the same wire
+        path drains take."""
         spec = self.spec
         gap, _ = normalize_overlap(spec.window_overlap)
         n = 0
         import jax
 
-        for b in buckets:
+        dtype = np.int16 if self.transfer_dtype == "int16" else np.float32
+        for b in buckets if buckets is not None else self._buckets:
             need = (b + spec.time_range - 2) * spec.hop + gap + spec.window_length
-            out = self._batched_outputs(
-                jnp.zeros((self.n_lanes, need), jnp.float32)
-            )
+            out = self._wire_outputs(np.zeros((self.n_lanes, need), dtype))
             jax.block_until_ready(out)
             n += 1
         return n

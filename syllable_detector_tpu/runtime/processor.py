@@ -222,6 +222,10 @@ class Processor:
         batched: bool = False,
         method: Optional[str] = None,
         event_log=None,
+        bank_buffer_seconds: float = 30.0,
+        bank_buckets: Optional[tuple] = None,
+        bank_transfer_dtype: str = "float32",
+        drain_interval: float = 0.0,
     ):
         self.entries = [e for e in entries if e.config is not None]
         self.output = output
@@ -259,6 +263,14 @@ class Processor:
                     [self.entries[i].config for i in idxs],
                     method=method or "fused",
                     pairs=[pairs[i] for i in idxs],  # no double spec build
+                    # live deployment knobs (see DetectorBank): a bounded
+                    # backlog cap keeps the worst catch-up drain inside the
+                    # warmed bucket ladder; a pinned ladder bounds the
+                    # compile budget to one shape per bucket; the int16
+                    # wire halves per-drain transfer bytes
+                    max_buffer_seconds=bank_buffer_seconds,
+                    buckets=bank_buckets,
+                    transfer_dtype=bank_transfer_dtype,
                 )
                 self._banks.append((bank, idxs))
             if len(self._banks) == 1:
@@ -299,6 +311,14 @@ class Processor:
         self._work: "queue.Queue[int]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # batched-mode batching window: coalesce capture chunks for up to
+        # this long between bank drains. Transfer-bound live deployments
+        # (many lanes over a narrow host->device link) trade detection
+        # latency for bandwidth: each drain resends a fixed
+        # (time_range-2)*hop + window context per lane, so longer windows
+        # amortize it toward the raw realtime byte rate
+        self._drain_interval = float(drain_interval)
+        self._last_drain = 0.0
         self.drain_errors = 0  # transient per-drain failures survived
         self.output_errors = 0  # output-backend write failures survived
 
@@ -404,6 +424,25 @@ class Processor:
             extra = 0
             indices = [] if index < 0 else [index]
             if self._banks:
+                if self._drain_interval > 0:
+                    # hold the batching window open: keep absorbing queued
+                    # work until the interval since the last drain elapses
+                    # (stop/tear_down breaks out immediately via the -1
+                    # sentinel + stop flag)
+                    import time as _t
+
+                    deadline = self._last_drain + self._drain_interval
+                    while not self._stop.is_set():
+                        wait = deadline - _t.monotonic()
+                        if wait <= 0:
+                            break
+                        try:
+                            j = self._work.get(timeout=wait)
+                        except queue.Empty:
+                            break
+                        extra += 1
+                        if j >= 0:
+                            indices.append(j)
                 while True:
                     try:
                         j = self._work.get_nowait()
@@ -417,6 +456,10 @@ class Processor:
                     continue
                 try:
                     if self._banks:
+                        if self._drain_interval > 0:
+                            import time as _t
+
+                            self._last_drain = _t.monotonic()
                         self._drain_all(set(indices))
                     else:
                         self._drain_lane(index, self._lanes[index])
@@ -672,11 +715,13 @@ class Processor:
         Mosaic compile, which would otherwise stall the live worker
         mid-stream (and outlive drain_pending's timeout). Returns the
         number of shapes compiled."""
+        if self._banks:
+            # None lets each bank warm its own pinned ladder
+            buckets = tuple(buckets) if buckets is not None else None
+            return sum(b.warm_up(buckets=buckets) for b, _ in self._banks)
         from syllable_detector_tpu.models.detector import _FRAME_BUCKETS
 
         buckets = tuple(buckets) if buckets is not None else _FRAME_BUCKETS
-        if self._banks:
-            return sum(b.warm_up(buckets=buckets) for b, _ in self._banks)
         return sum(
             lane.detector.warm_up(buckets=buckets) for lane in self._lanes
         )

@@ -654,3 +654,79 @@ def test_bank_staging_buffer_reuse_is_clean(sample_config):
     first = bank1.drain()[0, : bank1.last_counts[0]]
     combined = np.concatenate([first, outs3[0, : bank.last_counts[0]]])
     np.testing.assert_array_equal(combined, all0[0, :n1])
+
+
+def test_bank_pinned_bucket_ladder_matches_default(sample_config):
+    """buckets=(8,) — the live compile-budget pin: ONE compiled drain
+    shape; backlogs beyond it drain in multiple 8-hop rounds. Outputs,
+    counts, and sample indices must equal the default full-ladder bank."""
+    rng = np.random.default_rng(23)
+    audio = make_audio(rng, seconds=0.8)
+    cfgs = [sample_config, _perturbed_cfg(sample_config, 7)]
+
+    pinned = DetectorBank(cfgs, buckets=(8,))
+    full = DetectorBank(cfgs)
+    for b in (pinned, full):
+        b.append_audio_data(0, audio)
+        b.append_audio_data(1, audio[: len(audio) // 2])
+    o_p = pinned.drain()
+    o_f = full.drain()
+    np.testing.assert_array_equal(pinned.last_counts, full.last_counts)
+    for i in range(2):
+        c = full.last_counts[i]
+        # same windows through DIFFERENT launch shapes (8-hop rounds vs
+        # one big bucket): values agree to float32 ulps, bookkeeping
+        # (counts, stream indices) exactly
+        np.testing.assert_allclose(o_p[i, :c], o_f[i, :c], atol=2e-6)
+        np.testing.assert_array_equal(
+            pinned.last_sample_indices[i], full.last_sample_indices[i]
+        )
+    # the pin really bounds the staged shapes: only the 8-hop buffer
+    assert len(pinned._stage) == 1
+
+
+def test_bank_bucket_ladder_validation(sample_config):
+    for bad in ((), (0,), (32, 8), (8, 8)):
+        with pytest.raises(ValueError, match="buckets"):
+            DetectorBank([sample_config], buckets=bad)
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        DetectorBank([sample_config], transfer_dtype="int8")
+
+
+def test_bank_int16_wire_semantics(sample_config):
+    """The int16 wire must equal a float bank fed the PRE-QUANTIZED
+    stream (clip to [-1,1], round to 1/32767 steps) — the exact
+    precision of S16 capture hardware. An int16-sourced stream therefore
+    roundtrips exactly."""
+    rng = np.random.default_rng(31)
+    audio = make_audio(rng, seconds=0.5) * 1.1  # exercise the clip too
+    cfgs = [sample_config, _perturbed_cfg(sample_config, 9)]
+
+    wire = DetectorBank(cfgs, transfer_dtype="int16")
+    oracle = DetectorBank(cfgs)
+    q = np.rint(np.clip(audio, -1.0, 1.0) * np.float32(32767.0))
+    dq = (q * np.float32(1.0 / 32767.0)).astype(np.float32)
+    for i in range(2):
+        wire.append_audio_data(i, audio)
+        oracle.append_audio_data(i, dq)
+    o_w = wire.drain()
+    o_o = oracle.drain()
+    np.testing.assert_array_equal(wire.last_counts, oracle.last_counts)
+    for i in range(2):
+        c = oracle.last_counts[i]
+        np.testing.assert_array_equal(o_w[i, :c], o_o[i, :c])
+
+    # int16-sourced stream: the wire is EXACT vs the float path fed the
+    # same dequantized samples (quantize o dequantize == identity there)
+    src = (q * np.float32(1.0 / 32767.0)).astype(np.float32)
+    w2 = DetectorBank(cfgs, transfer_dtype="int16")
+    f2 = DetectorBank(cfgs)
+    for i in range(2):
+        w2.append_audio_data(i, src)
+        f2.append_audio_data(i, src)
+    np.testing.assert_array_equal(w2.drain(), f2.drain())
+
+
+def test_bank_int16_wire_warm_up(sample_config):
+    bank = DetectorBank([sample_config], transfer_dtype="int16", buckets=(8, 32))
+    assert bank.warm_up() == 2

@@ -1156,3 +1156,73 @@ def test_output_backend_errors_counted_not_swallowed(sample_config, capsys):
     )
     proc_b._drain_all()
     assert proc_b.output_errors == 1
+
+
+def test_processor_bank_knobs_pass_through(sample_config):
+    """The live-deployment knobs reach the bank: bounded backlog cap,
+    pinned bucket ladder (one compiled shape per bucket), int16 wire."""
+    interface = SimulatedAudioInput(
+        lambda ch, start, n: np.zeros(n, np.float32), channels=1,
+        total_samples=0,
+    )
+    entries = [
+        ProcessorEntry(input_channel=0, output_channel=0, config=sample_config)
+    ]
+    proc = Processor(
+        interface, entries, CallbackOutput(lambda i, e, s: None),
+        batched=True, bank_buffer_seconds=5.0, bank_buckets=(32, 128),
+        bank_transfer_dtype="int16",
+    )
+    bank = proc._bank
+    assert bank.max_buffer_samples == int(5.0 * sample_config.sampling_rate)
+    assert bank._buckets == (32, 128)
+    assert bank.transfer_dtype == "int16"
+
+
+def test_processor_drain_interval_coalesces(sample_config):
+    """drain_interval holds a batching window open: capture chunks
+    coalesce into far fewer bank drains (the transfer-bound live trade),
+    while detections still match the unthrottled batched processor."""
+    rng = np.random.default_rng(11)
+    audio = make_audio(rng, seconds=0.6)
+
+    def run(drain_interval):
+        interface = SimulatedAudioInput(
+            lambda ch, start, n: audio[start : start + n],
+            channels=1, total_samples=len(audio), frame_size=512,
+            realtime=False,
+        )
+        entries = [
+            ProcessorEntry(
+                input_channel=0, output_channel=0, config=sample_config
+            )
+        ]
+        proc = Processor(
+            interface, entries, CallbackOutput(lambda i, e, s: None),
+            batched=True, drain_interval=drain_interval,
+        )
+        drains = []
+        bank = proc._bank
+        orig = bank.drain
+
+        def counted():
+            drains.append(time.monotonic())
+            return orig()
+
+        bank.drain = counted
+        proc.set_up()
+        assert interface.wait_until_done(timeout=60)
+        proc.drain_pending(timeout=30)
+        proc.tear_down()
+        return proc.lane_detections()[0], drains
+
+    det_throttled, drains_throttled = run(0.25)
+    det_free, _ = run(0.0)
+    assert det_throttled == det_free and det_throttled > 0
+    # 0.6 s of audio under a 0.25 s window: a handful of drains at most
+    assert len(drains_throttled) <= 6
+    # consecutive mid-stream drains respect the window (the first may
+    # fire immediately; teardown may add a final flush)
+    gaps = np.diff(drains_throttled)
+    if len(gaps) > 1:
+        assert np.all(gaps[:-1] >= 0.2)
