@@ -111,6 +111,7 @@ class DetectorBank:
         pairs=None,
         buckets: tuple | None = None,
         transfer_dtype: str = "float32",
+        min_drain_hops: int = 1,
     ):
         if not configs:
             raise ValueError("DetectorBank needs at least one lane")
@@ -196,6 +197,14 @@ class DetectorBank:
             )
         self.transfer_dtype = transfer_dtype
         self._dequant = None  # built lazily (jit) for the int16 wire
+        # transfer efficiency floor: a drain round always sends a whole
+        # bucket-shaped [n_lanes, need] staging transfer, so draining a
+        # 5-hop tail through a 128-hop bucket pays ~25x the bytes the tail
+        # is worth. min_drain_hops > 1 leaves sub-threshold tails buffered
+        # for the next round (they are at most one batching window late);
+        # closed (pre-gap) front segments drain regardless — their avail
+        # can never grow, and post-gap audio queues behind them.
+        self.min_drain_hops = int(min_drain_hops)
         # trailing partial interleaved frame awaiting its next capture
         # chunk (append_interleaved_audio_data)
         self._interleave_rem = np.zeros(0, np.float32)
@@ -300,13 +309,14 @@ class DetectorBank:
             segs.pop(0)  # closed and drained dry: the gap follows
         return 0
 
-    def drain(self) -> np.ndarray:
+    def drain(self, flush: bool = False) -> np.ndarray:
         """Evaluate every lane's newly available hops in one padded
         batched device call per bucket round -> [n_lanes, n_max, outputs]
         (n_max may be 0). Lanes progress independently: row counts beyond
         ``last_counts[lane]`` are zero padding, and
         ``last_sample_indices[lane]`` gives each valid output's absolute
-        stream sample index.
+        stream sample index. ``flush=True`` ignores ``min_drain_hops``
+        (end-of-stream: evaluate every last buffered hop).
 
         Like Detector._drain_fused, each segment retains the trailing
         ``(timeRange-1)`` hops of samples so the next drain's evaluations
@@ -330,6 +340,11 @@ class DetectorBank:
             n_max = max(avail)
             if n_max <= 0:
                 break
+            if not flush and n_max < self.min_drain_hops and not any(
+                a > 0 and self._segments[i][0].closed
+                for i, a in enumerate(avail)
+            ):
+                break  # defer the tail; nothing urgent (no closed fronts)
             take = min(n_max, self._buckets[-1])
             bucket = next(b for b in self._buckets if b >= take)
             need = (bucket + t - 2) * hop + gap + spec.window_length

@@ -225,6 +225,7 @@ class Processor:
         bank_buffer_seconds: float = 30.0,
         bank_buckets: Optional[tuple] = None,
         bank_transfer_dtype: str = "float32",
+        bank_min_drain_hops: int = 1,
         drain_interval: float = 0.0,
     ):
         self.entries = [e for e in entries if e.config is not None]
@@ -271,6 +272,7 @@ class Processor:
                     max_buffer_seconds=bank_buffer_seconds,
                     buckets=bank_buckets,
                     transfer_dtype=bank_transfer_dtype,
+                    min_drain_hops=bank_min_drain_hops,
                 )
                 self._banks.append((bank, idxs))
             if len(self._banks) == 1:

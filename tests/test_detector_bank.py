@@ -730,3 +730,56 @@ def test_bank_int16_wire_semantics(sample_config):
 def test_bank_int16_wire_warm_up(sample_config):
     bank = DetectorBank([sample_config], transfer_dtype="int16", buckets=(8, 32))
     assert bank.warm_up() == 2
+
+
+def test_bank_min_drain_hops_defers_tails(sample_config):
+    """min_drain_hops leaves sub-threshold tails buffered (bounding the
+    per-round transfer overhead) — but a CLOSED front segment drains
+    regardless, since its hop count can never grow and post-gap audio
+    queues behind it. flush=True evaluates everything."""
+    spec_hop, t = 132, 10  # sample net geometry (hop, time_range)
+    bank = DetectorBank([sample_config], min_drain_hops=64)
+    rng = np.random.default_rng(41)
+    audio = make_audio(rng, seconds=2.0)
+
+    # 20 hops available: below the floor -> deferred
+    n20 = (20 + t - 1) * spec_hop + 124  # 20 evaluable hops
+    bank.append_audio_data(0, audio[:n20])
+    assert bank.drain().shape[1] == 0
+    assert bank.last_counts[0] == 0
+
+    # grow past the floor -> drains everything available
+    bank.append_audio_data(0, audio[n20 : n20 + 64 * spec_hop])
+    bank.drain()
+    assert bank.last_counts[0] >= 64
+
+    # closed front segment: a gap closes it; its 10-hop tail must drain
+    # even though 10 < min_drain_hops (avail can never grow)
+    n10 = (10 + t - 1) * spec_hop + 124
+    b2 = DetectorBank([sample_config], min_drain_hops=64)
+    b2.append_audio_data(0, audio[:n10])
+    b2.note_gap(0, 5000)
+    b2.append_audio_data(0, audio[:500])  # post-gap audio queues behind
+    b2.drain()
+    assert b2.last_counts[0] == 10
+
+    # flush=True ignores the floor
+    b3 = DetectorBank([sample_config], min_drain_hops=64)
+    b3.append_audio_data(0, audio[:n20])
+    b3.drain(flush=True)
+    assert b3.last_counts[0] == 20
+
+    # deferred tails are NOT lost: outputs across the two drains equal a
+    # floor-less bank fed the same stream
+    b4 = DetectorBank([sample_config], min_drain_hops=64)
+    free = DetectorBank([sample_config])
+    for b in (b4, free):
+        b.append_audio_data(0, audio[:n20])
+    o_free1 = free.drain()[0, : free.last_counts[0]]
+    b4.drain()
+    for b in (b4, free):
+        b.append_audio_data(0, audio[n20:40000])
+    got = b4.drain()[0, : b4.last_counts[0]]
+    o_free2 = free.drain()[0, : free.last_counts[0]]
+    want = np.concatenate([o_free1, o_free2])
+    assert len(got) == len(want)
