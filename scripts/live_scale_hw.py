@@ -81,6 +81,7 @@ def run_point(
     wire,
     buffer_seconds,
     events_path=None,
+    allow_cpu=False,
 ):
     import jax
 
@@ -93,7 +94,8 @@ def run_point(
     )
 
     dev = jax.devices()[0]
-    assert dev.platform != "cpu", f"need the real chip, got {dev}"
+    if not allow_cpu:
+        assert dev.platform != "cpu", f"need the real chip, got {dev}"
     cfg = load_config(cfg_path)
     rate = float(cfg.sampling_rate)
     rng = np.random.default_rng(7)
@@ -344,6 +346,11 @@ def main():
     ap.add_argument("--buffer-seconds", type=float, default=8.0)
     ap.add_argument("--events", default=None, help="write events CSV here")
     ap.add_argument(
+        "--allow-cpu", action="store_true",
+        help="logic smoke on the CPU backend (interpret-mode kernel; "
+        "numbers are meaningless — hardware runs must NOT use this)",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(os.path.dirname(__file__),
                                       "live_scale_results.jsonl")
     )
@@ -363,7 +370,7 @@ def main():
         r = run_point(
             args.net, lanes, args.seconds, args.chunk, args.interval,
             buckets, min_hops, args.wire, args.buffer_seconds,
-            events_path=args.events,
+            events_path=args.events, allow_cpu=args.allow_cpu,
         )
         results.append(r)
         with open(args.out, "a") as fh:
