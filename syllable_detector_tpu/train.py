@@ -73,6 +73,15 @@ def main(argv=None) -> int:
     p.add_argument("--freq", type=float, nargs=2, default=[2000.0, 7000.0])
     p.add_argument("--time-range", type=int, default=10)
     p.add_argument("--scaling", choices=("linear", "log", "db"), default="linear")
+    p.add_argument(
+        "--input-processing", default="l2normalize,mapminmax",
+        metavar="NAMES",
+        help="comma-separated input chain to fit and export "
+        "(convert_to_text.m's prepended names + processFcns): "
+        "parameter-free stages (l2normalize/normalize/normalizestd/"
+        "passthrough) followed by fitted affines (mapminmax/mapstd). "
+        "Default: l2normalize,mapminmax — the reference's deployed chain.",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard batches across all local devices "
@@ -129,22 +138,30 @@ def main(argv=None) -> int:
             return 1
         if rate is None:
             rate = r
-            settings = TrainSettings(
-                sampling_rate=float(rate),
-                fourier_length=args.fft,
-                window_length=(
-                    args.window if args.window is not None else args.fft
-                ),
-                window_overlap=args.overlap,
-                freq_range=(args.freq[0], args.freq[1]),
-                time_range=args.time_range,
-                scaling=args.scaling,
-                hidden=tuple(args.hidden),
-                learning_rate=args.learning_rate,
-                epochs=args.epochs,
-                batch_size=args.batch_size,
-                seed=args.seed,
-            )
+            try:
+                settings = TrainSettings(
+                    sampling_rate=float(rate),
+                    fourier_length=args.fft,
+                    window_length=(
+                        args.window if args.window is not None else args.fft
+                    ),
+                    window_overlap=args.overlap,
+                    freq_range=(args.freq[0], args.freq[1]),
+                    time_range=args.time_range,
+                    scaling=args.scaling,
+                    input_processing=tuple(
+                        s.strip() for s in args.input_processing.split(",")
+                        if s.strip()
+                    ),
+                    hidden=tuple(args.hidden),
+                    learning_rate=args.learning_rate,
+                    epochs=args.epochs,
+                    batch_size=args.batch_size,
+                    seed=args.seed,
+                )
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 1
         elif r != rate:
             print(
                 f"{audio_path} sample rate {r} differs from {rate}; all "

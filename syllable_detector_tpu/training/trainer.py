@@ -54,7 +54,9 @@ from syllable_detector_tpu.ops.stft import (
 __all__ = [
     "TrainSettings",
     "features_and_labels",
+    "fit_input_chain",
     "fit_mapminmax",
+    "fit_mapstd",
     "init_layer_params",
     "train",
     "train_ensemble",
@@ -76,6 +78,14 @@ class TrainSettings:
     freq_range: tuple[float, float] = (2000.0, 7000.0)
     time_range: int = 10
     scaling: str = "linear"
+    # input processing chain to fit and export (convert_to_text.m:118-182:
+    # the exporter emits arbitrary prepended parameter-free names followed
+    # by the net's fitted processFcns — mapminmax or mapstd). Parameter-free
+    # stages (l2normalize/normalize/normalizestd/passthrough) must precede
+    # the fitted affine stages, matching the exporter's prepend semantics
+    # and the fused kernel's constant-folding form (ops/processing.py
+    # fold_input_affines: affines after an optional normalizer).
+    input_processing: tuple[str, ...] = ("l2normalize", "mapminmax")
     hidden: tuple[int, ...] = (4,)
     learning_rate: float = 1e-3
     epochs: int = 200
@@ -104,6 +114,26 @@ class TrainSettings:
             raise ValueError(f"unknown scaling {self.scaling!r}")
         if self.time_range < 1:
             raise ValueError("time_range must be >= 1")
+        self.input_processing = tuple(self.input_processing)
+        free = ("l2normalize", "normalize", "normalizestd", "passthrough")
+        fitted = ("mapminmax", "mapstd")
+        seen_fitted = False
+        for name in self.input_processing:
+            if name in fitted:
+                seen_fitted = True
+            elif name in free:
+                if seen_fitted:
+                    raise ValueError(
+                        f"parameter-free stage {name!r} must precede the "
+                        f"fitted affine stages in input_processing "
+                        f"{self.input_processing!r} (the exporter prepends "
+                        "them before the net's processFcns)"
+                    )
+            else:
+                raise ValueError(
+                    f"unknown input processing function {name!r}; expected "
+                    f"one of {free + fitted}"
+                )
 
     @property
     def bins(self) -> tuple[int, int]:
@@ -182,6 +212,52 @@ def fit_mapminmax(features: np.ndarray) -> ProcessingSpec:
     )
 
 
+def fit_mapstd(features: np.ndarray) -> ProcessingSpec:
+    """MATLAB mapstd fit: per-feature map to mean 0, std 1
+    (gains = ystd/xstd with ystd = 1 and the N-1 sample std MATLAB's
+    std() computes, xOffsets = mean, yMean = 0; applied exactly as
+    NeuralNet.swift:162-168). Zero-variance features get gain 1,
+    mirroring :func:`fit_mapminmax`'s zero-range rule."""
+    mean = features.mean(axis=0, dtype=np.float64)
+    n = len(features)
+    std = (
+        features.std(axis=0, ddof=1, dtype=np.float64)
+        if n > 1
+        else np.zeros_like(mean)
+    )
+    gains = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), 1.0)
+    return ProcessingSpec(
+        name="mapstd",
+        x_offsets=mean.astype(np.float32),
+        gains=gains.astype(np.float32),
+        y_offset=0.0,
+    )
+
+
+def fit_input_chain(
+    settings: TrainSettings, features: np.ndarray
+) -> tuple[list[ProcessingSpec], np.ndarray]:
+    """Fit ``settings.input_processing`` sequentially: each fitted affine
+    stage (mapminmax/mapstd) is fit on the features as transformed by the
+    stages before it — MATLAB configures process settings the same way
+    (each processFcn sees the previous one's output). Returns the fitted
+    specs and the fully transformed features."""
+    from syllable_detector_tpu.ops.processing import apply_named
+
+    specs: list[ProcessingSpec] = []
+    for name in settings.input_processing:
+        if name == "mapminmax":
+            spec = fit_mapminmax(features)
+        elif name == "mapstd":
+            spec = fit_mapstd(features)
+        else:
+            spec = ProcessingSpec(name)
+        p = specs_to_chain([spec])[1][0]
+        features = np.asarray(apply_named(jnp.asarray(features), name, p))
+        specs.append(spec)
+    return specs, features
+
+
 def init_layer_params(
     key, sizes: list[int], scale: float = 2.0
 ) -> list[dict]:
@@ -210,7 +286,7 @@ def _build_net_spec(settings: TrainSettings) -> NetSpec:
     return NetSpec(
         layer_sizes=tuple((sizes[i], sizes[i + 1]) for i in range(len(sizes) - 1)),
         transfers=transfers,
-        input_processing=("l2normalize", "mapminmax"),
+        input_processing=settings.input_processing,
         output_processing=("mapminmax",),
     )
 
@@ -547,14 +623,14 @@ def train(
     if len(features) == 0:
         raise ValueError("features has no rows")
     net_spec = _build_net_spec(settings)
-    mm_in = fit_mapminmax(features)
+    in_specs, _ = fit_input_chain(settings, features)
     mm_out = ProcessingSpec(
         name="mapminmax",
         x_offsets=np.zeros(1, np.float32),
         gains=np.full(1, 2.0, np.float32),
         y_offset=-1.0,
     )
-    _, in_params = specs_to_chain([ProcessingSpec("l2normalize"), mm_in])
+    _, in_params = specs_to_chain(in_specs)
     _, out_params = specs_to_chain([mm_out])
 
     key = jax.random.PRNGKey(settings.seed)
@@ -781,7 +857,7 @@ def train_ensemble(
                 f"columns, settings expect {settings.n_features}"
             )
         _, in_params = specs_to_chain(
-            [ProcessingSpec("l2normalize"), fit_mapminmax(features_list[c])]
+            fit_input_chain(settings, features_list[c])[0]
         )
         _, out_params = specs_to_chain([mm_out])
         key = jax.random.fold_in(jax.random.PRNGKey(settings.seed), c)
@@ -945,8 +1021,8 @@ def export_trained_config(
         )
     process_inputs = []
     for name, p in zip(net_spec.input_processing, params["process_inputs"]):
-        if name == "l2normalize":
-            process_inputs.append(ProcessingSpec("l2normalize"))
+        if name not in ("mapminmax", "mapstd"):  # parameter-free stages
+            process_inputs.append(ProcessingSpec(name))
         else:
             process_inputs.append(
                 ProcessingSpec(

@@ -920,3 +920,154 @@ def test_corrupt_rng_sidecar_falls_back(settings, tmp_path):
     before = rng.bit_generator.state
     assert not _restore_rng_state(str(d), 4, [rng])
     assert rng.bit_generator.state == before  # untouched on failure
+
+
+def test_fit_mapstd(dataset):
+    """MATLAB mapstd fit: transformed features have mean 0, sample std 1
+    (convert_to_text.m:157-167 emits xOffsets/gains/yMean for mapstd)."""
+    from syllable_detector_tpu.training.trainer import fit_mapstd
+
+    _, _, feats, _ = dataset
+    ms = fit_mapstd(feats)
+    y = (feats - ms.x_offsets) * ms.gains + ms.y_offset
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(y.std(axis=0, ddof=1), 1.0, atol=1e-3)
+    # zero-variance features keep gain 1 (like fit_mapminmax's zero-range)
+    const = np.ones((8, 3), np.float32)
+    ms2 = fit_mapstd(const)
+    np.testing.assert_allclose(ms2.gains, 1.0)
+
+
+def test_input_processing_validation():
+    with pytest.raises(ValueError, match="unknown input processing"):
+        TrainSettings(input_processing=("l2normalize", "mapcube"))
+    with pytest.raises(ValueError, match="must precede"):
+        TrainSettings(input_processing=("mapstd", "l2normalize"))
+    # fitted-affine sequences and free prefixes are fine
+    TrainSettings(input_processing=("normalizestd", "mapminmax", "mapstd"))
+
+
+def test_fit_input_chain_sequential(dataset):
+    """Each fitted affine sees the previous stages' output (MATLAB
+    configures processFcns sequentially)."""
+    from syllable_detector_tpu.training.trainer import fit_input_chain
+
+    _, _, feats, _ = dataset
+    s = TrainSettings(input_processing=("l2normalize", "mapstd"))
+    specs, transformed = fit_input_chain(s, feats)
+    assert [sp.name for sp in specs] == ["l2normalize", "mapstd"]
+    # the mapstd was fit on the l2-normalized features: output is standard
+    np.testing.assert_allclose(transformed.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(transformed.std(axis=0, ddof=1), 1.0, atol=2e-3)
+
+
+def test_train_mapstd_roundtrip(settings, dataset):
+    """Train with the mapstd chain -> export -> text roundtrip -> detect:
+    the exporter's mapstd settings block (convert_to_text.m:157-167) comes
+    back through the parser and the net still separates syllables."""
+    import dataclasses
+
+    audio, intervals, feats, labels = dataset
+    s = dataclasses.replace(
+        settings, input_processing=("l2normalize", "mapstd")
+    )
+    net_spec, params, threshold = train(s, feats, labels)
+    assert net_spec.input_processing == ("l2normalize", "mapstd")
+
+    cfg = export_trained_config(s, net_spec, params, threshold)
+    text = dumps_config(cfg)
+    assert "mapstd" in text and "yMean" in text  # the reference schema block
+    cfg2 = loads_config(text)
+    assert [p.name for p in cfg2.process_inputs] == ["l2normalize", "mapstd"]
+
+    det = Detector(cfg2)
+    det.append_audio_data(audio)
+    outs = det.drain()
+    hop = settings.window_length - settings.window_overlap
+    first = settings.window_length + hop * (settings.time_range - 1)
+    t = (first + hop * np.arange(len(outs))) / settings.sampling_rate
+    inside = np.zeros(len(outs), bool)
+    near = np.zeros(len(outs), bool)
+    for lo, hi in intervals:
+        inside |= (t >= lo) & (t <= hi)
+        near |= (t >= lo - 0.1) & (t <= hi + 0.1)
+    assert outs[inside, 0].mean() > outs[~near, 0].mean() + 0.3
+
+
+def test_train_mapstd_only_chain_fused_parity(settings, dataset):
+    """A mapstd-only chain (no l2normalize) exports, reloads, and the fused
+    kernel's constant folding (fold_input_affines has_l2=False) matches the
+    unfused path on it."""
+    import dataclasses
+
+    audio, intervals, feats, labels = dataset
+    s = dataclasses.replace(
+        settings, epochs=20, input_processing=("mapstd",)
+    )
+    net_spec, params, threshold = train(s, feats, labels)
+    cfg2 = loads_config(
+        dumps_config(export_trained_config(s, net_spec, params, threshold))
+    )
+    d1 = Detector(cfg2)
+    d1.append_audio_data(audio)
+    base = d1.drain()
+    d2 = Detector(cfg2, method="fused")
+    d2.append_audio_data(audio)
+    fused = d2.drain()
+    n = min(len(base), len(fused))
+    assert n > 0
+    np.testing.assert_allclose(fused[:n], base[:n], atol=2e-3)
+
+
+def test_train_cli_mapstd(tmp_path):
+    """--input-processing l2normalize,mapstd end-to-end: train, write the
+    net file, detect with the CLI."""
+    import io
+    from contextlib import redirect_stdout
+
+    from syllable_detector_tpu.cli import main as cli_main
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=3.0)
+    wav = tmp_path / "train.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    labels = tmp_path / "labels.csv"
+    labels.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+    net = tmp_path / "net.txt"
+    rc = train_main(
+        ["-a", str(wav), "-l", str(labels), "-o", str(net),
+         "--epochs", "150", "--quiet",
+         "--input-processing", "l2normalize,mapstd"]
+    )
+    assert rc == 0 and net.exists()
+    assert "mapstd" in net.read_text()
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["-n", str(net), "-a", str(wav)])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert lines
+    hits = sum(
+        1 for line in lines
+        if any(lo - 0.1 <= float(line.split(",")[2]) <= hi + 0.1
+               for lo, hi in intervals)
+    )
+    assert hits / len(lines) > 0.8, (hits, len(lines))
+
+
+def test_train_cli_bad_input_processing(tmp_path):
+    from syllable_detector_tpu.train import main as train_main
+    from syllable_detector_tpu.utils.wav import write_wav
+
+    audio, intervals = make_labeled_audio(seconds=1.0)
+    wav = tmp_path / "a.wav"
+    write_wav(wav, audio, 44100, dtype="float32")
+    labels = tmp_path / "l.csv"
+    labels.write_text("\n".join(f"{lo},{hi}" for lo, hi in intervals))
+    rc = train_main(
+        ["-a", str(wav), "-l", str(labels), "-o", str(tmp_path / "n.txt"),
+         "--epochs", "1", "--quiet", "--input-processing", "mapcube"]
+    )
+    assert rc == 1
