@@ -39,6 +39,14 @@ from syllable_detector_tpu.models.detector import (
 )
 
 NORTH_STAR = 1e7  # windows/s/chip (BASELINE.md)
+# live end-to-end confirmation ladder: the r5 hardware campaign sustained
+# 128/192/256 lanes over 120 s each with zero loss (scripts/
+# live_scale_hw.py, DESIGN.md "Live end-to-end scale"); the ceiling is
+# WIRE-bound by this environment's TPU tunnel (~28-35 MiB/s with
+# multi-second stalls), NOT by the kernel or the host pipeline. The
+# bench confirmation tries the campaign max first and steps down one
+# rung if a stall window eats the short sample.
+LIVE_LANES_LADDER = (256, 128)
 SAMPLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sample_net.txt")
 REFERENCE_SAMPLE = "/root/reference/sample.txt"
 
@@ -610,6 +618,51 @@ def _run(cfg, spec, params, dev):
             log(f"fused sample spread: {lo:,.0f}..{hi:,.0f} windows/s "
                 f"({(hi - lo) / hi * 100:.0f}% sag on the worst sample)")
 
+    # ---- live end-to-end confirmation point (r5) -------------------------
+    # Run the ACTUAL live pipeline (wall-clock simulated capture -> rings ->
+    # batched bank drains -> event log) for a short window at the lane
+    # count the r5 hardware campaign sustained (scripts/live_scale_hw.py,
+    # scripts/live_scale_results.jsonl). This converts the realtime-channel
+    # arithmetic into a measured system capability in every round's JSON.
+    # NOTE this environment's TPU sits behind a network tunnel measured at
+    # ~25-50 MiB/s with multi-second stalls — the live ceiling here is
+    # WIRE-bound, three orders of magnitude below a production PCIe host
+    # link; the kernel itself has ~400x more capacity (batched_c1024).
+    live_sustained = None
+    live_summary = None
+    if on_tpu:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts")
+            )
+            from live_scale_hw import run_point
+
+            live_sustained = 0
+            for lanes_try in LIVE_LANES_LADDER:
+                live = run_point(
+                    SAMPLE if os.path.exists(SAMPLE) else REFERENCE_SAMPLE,
+                    lanes=lanes_try, seconds=20.0, chunk=2048,
+                    interval=128 * hop / spec.sampling_rate, buckets=(128,),
+                    min_hops=128, wire="int16", buffer_seconds=120.0,
+                    ring_seconds=90.0,
+                )
+                live_summary = {
+                    "lanes": live["lanes"],
+                    "sustained": live["sustained"],
+                    "coverage": live["coverage"],
+                    "drain_wall_p99_ms": live["drain"]["wall_p99_ms"],
+                    "wire_MiB_s": live["transfer"]["wire_MiB_s"],
+                    "backlog_high_water_s": live.get("backlog_high_water_s"),
+                }
+                if live["sustained"]:
+                    live_sustained = lanes_try
+                    break
+                log(f"live point at {lanes_try} lanes missed sustain "
+                    "(stall window?); stepping down the ladder")
+        except Exception as e:  # pragma: no cover
+            log(f"live point failed: {type(e).__name__}: {str(e)[:160]}")
+
     # headline = best full-fidelity (fp32-precision) path; fused and unfused
     # are reported separately so the label is honest about which path won
     value = max(wps_fused, wps_unfused)
@@ -648,6 +701,11 @@ def _run(cfg, spec, params, dev):
         "latency_ms_per_hop_1024ch": (
             round(latency_ms[1024], 5) if 1024 in latency_ms else None
         ),
+        # 0 = the confirmation run missed sustain (tunnel stall window);
+        # None = the live leg errored/was skipped. The campaign evidence
+        # lives in scripts/live_scale_results.jsonl + DESIGN.md.
+        "live_sustained_lanes": live_sustained,
+        "live_point": live_summary,
     }
     print(json.dumps(payload))
 
