@@ -952,9 +952,11 @@ def _folded(spec: DetectorSpec, params: dict, pack: bool | None = None):
 # few milliseconds; numpy operands passed to the kernel re-transfer the
 # whole stacked fold host->device on every call (~350 MB per drain at
 # 1024 distinct lanes — more bytes than the audio itself). The cache
-# holds concrete jax.Arrays (NOT tracers, and never jnp values created
-# under a trace — the CLAUDE.md tracer-leak trap doesn't apply: inputs
-# here are always the _fold_cache's numpy outputs).
+# holds concrete jax.Arrays ONLY: inputs are the _fold_cache's numpy
+# outputs, and when the flat path is itself being TRACED (a caller's
+# jit/scan — e.g. the tuner's scanned measurement), device_put yields
+# tracers and _device_operands refuses to cache (the CLAUDE.md
+# tracer-leak trap, hit for real in r5).
 _dev_operand_cache: "OrderedDict" = OrderedDict()
 _DEV_OPERAND_CACHE_MAX = 8
 
@@ -974,6 +976,14 @@ def _device_operands(operands):
         _dev_operand_cache.move_to_end(key)
         return hit[1]
     put = tuple(_jax.device_put(o, dev) for o in operands)
+    if any(isinstance(p, _jax.core.Tracer) for p in put):
+        # called under an ACTIVE trace (a caller jitted the flat path):
+        # device_put yields tracers — caching one leaks it out of the
+        # trace (the CLAUDE.md trap; the tuner's scanned measurement hit
+        # exactly this). Hand back the numpy operands: the trace embeds
+        # them as constants, identical to the pre-cache behavior, and
+        # the dead puts are DCE'd.
+        return operands
     # strong ref to the source operands so their ids can't be recycled
     _dev_operand_cache[key] = (operands, put)
     while len(_dev_operand_cache) > _DEV_OPERAND_CACHE_MAX:

@@ -1090,3 +1090,50 @@ def test_flat_batch_redundant_channels_keeps_2d_form(sample_config):
         spec, params, xs, channels=4, interpret=True
     )
     assert out.shape == (4, 0, spec.net.outputs)
+
+
+def test_device_operand_cache_never_caches_tracers(sample_config):
+    """Calling the fused paths UNDER A TRACE (a caller's jit/scan — the
+    tuner's scanned measurement does exactly this) must not leak tracers
+    into the device-resident operand cache; the r5 on-chip tuner run hit
+    jax.errors.UnexpectedTracerError here before the guard."""
+    import jax
+    import jax.numpy as jnp
+
+    from syllable_detector_tpu.kernels import fused_detector as fd
+    from syllable_detector_tpu.models.detector import (
+        detector_spec_from_config,
+    )
+
+    spec, params = detector_spec_from_config(sample_config)
+    n = fd.fused_input_samples(spec, 64, tile=64)
+    x = jnp.asarray(
+        np.random.default_rng(3)
+        .standard_normal((n // spec.hop, spec.hop))
+        .astype(np.float32)
+    )
+
+    fd._dev_operand_cache.clear()
+
+    @jax.jit
+    def traced(x):
+        return fd.fused_offline_outputs(spec, params, x, tile=64, n_evals=64)
+
+    out1 = traced(x)  # trace 1: device_put under trace -> must not cache
+    assert not fd._dev_operand_cache, (
+        "operand cache polluted under trace"
+    )
+
+    @jax.jit
+    def traced2(x):  # a second, separate trace (the second tuner tile)
+        o = fd.fused_offline_outputs(spec, params, x, tile=64, n_evals=64)
+        return o * 2.0
+
+    out2 = traced2(x)  # pre-guard this raised UnexpectedTracerError
+    assert jnp.all(jnp.isfinite(out1)) and jnp.all(jnp.isfinite(out2))
+
+    # eager call: NOW the cache may hold concrete arrays only
+    out3 = fd.fused_offline_outputs(spec, params, x, tile=64, n_evals=64)
+    assert jnp.allclose(out3, out1)
+    for _, put in fd._dev_operand_cache.values():
+        assert all(not isinstance(p, jax.core.Tracer) for p in put)
