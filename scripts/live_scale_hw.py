@@ -24,7 +24,8 @@ Operating profile per point (all CLI-overridable):
     runs before the clock starts);
   * min_drain_hops=128 — sub-bucket tails wait for the next window
     instead of paying a whole bucket-shaped transfer;
-  * optional int16 wire (bank_transfer_dtype) — halves transfer bytes
+  * optional int16 wire (bank_transfer_dtype) — halves transfer bytes;
+    mulaw8 quarters them (lossy opt-in companding tier)
     (capture-native PCM, dequantized on device).
 
 Results append to scripts/live_scale_results.jsonl (one JSON per point).
@@ -254,7 +255,7 @@ def run_point(
     drain_host = [
         max(0.0, d - v) for d, v in zip(drain_wall, dev_wall)
     ] if len(drain_wall) == len(dev_wall) else []
-    realtime_mib = lanes * rate * (2 if wire == "int16" else 4) / 2**20
+    realtime_mib = lanes * rate * {"int16": 2, "mulaw8": 1}.get(wire, 4) / 2**20
     wire_mib_s = wire_bytes[0] / 2**20 / t_feed
 
     # sustained = the lossless stall-insured contract: nothing dropped,
@@ -373,7 +374,7 @@ def main():
         "--min-hops", type=int, default=None,
         help="min_drain_hops (default: smallest bucket)",
     )
-    ap.add_argument("--wire", default="float32", choices=["float32", "int16"])
+    ap.add_argument("--wire", default="float32", choices=["float32", "int16", "mulaw8"])
     ap.add_argument("--buffer-seconds", type=float, default=8.0)
     ap.add_argument(
         "--ring-seconds", type=float, default=None,

@@ -45,6 +45,30 @@ from syllable_detector_tpu.ops.stft import normalize_overlap, num_frames
 
 __all__ = ["DetectorBank"]
 
+_MU = 255.0  # continuous mu-law companding constant (8-bit wire tier)
+_mulaw_lut_cache: np.ndarray | None = None
+
+
+def _mulaw_lut() -> np.ndarray:
+    """64Ki int16-code -> int8 mu-law-code lookup table (index = s16 +
+    32768). Encoding goes through the int16 wire's exact clip+round first,
+    so a mulaw8 stream is a strict further quantization of the int16 one."""
+    global _mulaw_lut_cache
+    if _mulaw_lut_cache is None:
+        v = np.arange(-32768, 32768, dtype=np.float64) / 32767.0
+        np.clip(v, -1.0, 1.0, out=v)
+        y = np.sign(v) * np.log1p(_MU * np.abs(v)) / np.log1p(_MU)
+        _mulaw_lut_cache = np.rint(y * 127.0).astype(np.int8)
+    return _mulaw_lut_cache
+
+
+def mulaw_expand_np(codes: np.ndarray) -> np.ndarray:
+    """NumPy reference of the on-device mu-law expansion (tests/oracles)."""
+    y = codes.astype(np.float64) / 127.0
+    return (np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU)) / _MU)).astype(
+        np.float32
+    )
+
 
 @dataclasses.dataclass
 class _Segment:
@@ -190,13 +214,22 @@ class DetectorBank:
         # and rounds to 1/32767 steps — exactly the precision of S16
         # capture hardware, so an int16-sourced stream roundtrips EXACTLY
         # (test-pinned); float-sourced streams see <=3.1e-5 input error.
-        if transfer_dtype not in ("float32", "int16"):
+        # 'mulaw8' QUARTERS the bytes (continuous mu-law companding,
+        # mu=255, 8-bit codes; encode via a 64Ki int16->int8 LUT on the
+        # host, expand ON DEVICE with one elementwise exp). It is a LOSSY
+        # opt-in tier like the kernel's bf16 tiers: <=3.5e-4 absolute
+        # input error near zero, <=2.3% of |x| across the range (the
+        # 127-level mu-law half step, ~ln(256)/254 relative) —
+        # measured detector-output error on representative audio is
+        # test-pinned. Use it when the host->device link, not fidelity,
+        # bounds lane count.
+        if transfer_dtype not in ("float32", "int16", "mulaw8"):
             raise ValueError(
                 f"unknown transfer_dtype {transfer_dtype!r}; "
-                "use 'float32' or 'int16'"
+                "use 'float32', 'int16' or 'mulaw8'"
             )
         self.transfer_dtype = transfer_dtype
-        self._dequant = None  # built lazily (jit) for the int16 wire
+        self._dequant = None  # built lazily (jit) for int16/mulaw8 wires
         # transfer efficiency floor: a drain round always sends a whole
         # bucket-shaped [n_lanes, need] staging transfer, so draining a
         # 5-hop tail through a 128-hop bucket pays ~25x the bytes the tail
@@ -335,6 +368,7 @@ class DetectorBank:
         per_lane_idx: list[list[np.ndarray]] = [[] for _ in range(self.n_lanes)]
 
         i16 = self.transfer_dtype == "int16"
+        mu8 = self.transfer_dtype == "mulaw8"
         while True:
             avail = [self._front_avail(i) for i in range(self.n_lanes)]
             n_max = max(avail)
@@ -352,7 +386,8 @@ class DetectorBank:
                 xs, prev = self._stage[need]
             else:
                 xs = np.zeros(
-                    (self.n_lanes, need), np.int16 if i16 else np.float32
+                    (self.n_lanes, need),
+                    np.int16 if i16 else np.int8 if mu8 else np.float32,
                 )
                 prev = np.zeros(self.n_lanes, np.int64)
                 self._stage[need] = (xs, prev)
@@ -362,13 +397,19 @@ class DetectorBank:
                 else:
                     data = self._segments[i][0].consolidate()
                     m = min(len(data), need)
-                    if i16:
+                    if i16 or mu8:
                         # capture-native PCM wire: clip + round-to-nearest,
                         # exactly what S16 capture hardware does
                         q = np.clip(data[:m], -1.0, 1.0)
                         q *= np.float32(32767.0)
                         np.rint(q, out=q)
-                        xs[i, :m] = q
+                        if mu8:
+                            # compand s16 codes to 8-bit mu-law via the LUT
+                            xs[i, :m] = _mulaw_lut()[
+                                q.astype(np.int32) + 32768
+                            ]
+                        else:
+                            xs[i, :m] = q
                     else:
                         xs[i, :m] = data[:m]
                 if m < prev[i]:
@@ -425,6 +466,22 @@ class DetectorBank:
                     lambda v: v.astype(jnp.float32)
                     * np.float32(1.0 / 32767.0)
                 )
+            x = self._dequant(x)
+        elif xs_np.dtype == np.int8:
+            if self._dequant is None:
+                import jax
+
+                ln1mu = np.float32(np.log1p(_MU))
+                inv_mu = np.float32(1.0 / _MU)
+                inv127 = np.float32(1.0 / 127.0)
+
+                def _expand(v):
+                    y = v.astype(jnp.float32) * inv127
+                    return jnp.sign(y) * (
+                        jnp.expm1(jnp.abs(y) * ln1mu) * inv_mu
+                    )
+
+                self._dequant = jax.jit(_expand)
             x = self._dequant(x)
         return self._batched_outputs(x)
 
@@ -648,7 +705,11 @@ class DetectorBank:
         n = 0
         import jax
 
-        dtype = np.int16 if self.transfer_dtype == "int16" else np.float32
+        dtype = (
+            np.int16 if self.transfer_dtype == "int16"
+            else np.int8 if self.transfer_dtype == "mulaw8"
+            else np.float32
+        )
         for b in buckets if buckets is not None else self._buckets:
             need = (b + spec.time_range - 2) * spec.hop + gap + spec.window_length
             out = self._wire_outputs(np.zeros((self.n_lanes, need), dtype))

@@ -293,6 +293,15 @@ def main(argv=None) -> int:
         "geometries batch within each compatible group.",
     )
     p.add_argument(
+        "--wire-format",
+        choices=("float32", "int16", "mulaw8"),
+        default="float32",
+        help="Batched-drain host->device wire format: int16 halves the "
+        "transfer bytes (capture-exact PCM), mulaw8 quarters them (lossy "
+        "opt-in companding, <=2.3%% relative input error — for "
+        "bandwidth-bound links). Only meaningful with --batched-drain.",
+    )
+    p.add_argument(
         "--warm-up",
         action="store_true",
         help="Compile every drain shape BEFORE starting capture (on TPU a "
@@ -508,7 +517,7 @@ def main(argv=None) -> int:
     try:
         proc = Processor(
             interface, entries, output, batched=args.batched_drain,
-            event_log=event_log,
+            event_log=event_log, bank_transfer_dtype=args.wire_format,
         )
     except ValueError as e:
         # invalid network configuration surfaced during batched-mode

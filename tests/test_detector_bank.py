@@ -783,3 +783,78 @@ def test_bank_min_drain_hops_defers_tails(sample_config):
     o_free2 = free.drain()[0, : free.last_counts[0]]
     want = np.concatenate([o_free1, o_free2])
     assert len(got) == len(want)
+
+
+def test_mulaw_companding_properties():
+    """The mu-law code pair: exact zero, odd symmetry, monotone, and the
+    documented error envelope (<=3.5e-4 absolute near zero — the mu-law
+    half-step compounded with the int16 pre-quantization — and <=2.3%
+    of |x| + that floor across the range: ~ln(256)/254 relative, the
+    127-level continuous-mu-law half step)."""
+    from syllable_detector_tpu.models.detector_bank import (
+        _mulaw_lut,
+        mulaw_expand_np,
+    )
+
+    lut = _mulaw_lut()
+    assert lut.dtype == np.int8 and len(lut) == 65536
+    assert lut[32768] == 0 and mulaw_expand_np(np.zeros(1, np.int8))[0] == 0
+    # odd symmetry over the symmetric code range
+    assert np.array_equal(lut[32768 + 1 :], -lut[32768 - 1 : 0 : -1][: 32767])
+    # monotone non-decreasing codes
+    assert np.all(np.diff(lut.astype(np.int16)) >= 0)
+
+    x = np.linspace(-1.0, 1.0, 20001).astype(np.float32)
+    q = np.rint(np.clip(x, -1, 1) * np.float32(32767.0)).astype(np.int32)
+    rt = mulaw_expand_np(lut[q + 32768])
+    err = np.abs(rt - x)
+    assert err[np.abs(x) < 0.01].max() < 3.5e-4
+    assert np.all(err <= 0.023 * np.abs(x) + 3.5e-4)
+
+
+def test_bank_mulaw8_wire_semantics(sample_config):
+    """The mulaw8 wire must EXACTLY equal a float bank fed the
+    companding-roundtripped stream (encode via the LUT, expand via the
+    reference numpy expansion) — the tier's loss is fully characterized
+    by that roundtrip, with no additional wire error."""
+    from syllable_detector_tpu.models.detector_bank import (
+        _mulaw_lut,
+        mulaw_expand_np,
+    )
+
+    rng = np.random.default_rng(33)
+    audio = make_audio(rng, seconds=0.5) * 1.1
+    cfgs = [sample_config, _perturbed_cfg(sample_config, 9)]
+
+    wire = DetectorBank(cfgs, transfer_dtype="mulaw8")
+    oracle = DetectorBank(cfgs)
+    q = np.rint(np.clip(audio, -1.0, 1.0) * np.float32(32767.0)).astype(
+        np.int32
+    )
+    rt = mulaw_expand_np(_mulaw_lut()[q + 32768])
+    for i in range(2):
+        wire.append_audio_data(i, audio)
+        oracle.append_audio_data(i, rt)
+    o_w = wire.drain()
+    o_o = oracle.drain()
+    np.testing.assert_array_equal(wire.last_counts, oracle.last_counts)
+    for i in range(2):
+        c = oracle.last_counts[i]
+        np.testing.assert_allclose(o_w[i, :c], o_o[i, :c], atol=1e-6)
+
+    # end-to-end tier fidelity on detector OUTPUTS vs the float32 wire:
+    # bounded and small on representative audio (opt-in tier contract)
+    f = DetectorBank(cfgs)
+    for i in range(2):
+        f.append_audio_data(i, audio)
+    o_f = f.drain()
+    c = min(int(f.last_counts.min()), int(wire.last_counts.min()))
+    assert c > 0
+    assert np.max(np.abs(o_w[:, :c] - o_f[:, :c])) < 0.02
+
+
+def test_bank_mulaw8_wire_warm_up(sample_config):
+    bank = DetectorBank(
+        [sample_config], transfer_dtype="mulaw8", buckets=(8, 32)
+    )
+    assert bank.warm_up() == 2

@@ -400,3 +400,21 @@ def test_monitor_interactive_start_failure_keeps_repl(tmp_path):
     text = "\n".join(out_lines)
     assert "start failed" in text and "frequency range" in text
     assert "running: 1 detector(s)" in text  # the recovery start worked
+
+
+@pytest.mark.parametrize("wire", ["int16", "mulaw8"])
+def test_monitor_batched_drain_wire_formats(chirp_wav, capsys, wire):
+    """--wire-format routes the batched drain through the quantized wire
+    (int16 capture-exact; mulaw8 lossy companding tier) — detections
+    still fire per channel."""
+    rc = monitor_main(
+        ["-n", NET, "-a", chirp_wav, "--channels", "2", "--duration", "1.0",
+         "--batched-drain", "--wire-format", wire]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    det_line = next(
+        l for l in out.splitlines() if l.startswith("detections per channel")
+    )
+    dets = eval(det_line.split(":", 1)[1])
+    assert len(dets) == 2 and all(d > 0 for d in dets)
