@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--lanes", type=int, default=128)
     ap.add_argument("--seconds", type=float, default=600.0)
     ap.add_argument("--chunk", type=int, default=2048)
-    ap.add_argument("--wire", default="int16", choices=["float32", "int16"])
+    ap.add_argument("--wire", default="int16", choices=["float32", "int16", "mulaw8"])
     ap.add_argument("--buckets", default="128")
     ap.add_argument(
         "--gap-every", type=float, default=60.0,
@@ -74,6 +74,12 @@ def main():
         "--gap-frames", type=int, default=4410,
         help="lost frames per injected gap (0.1 s at 44.1 kHz)",
     )
+    ap.add_argument(
+        "--ring-seconds", type=float, default=90.0,
+        help="capture ring depth (stall insurance: this machine's tunnel "
+        "measured a 55 s mid-run stall — see live_scale_hw.py)",
+    )
+    ap.add_argument("--buffer-seconds", type=float, default=120.0)
     ap.add_argument("--allow-cpu", action="store_true",
                     help="logic smoke on CPU (numbers meaningless)")
     ap.add_argument(
@@ -133,8 +139,8 @@ def main():
 
     proc = Processor(
         interface, entries, CallbackOutput(lambda i, e, s: None),
-        ring_seconds=max(2.0, 4 * interval), batched=True,
-        event_log=event_sink, bank_buffer_seconds=8.0,
+        ring_seconds=args.ring_seconds, batched=True,
+        event_log=event_sink, bank_buffer_seconds=args.buffer_seconds,
         bank_buckets=buckets, bank_transfer_dtype=args.wire,
         bank_min_drain_hops=buckets[0], drain_interval=interval,
     )
@@ -247,27 +253,62 @@ def main():
             monotone = False
         last[ch] = sample
 
-    # --- memory boundedness: linear-fit MiB/min over the post-warm tail --
-    tail = [(t, r) for t, r, _, _ in rss_samples if t > 60.0]
-    if len(tail) >= 2:
-        ts, rs = np.array([t for t, _ in tail]), np.array([r for _, r in tail])
+    # --- memory boundedness ------------------------------------------------
+    # RSS legitimately tracks BACKLOG (rings + bank segments hold the
+    # audio a link stall defers — the r5 soak measured 13.7 GiB of RSS
+    # at a 90 s × 128-lane backlog under a degraded tunnel, zero actual
+    # leak: the bank/jit loop is RSS-flat on CPU). A leak therefore
+    # means growth while the pipeline is HEALTHY: fit the slope only
+    # over post-warm samples whose backlog is under 5 s.
+    warm_skip = min(60.0, args.seconds / 3.0)
+    healthy = [
+        (t, r) for t, r, b, _ in rss_samples
+        if t > warm_skip and b < 5.0 * rate
+    ]
+    if len(healthy) >= 5:
+        ts = np.array([t for t, _ in healthy])
+        rs = np.array([r for _, r in healthy])
         slope_mib_min = float(np.polyfit(ts, rs, 1)[0] * 60.0)
+        slope_conclusive = True
     else:
         slope_mib_min = 0.0
+        slope_conclusive = False  # link too degraded to judge memory
     max_backlog = max((b for _, _, b, _ in rss_samples), default=0)
+    # link health: insured rings should never overflow and drains should
+    # not tail out — ring overflows mean the link stalled past the
+    # insurance, which is an ENVIRONMENT failure, not a framework one
+    link_degraded = ring_over > 0 or (
+        len(drain_wall) > 10
+        and pct(np.asarray(drain_wall) * 1e3, 99) > 3000.0
+    )
 
     hist_edges = [0, 50, 100, 200, 400, 800, 1600, 3200, 1e9]
     ms = np.asarray(drain_wall) * 1e3
     hist = np.histogram(ms, hist_edges)[0]
 
-    ok = (
-        done and exact and monotone
-        and cap_gaps == injected
-        and t_feed <= args.seconds * 1.02
-        and slope_mib_min < 2.0
-    )
+    reasons = []
+    if not done:
+        reasons.append("feed did not complete")
+    if not exact:
+        reasons.append(
+            "hop/drop algebra inexact"
+            + (" (ring overflows from link stalls)" if ring_over else "")
+        )
+    if not monotone:
+        reasons.append("event indices non-monotone")
+    if cap_gaps != injected:
+        reasons.append("capture-gap records != injections")
+    if t_feed > args.seconds * 1.02:
+        reasons.append("feed below realtime")
+    if slope_conclusive and slope_mib_min >= 2.0:
+        reasons.append("RSS grows while healthy (leak)")
+    if not slope_conclusive:
+        reasons.append("memory check inconclusive (link too degraded)")
+    ok = not reasons
     r = {
         "ok": bool(ok),
+        "reasons": reasons,
+        "link_degraded": bool(link_degraded),
         "lanes": lanes,
         "seconds": args.seconds,
         "wire": args.wire,
@@ -287,8 +328,13 @@ def main():
         },
         "rss_mib_start": round(rss0, 1),
         "rss_mib_end": round(rss_samples[-1][1] if rss_samples else rss0, 1),
-        "rss_slope_mib_per_min": round(slope_mib_min, 3),
+        "rss_slope_mib_per_min_healthy": round(slope_mib_min, 3),
+        "rss_slope_conclusive": bool(slope_conclusive),
         "max_backlog_samples": int(max_backlog),
+        "timeline_10s": [
+            [round(t, 1), round(rss, 1), int(b), e]
+            for t, rss, b, e in rss_samples
+        ],
         "drain_ms": {
             "n": len(ms),
             "p50": round(pct(ms, 50), 1),
@@ -306,8 +352,11 @@ def main():
     log(f"{'SOAK OK' if ok else 'SOAK FAILED'}: {hops}/{expected} hops "
         f"across {gap_state['count']} injected gaps, {len(events)} events "
         f"(monotone={monotone}), RSS {rss0:.0f}->"
-        f"{r['rss_mib_end']:.0f} MiB ({slope_mib_min:+.2f} MiB/min tail), "
-        f"drain p50/p99 {r['drain_ms']['p50']}/{r['drain_ms']['p99']} ms")
+        f"{r['rss_mib_end']:.0f} MiB ({slope_mib_min:+.2f} MiB/min healthy"
+        f"{'' if slope_conclusive else ', INCONCLUSIVE'}), "
+        f"drain p50/p99 {r['drain_ms']['p50']}/{r['drain_ms']['p99']} ms"
+        + (f"; link degraded" if link_degraded else "")
+        + (f"; reasons: {reasons}" if reasons else ""))
     print(json.dumps({"soak_ok": ok, "lanes": lanes,
                       "seconds": args.seconds}))
     return 0 if ok else 1
