@@ -129,6 +129,25 @@ void sdring_consume(sdring* ring, int32_t amount) {
     ring->fill.fetch_sub(amount, std::memory_order_release);
 }
 
+// Produce row i of a contiguous [count, row_bytes] block into rings[i] —
+// ONE foreign call for a whole multi-channel capture block. ctypes call
+// overhead (~5-7 us/call) otherwise dominates the per-lane fan-out cost
+// at high channel counts. Per-ring success lands in ok_out (a full ring
+// drops its row, like sdring_produce_bytes); returns how many succeeded.
+int32_t sdring_produce_batch(sdring** rings, int32_t count,
+                             const void* block, int32_t row_bytes,
+                             uint8_t* ok_out) {
+    const uint8_t* src = static_cast<const uint8_t*>(block);
+    int32_t n_ok = 0;
+    for (int32_t i = 0; i < count; ++i) {
+        int32_t ok = sdring_produce_bytes(
+            rings[i], src + static_cast<size_t>(i) * row_bytes, row_bytes);
+        if (ok_out) ok_out[i] = static_cast<uint8_t>(ok);
+        n_ok += ok;
+    }
+    return n_ok;
+}
+
 // Consumer-side reset (single-consumer contract; TPCircularBuffer.h:103-109).
 void sdring_clear(sdring* ring) {
     int32_t fill = ring->fill.load(std::memory_order_acquire);

@@ -199,13 +199,20 @@ def run_point(
 
     feed_busy = [0.0]
     orig_recv = proc.receive_audio
+    orig_recv_block = proc.receive_audio_block
 
     def timed_recv(iface, ch, data):
         t = time.monotonic()
         orig_recv(iface, ch, data)
         feed_busy[0] += time.monotonic() - t
 
+    def timed_recv_block(iface, block):
+        t = time.monotonic()
+        orig_recv_block(iface, block)
+        feed_busy[0] += time.monotonic() - t
+
     interface.delegate = timed_recv
+    interface.block_delegate = timed_recv_block
 
     # --- warm the drain shapes BEFORE the clock starts -------------------
     t0 = time.monotonic()

@@ -168,23 +168,35 @@ def main():
     t_state = {"t0": None}
     orig_recv = proc.receive_audio
 
-    def injecting_recv(iface, ch, data):
+    def _maybe_inject(iface):
         # inject BEFORE the chunk, on the capture thread, at whole-run
-        # wall-clock marks (checked on channel 0's delivery only)
-        if ch == 0 and t_state["t0"] is not None:
-            elapsed = time.monotonic() - t_state["t0"]
-            if elapsed >= gap_state["next"]:
-                gap_state["next"] += args.gap_every
-                gap_state["count"] += 1
-                for i, lane in enumerate(proc._lanes):
-                    segments[i].append(lane.produced_samples - seg_start[i])
-                    seg_start[i] = lane.produced_samples
-                proc.receive_capture_gap(iface, args.gap_frames)
-                log(f"[gap {gap_state['count']}] injected "
-                    f"{args.gap_frames} lost frames at t={elapsed:.1f}s")
+        # wall-clock marks
+        if t_state["t0"] is None:
+            return
+        elapsed = time.monotonic() - t_state["t0"]
+        if elapsed >= gap_state["next"]:
+            gap_state["next"] += args.gap_every
+            gap_state["count"] += 1
+            for i, lane in enumerate(proc._lanes):
+                segments[i].append(lane.produced_samples - seg_start[i])
+                seg_start[i] = lane.produced_samples
+            proc.receive_capture_gap(iface, args.gap_frames)
+            log(f"[gap {gap_state['count']}] injected "
+                f"{args.gap_frames} lost frames at t={elapsed:.1f}s")
+
+    def injecting_recv(iface, ch, data):
+        if ch == 0:
+            _maybe_inject(iface)
         orig_recv(iface, ch, data)
 
+    orig_recv_block = proc.receive_audio_block
+
+    def injecting_recv_block(iface, block):
+        _maybe_inject(iface)
+        orig_recv_block(iface, block)
+
     interface.delegate = injecting_recv
+    interface.block_delegate = injecting_recv_block
 
     t0 = time.monotonic()
     n_shapes = proc.warm_up()

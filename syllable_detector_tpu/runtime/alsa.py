@@ -249,6 +249,7 @@ class AlsaAudioInput(AudioInputInterface):
         self.frame_size = frame_size
         self.latency_us = latency_us
         self.delegate = None
+        self.block_delegate = None
         self.gap_delegate = None
         self._lib = lib
         self._pcm: Optional[_AlsaPcm] = None
@@ -324,6 +325,16 @@ class AlsaAudioInput(AudioInputInterface):
             if anchor is None:
                 anchor = self._clock()
             delivered += int(got)
+            block_delegate = self.block_delegate
+            if block_delegate is not None:
+                # interleaved hardware reads every channel in one buffer:
+                # deliver it as one [C, got] block (one transpose copy)
+                block = np.ascontiguousarray(
+                    buf[: int(got) * self.channels]
+                    .reshape(int(got), self.channels).T
+                )
+                block_delegate(self, block)
+                continue
             delegate = self.delegate
             if delegate is None:
                 continue

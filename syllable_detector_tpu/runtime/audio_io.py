@@ -89,9 +89,20 @@ class AudioInputInterface:
     restart): ``lost_frames`` is the estimated per-channel frame count
     that never reached the host. Backends that cannot lose samples
     (simulated sources, PulseAudio's daemon-buffered streams) never call
-    it."""
+    it.
+
+    ``block_delegate`` (interface, block[C, n]) is the BULK alternative:
+    backends that capture every channel in one read (interleaved
+    hardware, the simulator's synchronous tick) deliver the whole
+    multi-channel chunk in ONE call when it is set, instead of C
+    per-channel ``delegate`` calls — the consumer can then vectorize its
+    per-chunk work across channels (Processor.receive_audio_block cuts
+    the capture fan-out cost ~3x at high lane counts). When both are
+    set, a backend calls ONLY ``block_delegate``; backends that cannot
+    produce synchronized blocks ignore it and use ``delegate``."""
 
     delegate: Optional[Callable[["AudioInputInterface", int, np.ndarray], None]] = None
+    block_delegate: Optional[Callable[["AudioInputInterface", np.ndarray], None]] = None
     gap_delegate: Optional[Callable[["AudioInputInterface", int], None]] = None
 
     def initialize_audio(self) -> None:
@@ -149,6 +160,7 @@ class SimulatedAudioInput(AudioInputInterface):
         self.realtime = realtime
         self.total_samples = total_samples
         self.delegate = None
+        self.block_delegate = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.samples_delivered = 0
@@ -187,11 +199,19 @@ class SimulatedAudioInput(AudioInputInterface):
                 delay = due - time.monotonic()
                 if delay > 0:
                     time.sleep(delay)
-            delegate = self.delegate
-            for ch in range(self.channels):
-                chunk = np.asarray(self.source(ch, pos, n), np.float32)
-                if delegate is not None:
-                    delegate(self, ch, chunk)
+            block_delegate = self.block_delegate
+            if block_delegate is not None:
+                # bulk delivery: one [channels, n] block per tick
+                block = np.empty((self.channels, n), np.float32)
+                for ch in range(self.channels):
+                    block[ch] = self.source(ch, pos, n)
+                block_delegate(self, block)
+            else:
+                delegate = self.delegate
+                for ch in range(self.channels):
+                    chunk = np.asarray(self.source(ch, pos, n), np.float32)
+                    if delegate is not None:
+                        delegate(self, ch, chunk)
             pos += n
             self.samples_delivered = pos
         self._stop.set()

@@ -24,7 +24,7 @@ from syllable_detector_tpu.utils.native_build import (
     ensure_native_library,
 )
 
-__all__ = ["RingBuffer", "native_available"]
+__all__ = ["RingBuffer", "RingBlockWriter", "native_available"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libsdring.so")
@@ -68,6 +68,15 @@ def _load_library():
         lib.sdring_tail.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
         lib.sdring_consume.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.sdring_clear.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "sdring_produce_batch"):  # old cached .so: degrade
+            lib.sdring_produce_batch.restype = ctypes.c_int32
+            lib.sdring_produce_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int32,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _lib = lib
         return _lib
 
@@ -227,3 +236,59 @@ class RingBuffer:
 
     def clear(self) -> None:
         self._ring.clear()
+
+
+class RingBlockWriter:
+    """Produce row i of a ``[len(rings), n]`` float32 block into
+    ``rings[i]`` with ONE native call (``sdring_produce_batch``).
+
+    The per-call ctypes overhead (~5-7 us) otherwise dominates the
+    capture fan-out at high lane counts (r5 live campaign: the host
+    fan-out was the second wall after the wire). The ring-pointer array
+    is precomputed once here; ``produce`` then costs one foreign call +
+    C memcpys. Falls back to per-ring :meth:`RingBuffer.produce` when
+    any ring is the Python fallback or the native lib lacks the symbol
+    (an older cached .so)."""
+
+    def __init__(self, rings: list[RingBuffer]):
+        self._rings = list(rings)
+        n = len(self._rings)
+        lib = _load_library()
+        self._lib = None
+        if (
+            n
+            and lib is not None
+            and hasattr(lib, "sdring_produce_batch")
+            and all(r.native for r in self._rings)
+        ):
+            self._lib = lib
+            self._ptrs = (ctypes.c_void_p * n)(
+                *[r._ring._ptr for r in self._rings]
+            )
+            self._ok = np.empty(n, np.uint8)
+
+    def produce(self, block: np.ndarray) -> np.ndarray:
+        """Returns a bool[count] per-ring success array (False = that
+        ring was full and dropped its row, like RingBuffer.produce)."""
+        n = len(self._rings)
+        if block.shape[0] != n:
+            raise ValueError(
+                f"block has {block.shape[0]} rows for {n} rings"
+            )
+        if self._lib is None:
+            return np.array(
+                [r.produce(block[i]) for i, r in enumerate(self._rings)],
+                bool,
+            )
+        block = np.ascontiguousarray(block, np.float32)
+        self._lib.sdring_produce_batch(
+            self._ptrs,
+            n,
+            block.ctypes.data_as(ctypes.c_void_p),
+            block.shape[1] * RingBuffer.ITEM,
+            self._ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        # bind `block` through the call above (ctypes .data does not keep
+        # the array alive on its own — the documented lifetime trap)
+        del block
+        return self._ok.astype(bool)

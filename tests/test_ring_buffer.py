@@ -141,3 +141,31 @@ def test_ensure_native_library_contract(tmp_path):
     assert ei.value.stderr  # compiler diagnostics attached
     leftovers = [p.name for p in tmp_path.iterdir() if ".tmp" in p.name]
     assert leftovers == []
+
+
+def test_ring_block_writer_matches_per_ring():
+    """One native produce call == per-ring produce: same content, same
+    per-ring full/drop behavior, Python-fallback parity."""
+    import numpy as np
+
+    from syllable_detector_tpu.runtime.ring_buffer import (
+        RingBlockWriter,
+        RingBuffer,
+    )
+
+    for force_python in (False, True):
+        rings = [RingBuffer(64, force_python=force_python) for _ in range(3)]
+        w = RingBlockWriter(rings)
+        block = np.arange(3 * 32, dtype=np.float32).reshape(3, 32)
+        ok = w.produce(block)
+        assert ok.tolist() == [True, True, True]
+        for i, r in enumerate(rings):
+            np.testing.assert_array_equal(r.peek(), block[i])
+        # fill ring 1 so its next row drops; the others still succeed
+        assert rings[1].produce(np.zeros(rings[1].capacity - 32, np.float32))
+        ok = w.produce(block + 100)
+        assert ok.tolist() == [True, False, True]
+        rings[0].consume(32)
+        np.testing.assert_array_equal(rings[0].peek()[:32], block[0] + 100)
+        with np.testing.assert_raises(Exception):
+            w.produce(np.zeros((2, 8), np.float32))  # row-count mismatch

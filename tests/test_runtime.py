@@ -1226,3 +1226,69 @@ def test_processor_drain_interval_coalesces(sample_config):
     gaps = np.diff(drains_throttled)
     if len(gaps) > 1:
         assert np.all(gaps[:-1] >= 0.2)
+
+
+def test_simulated_input_block_delivery():
+    """When block_delegate is set the simulator delivers ONE [C, n] block
+    per tick (and never calls the per-channel delegate); content matches
+    the per-channel contract exactly."""
+
+    def source(ch, start, n):
+        return np.arange(start, start + n, dtype=np.float32) + 1000 * ch
+
+    blocks = []
+    per_channel = []
+    dev = SimulatedAudioInput(source, channels=3, total_samples=128,
+                              frame_size=32)
+    dev.delegate = lambda itf, ch, data: per_channel.append(ch)
+    dev.block_delegate = lambda itf, block: blocks.append(block.copy())
+    dev.initialize_audio()
+    assert dev.wait_until_done(timeout=10)
+    dev.tear_down_audio()
+    assert not per_channel  # block path replaces per-channel calls
+    assert len(blocks) == 4 and all(b.shape == (3, 32) for b in blocks)
+    glued = np.concatenate(blocks, axis=1)
+    for ch in range(3):
+        np.testing.assert_array_equal(
+            glued[ch], np.arange(128, dtype=np.float32) + 1000 * ch
+        )
+
+
+def test_processor_block_path_matches_per_channel(sample_config):
+    """receive_audio_block must be bookkeeping-identical to C
+    receive_audio calls: detections, stats, produced samples, and
+    overflow gap events (the bulk path exists purely to cut the Python
+    fan-out cost — r5 live campaign measured 0.26%/lane of a core)."""
+    rng = np.random.default_rng(3)
+    audio = make_audio(rng, seconds=0.6)
+
+    def source(ch, start, n):
+        if ch == 0:
+            return audio[start : start + n]
+        return 0.001 * np.ones(n, np.float32)
+
+    results = {}
+    for mode in ("block", "per_channel"):
+        interface = SimulatedAudioInput(
+            source, channels=2, total_samples=len(audio), frame_size=512
+        )
+        entries = [
+            ProcessorEntry(input_channel=i, output_channel=i,
+                           config=sample_config)
+            for i in range(2)
+        ]
+        out = CallbackOutput(lambda i, e, s: None)
+        proc = Processor(interface, entries, out)
+        if mode == "per_channel":
+            interface.block_delegate = None  # force the per-channel path
+        proc.set_up()
+        assert interface.wait_until_done(timeout=60)
+        proc.drain_pending(timeout=30)
+        proc.tear_down()
+        results[mode] = {
+            "detections": proc.lane_detections(),
+            "produced": [l.produced_samples for l in proc._lanes],
+            "stats": [proc.get_input_for_channel(i) is not None
+                      for i in range(2)],
+        }
+    assert results["block"] == results["per_channel"]
