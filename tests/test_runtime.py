@@ -1292,3 +1292,50 @@ def test_processor_block_path_matches_per_channel(sample_config):
                       for i in range(2)],
         }
     assert results["block"] == results["per_channel"]
+
+
+def test_capture_gap_splices_between_blocks(sample_config):
+    """A device-side gap landing BETWEEN bulk block deliveries
+    (receive_audio_block) splices at the same stream position as the
+    per-channel path: outputs and indices match an oracle bank fed the
+    identical gapped stream on every lane."""
+    rng = np.random.default_rng(12)
+    pre = make_audio(rng, seconds=0.2)
+    post = make_audio(rng, seconds=0.2)
+    n_lost = 2345
+    lanes = 3
+
+    interface = SimulatedAudioInput(
+        lambda ch, s, n: np.zeros(n, np.float32), channels=lanes,
+        total_samples=0,
+    )
+    proc = Processor(
+        interface,
+        [ProcessorEntry(i, i, sample_config) for i in range(lanes)],
+        CallbackOutput(lambda *a: None),
+        batched=True,
+    )
+    assert proc._block_writer is not None
+    pre_b = np.stack([pre * (1.0 + 0.1 * i) for i in range(lanes)])
+    post_b = np.stack([post * (1.0 + 0.1 * i) for i in range(lanes)])
+    proc.receive_audio_block(interface, pre_b)
+    proc.receive_capture_gap(interface, n_lost)
+    proc.receive_audio_block(interface, post_b)
+    proc._drain_all()
+
+    from syllable_detector_tpu.models.detector_bank import DetectorBank
+
+    oracle = DetectorBank([sample_config] * lanes)
+    for i in range(lanes):
+        oracle.append_audio_data(i, pre_b[i])
+        oracle.note_gap(i, n_lost)
+        oracle.append_audio_data(i, post_b[i])
+    oracle.drain()
+    for i in range(lanes):
+        np.testing.assert_array_equal(
+            proc._bank.last_sample_indices[i], oracle.last_sample_indices[i]
+        )
+        assert proc.lane_stats()[i]["capture_lost_samples"] == n_lost
+    np.testing.assert_array_equal(
+        proc._bank.last_outputs, oracle.last_outputs
+    )
