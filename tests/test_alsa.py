@@ -314,3 +314,35 @@ def test_teardown_with_stuck_reader_leaks_not_crashes():
     assert inp._pcm is not None  # handle intentionally leaked
     assert fake.closed == 0      # never freed under the live thread
     release.set()
+
+
+def test_fake_capture_block_delivery_matches_per_channel():
+    """With block_delegate set (the Processor's bulk path), the reader
+    delivers ONE [C, got] block per read — content identical to the
+    per-channel deinterleave, and the per-channel delegate is not
+    called."""
+    fake = FakeAlsa(channels=2)
+    inp = AlsaAudioInput(channels=2, frame_size=16, lib=fake)
+    blocks = []
+    per_channel = []
+    done = threading.Event()
+
+    def block_delegate(interface, block):
+        blocks.append(block.copy())
+        if len(blocks) >= 4:
+            done.set()
+
+    inp.delegate = lambda i, ch, s: per_channel.append(ch)
+    inp.block_delegate = block_delegate
+    inp.initialize_audio()
+    assert done.wait(timeout=5)
+    inp.tear_down_audio()
+    assert not per_channel
+    glued = np.concatenate(blocks[:4], axis=1)
+    assert glued.shape[0] == 2
+    np.testing.assert_array_equal(
+        glued[0], np.arange(0, 128, 2, dtype=np.float32)
+    )
+    np.testing.assert_array_equal(
+        glued[1], np.arange(1, 128, 2, dtype=np.float32)
+    )
