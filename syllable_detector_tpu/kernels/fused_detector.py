@@ -1282,19 +1282,26 @@ def fused_batch_offline_outputs(
         if ne > 0:
             # flat tile: an explicit tile= wins; else a tune-cache entry
             # for this (device, geometry, workload) bucket (see
-            # tuning.py); else the measured v5e defaults — 2048 shared,
-            # 1024 distinct (r4 out_t sweep: t512 110.8M / t1024 113.3M /
-            # t2048 103.7M). Always clamped down for small drains so a
-            # live bucket of 8-128 evals doesn't compute a full
-            # 2048-row tile per channel.
+            # tuning.py); else the measured v5e defaults — 2048 shared
+            # (r2 sweep, reconfirmed by the r5 on-chip tune: 167.8M),
+            # and for distinct nets 1024 at high channel counts (r4
+            # out_t sweep at c=1024: t512 110.8M / t1024 113.3M / t2048
+            # 103.7M) but 512 at small ones (r5 on-chip tune at c=64:
+            # t512 87.5M / t1024 82.2M — matching the r3 hand-sweep).
+            # Always clamped down for small drains so a live bucket of
+            # 8-128 evals doesn't compute a full 2048-row tile per
+            # channel.
             if tile is not None:
                 flat_tile = tile
             else:
                 from syllable_detector_tpu.tuning import tuned_flat_tile
 
                 tuned = tuned_flat_tile(spec, c, ne, distinct)
+                default = (
+                    (512 if c <= 256 else 1024) if distinct else 2048
+                )
                 flat_tile = min(
-                    tuned or (1024 if distinct else 2048),
+                    tuned or default,
                     max(8, _round_up(ne, 8)),
                 )
             # shapes whose padded flat footprint exceeds HBM fall back to
