@@ -1071,3 +1071,32 @@ def test_train_cli_bad_input_processing(tmp_path):
          "--epochs", "1", "--quiet", "--input-processing", "mapcube"]
     )
     assert rc == 1
+
+
+def test_train_ensemble_mapstd_chain(settings):
+    """Ensembles fit the selected chain PER CHANNEL (each channel's
+    mapstd sees its own l2-normalized features) and export it."""
+    import dataclasses
+
+    from syllable_detector_tpu.models.neural_net import apply_net
+    from syllable_detector_tpu.training.trainer import train_ensemble
+
+    s = dataclasses.replace(
+        settings, epochs=100, input_processing=("l2normalize", "mapstd")
+    )
+    feats, labels, _, _ = _two_channel_dataset(s)
+    net_spec, params_list, thresholds = train_ensemble(s, feats, labels)
+    assert net_spec.input_processing == ("l2normalize", "mapstd")
+    # per-channel fits differ (the channels' feature statistics differ)
+    o0 = np.asarray(params_list[0]["process_inputs"][1]["x_offsets"])
+    o1 = np.asarray(params_list[1]["process_inputs"][1]["x_offsets"])
+    assert np.abs(o0 - o1).max() > 1e-6
+    for c in range(2):
+        preds = np.asarray(
+            apply_net(net_spec, params_list[c], feats[c])[..., 0]
+        )
+        sep = preds[labels[c] > 0.5].mean() - preds[labels[c] < 0.5].mean()
+        assert sep > 0.3, (c, sep)
+        cfg = export_trained_config(s, net_spec, params_list[c],
+                                    thresholds[c])
+        assert "mapstd" in dumps_config(cfg)
