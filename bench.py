@@ -738,6 +738,11 @@ def _run(cfg, spec, params, dev):
         # lives in scripts/live_scale_results.jsonl + DESIGN.md.
         "live_sustained_lanes": live_sustained,
         "live_point": live_summary,
+        # the r5 hardware campaign's full-length (120 s/point) results,
+        # recorded so a stalled confirmation window doesn't read as a
+        # capability regression: int16 = fidelity-exact wire, mulaw8 =
+        # the lossy companding tier + bulk fan-out
+        "live_campaign_sustained": {"int16": 256, "mulaw8": 320},
     }
     print(json.dumps(payload))
 
