@@ -148,6 +148,66 @@ int32_t sdring_produce_batch(sdring** rings, int32_t count,
     return n_ok;
 }
 
+// Stage + quantize one DetectorBank drain round's [n_lanes, need] wire
+// buffer in a single foreign call. The Python staging loop (per lane:
+// clip copy, scale, rint, LUT gather, row store, stale-tail zero — ~6
+// numpy dispatches each) measured 62% of this host's one core at 384
+// lanes; this folds it into ONE pass per lane at memory speed.
+//
+// srcs[i]/lens[i]: lane i's consolidated float32 samples (lens[i] == 0
+// for a lane with nothing to stage). xs: the [n_lanes, need] staging
+// buffer of the wire dtype. prev[i]: how far row i was filled last
+// round — only the stale tail [m, prev[i]) is re-zeroed (the same
+// O(changed) contract as the Python path) — updated in place.
+//
+// mode 0 = float32 copy; mode 1 = int16 wire (clip to [-1,1], scale by
+// 32767, round half-to-even — exactly numpy's clip/*=/rint staging, and
+// exactly what S16 capture hardware does); mode 2 = mulaw8 (the int16
+// code further companded through the caller's 64Ki int16->int8 LUT,
+// indexed by code+32768). rintf under the default FE_TONEAREST mode ==
+// np.rint (half-to-even). Non-finite samples are clipped to +-1 here
+// while numpy propagates NaN into an undefined int cast — real capture
+// paths never produce NaN, and clipping is the saner contract.
+// Returns 0 on an unknown mode, else 1.
+int32_t sdstage_batch(const float* const* srcs, const int64_t* lens,
+                      int32_t n_lanes, void* xs, int64_t* prev,
+                      int64_t need, int32_t mode, const int8_t* lut) {
+    if (mode < 0 || mode > 2 || (mode == 2 && !lut)) return 0;
+    for (int32_t i = 0; i < n_lanes; ++i) {
+        int64_t m = lens[i] < need ? lens[i] : need;
+        if (m < 0) m = 0;
+        const float* src = srcs[i];
+        if (mode == 0) {
+            float* row = static_cast<float*>(xs) + static_cast<size_t>(i) * need;
+            if (m) std::memcpy(row, src, static_cast<size_t>(m) * sizeof(float));
+            for (int64_t k = m; k < prev[i]; ++k) row[k] = 0.0f;
+        } else if (mode == 1) {
+            int16_t* row =
+                static_cast<int16_t*>(xs) + static_cast<size_t>(i) * need;
+            for (int64_t k = 0; k < m; ++k) {
+                float v = src[k];
+                v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+                row[k] = static_cast<int16_t>(__builtin_rintf(v * 32767.0f));
+            }
+            for (int64_t k = m; k < prev[i]; ++k) row[k] = 0;
+        } else {
+            int8_t* row =
+                static_cast<int8_t*>(xs) + static_cast<size_t>(i) * need;
+            for (int64_t k = 0; k < m; ++k) {
+                float v = src[k];
+                v = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+                row[k] =
+                    lut[static_cast<int32_t>(__builtin_rintf(v * 32767.0f)) +
+                        32768];
+            }
+            // mulaw code 0 is signal 0, so a zeroed tail stays correct
+            for (int64_t k = m; k < prev[i]; ++k) row[k] = 0;
+        }
+        prev[i] = m;
+    }
+    return 1;
+}
+
 // Consumer-side reset (single-consumer contract; TPCircularBuffer.h:103-109).
 void sdring_clear(sdring* ring) {
     int32_t fill = ring->fill.load(std::memory_order_acquire);

@@ -858,3 +858,55 @@ def test_bank_mulaw8_wire_warm_up(sample_config):
         [sample_config], transfer_dtype="mulaw8", buckets=(8, 32)
     )
     assert bank.warm_up() == 2
+
+
+@pytest.mark.parametrize("wire", ["float32", "int16", "mulaw8"])
+def test_bank_native_staging_bit_identical(sample_config, wire):
+    """The native drain stager (sdstage_batch: one C call per round —
+    the numpy loop's ~6 dispatches/lane were the worker-side host wall
+    at high lane counts) must stage BIT-IDENTICAL wire buffers to the
+    numpy fallback under adversarial lifecycles: uneven lane fills, a
+    mid-stream gap, clipping samples, and shrinking fills that exercise
+    the stale-tail re-zero."""
+    from syllable_detector_tpu.runtime.ring_buffer import DrainStager
+
+    if not DrainStager(1).available:
+        pytest.skip("native staging library unavailable")
+
+    cfgs = [_perturbed_cfg(sample_config, i) for i in range(5)]
+    banks = []
+    for native in (True, False):
+        b = DetectorBank(cfgs, buckets=(8, 32), transfer_dtype=wire)
+        if native:
+            assert b._stager is not None
+        else:
+            b._stager = None
+        staged = []
+
+        def wo(xs, staged=staged, b=b):
+            staged.append(xs.copy())
+            return np.zeros(
+                (len(cfgs), xs.shape[1], b.spec.net.outputs), np.float32
+            )
+
+        b._wire_outputs = wo
+        b.staged = staged
+        banks.append(b)
+
+    lane_lens = [5000, 3000, 0, 9000, 700]
+    for r in range(4):
+        for b in banks:
+            for i in range(5):
+                if r == 2 and i == 3:
+                    b.note_gap(i, 100)
+                rng = np.random.default_rng(r * 10 + i)
+                x = rng.standard_normal(lane_lens[i] + r * 1311).astype(
+                    np.float32
+                ) * (1.5 if i == 1 else 0.3)  # lane 1 exercises the clip
+                b.append_audio_data(i, x)
+            b.drain()
+    a, c = banks[0].staged, banks[1].staged
+    assert len(a) == len(c) and len(a) >= 8  # multi-round bucket ladder
+    for u, v in zip(a, c):
+        assert u.dtype == v.dtype and u.shape == v.shape
+        np.testing.assert_array_equal(u, v)
