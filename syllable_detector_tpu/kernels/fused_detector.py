@@ -1612,6 +1612,95 @@ def flat_batch_input_samples(
     return r * hop, need_rows * hop
 
 
+def fused_batch_program(
+    spec: DetectorSpec,
+    params,
+    n: int,
+    wire_dtype: str = "float32",
+    interpret: bool | None = None,
+):
+    """Build a ONE-device-program drain callable for the live bank path:
+    wire dequantization + the flat slab repack + the fused kernel + the
+    output view compiled into a single jitted program.
+
+    Why: the eager flat path runs ~9 standalone jnp primitives per call
+    (asarray/concat/pad/reshape around the kernel). Each eager primitive
+    is its own device execution — invisible on a PCIe host, but on this
+    chip's network tunnel a 384-lane live drain measured 153 ms of its
+    224 ms wall waiting on that dispatch chain (cProfile, r5). Compiling
+    the chain into one program leaves ONE host->device transfer and ONE
+    execution per drain round, the same per-round cost structure as the
+    reference's single vDSP pass (reference:
+    SyllableDetector/SyllableDetector.swift:156-217).
+
+    ``params`` must be the bank's per-lane list (the distinct-net stacked
+    fold); the folded operands are passed as TRACED ARGUMENTS — closing
+    over them would embed ~MBs of per-channel constants as HLO literals
+    (the r1 remote-compile "413" trap).
+
+    Returns ``fn(xs_wire[C, n]) -> jax.Array [C, n_evals, outputs]``, or
+    ``None`` when this shape routes off the k=1/k=8 flat path (grid
+    fallback, unfusable spec, or no evaluable hops) — callers keep the
+    eager path there. Routing (tuned tile, HBM admission) matches
+    :func:`fused_batch_offline_outputs` exactly.
+    """
+    if not isinstance(params, (list, tuple)):
+        raise ValueError("fused_batch_program needs the per-lane params list")
+    if not fusable(spec):
+        return None
+    c = len(params)
+    f = num_frames(n, spec.window_length, spec.window_overlap)
+    ne = f - spec.time_range + 1
+    if ne <= 0:
+        return None
+    from syllable_detector_tpu.tuning import tuned_flat_tile
+
+    tuned = tuned_flat_tile(spec, c, ne, True)
+    default = 512 if c <= 256 else 1024
+    flat_tile = min(tuned or default, max(8, _round_up(ne, 8)))
+    if interpret is None:
+        interpret = jax.local_devices()[0].platform == "cpu"
+    lay, hops = (
+        ("flat", 1)
+        if interpret
+        else flat_admission(spec, ne, c, flat_tile, True)
+    )
+    if lay != "flat":
+        return None
+    operands, meta = _folded_stacked(spec, tuple(params))
+    dev_ops = _device_operands(operands)
+
+    if wire_dtype == "int16":
+        scale = np.float32(1.0 / 32767.0)
+
+        def dequant(v):
+            return v.astype(jnp.float32) * scale
+
+    elif wire_dtype == "mulaw8":
+        ln1mu = np.float32(np.log1p(255.0))
+        inv_mu = np.float32(1.0 / 255.0)
+        inv127 = np.float32(1.0 / 127.0)
+
+        def dequant(v):
+            y = v.astype(jnp.float32) * inv127
+            return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * ln1mu) * inv_mu)
+
+    elif wire_dtype == "float32":
+        dequant = None
+    else:
+        raise ValueError(f"unknown wire_dtype {wire_dtype!r}")
+
+    @jax.jit
+    def run(xs, ops):
+        x = dequant(xs) if dequant is not None else xs
+        return _flat_core(
+            spec, meta, ops, x, flat_tile, interpret, ne,
+            per_channel=True, hops_per_row=hops, out_t=True,
+        )
+
+    return lambda xs: run(xs, dev_ops)
+
+
 def fused_flat_batch_offline_outputs(
     spec: DetectorSpec,
     params,

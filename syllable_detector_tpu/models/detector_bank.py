@@ -47,6 +47,7 @@ __all__ = ["DetectorBank"]
 
 _MU = 255.0  # continuous mu-law companding constant (8-bit wire tier)
 _mulaw_lut_cache: np.ndarray | None = None
+_UNSET = object()  # "program not built yet" (None = routed off-flat)
 
 
 def _mulaw_lut() -> np.ndarray:
@@ -230,6 +231,13 @@ class DetectorBank:
             )
         self.transfer_dtype = transfer_dtype
         self._dequant = None  # built lazily (jit) for int16/mulaw8 wires
+        # per-bucket ONE-device-program drains (dequant + slab repack +
+        # kernel + output view in a single jit): the eager flat path's
+        # ~9 standalone primitives each cost a device execution — 153 ms
+        # of a 224 ms drain round at 384 lanes on the tunnel (r5
+        # cProfile). None entries mark shapes that routed off the flat
+        # path (grid fallback) — those keep the eager path.
+        self._programs: dict[int, object] = {}
         # transfer efficiency floor: a drain round always sends a whole
         # bucket-shaped [n_lanes, need] staging transfer, so draining a
         # 5-hop tail through a 128-hop bucket pays ~25x the bytes the tail
@@ -494,6 +502,20 @@ class DetectorBank:
         feeding the kernel — HBM-cheap; the win is halved bytes on the
         host->device link, the binding constraint for high lane counts on
         narrow transports)."""
+        if self.method == "fused":
+            need = xs_np.shape[1]
+            prog = self._programs.get(need, _UNSET)
+            if prog is _UNSET:
+                from syllable_detector_tpu.kernels.fused_detector import (
+                    fused_batch_program,
+                )
+
+                prog = fused_batch_program(
+                    self.spec, self.params_list, need, self.transfer_dtype
+                )
+                self._programs[need] = prog
+            if prog is not None:
+                return prog(xs_np)
         x = jnp.asarray(xs_np)
         if xs_np.dtype == np.int16:
             if self._dequant is None:

@@ -910,3 +910,80 @@ def test_bank_native_staging_bit_identical(sample_config, wire):
     for u, v in zip(a, c):
         assert u.dtype == v.dtype and u.shape == v.shape
         np.testing.assert_array_equal(u, v)
+
+
+@pytest.mark.parametrize("wire", ["float32", "int16", "mulaw8"])
+def test_bank_one_program_drain_matches_eager(sample_config, wire):
+    """The ONE-device-program drain (fused_batch_program: dequant + slab
+    repack + kernel compiled into a single jit — the eager chain's ~9
+    standalone primitives cost a device round-trip each, 153 ms of a
+    224 ms drain round at 384 lanes on the tunnel) must match the eager
+    fused path on every wire tier, under uneven fills and a gap."""
+    cfgs = [_perturbed_cfg(sample_config, i) for i in range(3)]
+    rng = np.random.default_rng(77)
+    streams = [make_audio(rng, seconds=0.4 + 0.1 * i) * 1.2 for i in range(3)]
+
+    results = []
+    for use_program in (True, False):
+        bank = DetectorBank(cfgs, transfer_dtype=wire, buckets=(8, 32))
+        outs = []
+        for r in range(3):
+            for i, s in enumerate(streams):
+                if r == 1 and i == 2:
+                    bank.note_gap(i, 500)
+                k = (r + 1) * len(s) // 4
+                bank.append_audio_data(i, s[r * len(s) // 4 : k])
+            if not use_program:
+                # poison the cache so the eager fallback runs instead
+                bank._programs = _AlwaysNone()
+            outs.append((bank.drain().copy(), bank.last_counts.copy()))
+        if use_program:
+            # the program path must actually have been taken
+            assert any(p is not None for p in bank._programs.values())
+        results.append(outs)
+
+    for (o_p, c_p), (o_e, c_e) in zip(*results):
+        np.testing.assert_array_equal(c_p, c_e)
+        for i in range(3):
+            np.testing.assert_allclose(
+                o_p[i, : c_p[i]], o_e[i, : c_e[i]], atol=2e-6, rtol=1e-5
+            )
+
+
+class _AlwaysNone(dict):
+    def get(self, k, default=None):
+        return None
+
+
+def test_bank_program_unfusable_falls_back(sample_config):
+    """fused_batch_program returns None off the flat path (unfusable
+    chain) and the bank's eager fallback still drains correctly."""
+    import dataclasses
+
+    from syllable_detector_tpu.config.model_format import ProcessingSpec
+    from syllable_detector_tpu.kernels.fused_detector import (
+        fused_batch_program,
+    )
+    from syllable_detector_tpu.models.detector import (
+        detector_spec_from_config,
+    )
+
+    cfg = dataclasses.replace(
+        sample_config, process_inputs=[ProcessingSpec("normalize")]
+    )
+    spec, params = detector_spec_from_config(cfg)
+    assert fused_batch_program(spec, [params], 20000) is None
+    with pytest.raises(ValueError, match="per-lane params list"):
+        fused_batch_program(spec, params, 20000)
+
+    bank = DetectorBank([cfg])
+    single = Detector(cfg)
+    audio = make_audio(np.random.default_rng(3), seconds=0.5)
+    bank.append_audio_data(0, audio)
+    single.append_audio_data(audio)
+    got = bank.drain()[0, : bank.last_counts[0]]
+    # unfusable specs demote to matmul at construction — the program
+    # cache is never even consulted
+    assert bank.method == "matmul" and not bank._programs
+    want = single.drain()
+    np.testing.assert_allclose(got[:, 0], want[: len(got), 0], atol=1e-5)
