@@ -84,7 +84,17 @@ def run_point(
     events_path=None,
     allow_cpu=False,
     ring_seconds=None,
+    bank_patch=None,
+    start_gate=None,
+    label=None,
 ):
+    """One swept point. ``bank_patch(bank)`` (optional) rewires the bank
+    right after construction — scripts/live_multiproc_hw.py routes
+    ``_wire_outputs`` to the parent device server with it, reusing this
+    whole pipeline+metrics body per worker process. ``start_gate()``
+    (optional) blocks after warm-up and before the wall clock starts, so
+    multiple workers align their feeds on a barrier. ``label`` prefixes
+    log lines (defaults to the lane count)."""
     import jax
 
     from syllable_detector_tpu.config.model_format import load_config
@@ -95,8 +105,11 @@ def run_point(
         ProcessorEntry,
     )
 
-    dev = jax.devices()[0]
     if not allow_cpu:
+        # only touch jax.devices() when the chip assertion is wanted: a
+        # multiproc WORKER must never initialize a device backend (the
+        # parent owns the chip; allow_cpu=True there skips this probe)
+        dev = jax.devices()[0]
         assert dev.platform != "cpu", f"need the real chip, got {dev}"
     cfg = load_config(cfg_path)
     rate = float(cfg.sampling_rate)
@@ -168,6 +181,8 @@ def run_point(
     t_build = time.monotonic() - t0
     bank = proc._bank
     assert bank is not None and bank.method == "fused"
+    if bank_patch is not None:
+        bank_patch(bank)
 
     # --- instrumentation -------------------------------------------------
     drain_wall, dev_wall, wire_bytes = [], [], [0]
@@ -219,12 +234,14 @@ def run_point(
     n_shapes = proc.warm_up()
     t_warm = time.monotonic() - t0
     log(
-        f"[{lanes} lanes] setup {t_build:.1f}s, warmed {n_shapes} drain "
+        f"[{label or f'{lanes} lanes'}] setup {t_build:.1f}s, warmed {n_shapes} drain "
         f"shape(s) in {t_warm:.1f}s (wire={wire}, buckets={buckets}, "
         f"min_hops={min_hops}, interval={interval}s, chunk={chunk})"
     )
 
     # --- run --------------------------------------------------------------
+    if start_gate is not None:
+        start_gate()
     t_run0 = time.monotonic()
     proc.set_up()
     done = interface.wait_until_done(timeout=seconds * 3 + 120)
@@ -353,7 +370,7 @@ def run_point(
         else "NOT sustained"
     )
     log(
-        f"[{lanes} lanes] {verdict}: coverage {coverage*100:.2f}%, "
+        f"[{label or f'{lanes} lanes'}] {verdict}: coverage {coverage*100:.2f}%, "
         f"losses r{ring_over}/b{bank_over}, feed busy "
         f"{feed_busy[0]/t_feed*100:.0f}%, tick-late p99 "
         f"{pct(late,99)*1e3:.0f} ms, drain wall p50/p99 "
